@@ -1,0 +1,81 @@
+"""Posting-block decode: index scan -> per-term posting DataFrames.
+
+Query-time analog of ``Engine._get_postings`` + ``deserialize_search_result_
+postings`` (``sea/engine.pyx:326-364``, ``sea/document.pyx:164-215``). Term
+and bucket predicates fold to literals, so Catalyst prunes to one
+``term_bucket=`` directory and then to few row groups via parquet min/max
+stats on ``term``; ``with_positions=False`` skips selecting (and therefore
+reading and decoding) the position columns — the reference's "lazy
+positions" as plain column pruning."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.operators.compression import (
+    decode_scores,
+    grouped_delta_decode,
+    varint_decode,
+)
+
+
+def _decode_batches(with_positions: bool):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            docs_out: list[np.ndarray] = []
+            scores_out: list[np.ndarray] = []
+            pos_out: list[list] = []
+            for row in pdf.itertuples(index=False):
+                d = np.cumsum(varint_decode(row.doc_ids_bin), dtype=np.uint64)
+                docs_out.append(d.astype(np.int64))
+                scores_out.append(decode_scores(row.scores_bin))
+                if with_positions:
+                    counts = varint_decode(row.pos_counts_bin).astype(np.int64)
+                    flat = grouped_delta_decode(
+                        varint_decode(row.positions_bin), counts
+                    ).astype(np.int32)
+                    pos_out.extend(
+                        arr.tolist()
+                        for arr in np.split(flat, np.cumsum(counts)[:-1])
+                    )
+            if docs_out:
+                doc_ids = np.concatenate(docs_out)
+                scores = np.concatenate(scores_out).astype(np.float64)
+            else:
+                doc_ids = np.empty(0, dtype=np.int64)
+                scores = np.empty(0, dtype=np.float64)
+            out = {"doc_id": doc_ids, "score": scores}
+            if with_positions:
+                out["positions"] = pd.Series(pos_out, dtype="object")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def term_postings(
+    blocks: DataFrame,
+    term: str,
+    num_buckets: int,
+    with_positions: bool = False,
+) -> DataFrame:
+    """Decoded postings of one term: ``(doc_id, score[, positions])``,
+    doc_id-sorted within each term by block construction."""
+    cols = ["doc_ids_bin", "scores_bin"]
+    if with_positions:
+        cols += ["pos_counts_bin", "positions_bin"]
+    schema = "doc_id long, score double" + (
+        ", positions array<int>" if with_positions else ""
+    )
+    filtered = blocks.where(
+        (
+            F.col("term_bucket")
+            == F.pmod(F.xxhash64(F.lit(term)), F.lit(num_buckets)).cast("int")
+        )
+        & (F.col("term") == term)
+    ).select(*cols)
+    return filtered.mapInPandas(_decode_batches(with_positions), schema)

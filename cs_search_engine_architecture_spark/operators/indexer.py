@@ -1,0 +1,365 @@
+"""Distributed inverted-index build (the reference's ``Indexer.build`` —
+``sea/indexer.pyx:146-392`` — re-expressed as a Spark dataflow).
+
+Stages (SURVEY.md §2.3, §7 Phase 1-2):
+
+1. **tokenize + per-doc aggregate** — one ``mapInPandas`` pass emits one row
+   per (doc, term): per-field frequencies, post-filter field lengths, and
+   field-concatenated char positions (reference T1-T5,
+   ``sea/corpus.pyx:117-197``). Per-doc aggregation happens inside the
+   batch (a document never spans Arrow batches), so this stage needs NO
+   shuffle — it is the analog of the reference's in-memory SPIMI
+   accumulation (B1), with Spark input splits as the "partitions".
+2. **global + term stats** — ``groupBy(term).count()`` (map-side partial
+   aggregation; hot terms cost one combiner row per input partition, so
+   skew is absorbed before the shuffle) and a one-row global aggregate for
+   N / avg field lengths / posting count (B5, B8).
+3. **score** — join postings x term_stats (AQE picks broadcast when the
+   vocabulary is small; sort-merge on term otherwise) and compute the
+   index-time BM25 exactly as ``sea/document.pyx:254-280`` as JVM column
+   arithmetic (whole-stage codegen; no UDF).
+4. **block build** — ``groupBy(term, doc_group).applyInPandas``: doc-range
+   salting (``doc_group = doc_id // group_span`` for terms with
+   ``df > hot_df``) splits hot-term posting lists across tasks while
+   keeping each group doc-contiguous, so per-term global doc_id order is
+   the concatenation of its groups — no second merge stage, unlike
+   hash-salting (this replaces the reference's single-threaded k-way heap
+   merge, B2/B4). Each group emits delta-gap + varint compressed blocks of
+   ``block_size`` postings with per-block max_score metadata (B3 upgrade).
+5. **sink** — blocks repartitioned by ``term_bucket = pmod(xxhash64(term),
+   num_buckets)``, sorted by (term, first_doc) within partitions, written
+   ``partitionBy(term_bucket)``: term lookups prune to one directory and
+   then to few row groups via min/max stats. ``term_stats`` +
+   ``meta.json`` + a per-shard lineage ``manifest.json`` (S5, B9).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Iterator
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions.tokenizer import tokenize
+from cs_search_engine_architecture_spark.operators.compression import (
+    delta_encode,
+    encode_scores,
+    grouped_delta_encode,
+    varint_encode,
+)
+
+POSTINGS_SCHEMA = (
+    "doc_id long, term string, field_freqs array<int>, "
+    "field_lens array<int>, positions array<int>"
+)
+
+BLOCKS_SCHEMA = (
+    "term string, block_no long, first_doc long, last_doc long, count int, "
+    "max_score float, doc_ids_bin binary, scores_bin binary, "
+    "freqs_bin binary, lens_bin binary, pos_counts_bin binary, "
+    "positions_bin binary"
+)
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_NUM_BUCKETS = 64
+DEFAULT_GROUP_SPAN = 1 << 16  # docs per hot-term salt group
+DEFAULT_HOT_DF = 1 << 16  # salt terms with more postings than this
+
+# reference BM25 constants (sea/indexer.pyx:22-24)
+REF_BOOSTS = (1.0, 0.5)
+REF_BS = (0.75, 0.75)
+REF_K = 1.5
+
+
+def default_field_params(num_fields: int) -> tuple[list[float], list[float]]:
+    if num_fields == 2:
+        return list(REF_BOOSTS), list(REF_BS)
+    return [1.0] * num_fields, [0.75] * num_fields
+
+
+def tokenize_postings(
+    corpus: DataFrame,
+    fields: Sequence[str],
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """Corpus -> one row per (doc, term). Partition-local; no shuffle."""
+    nf = len(fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_term, out_ff, out_fl, out_pos = [], [], [], [], []
+            doc_ids = pdf[doc_id_col].to_numpy()
+            field_cols = [pdf[f].to_numpy() for f in fields]
+            for i in range(len(pdf)):
+                per_doc: dict[str, list] = {}
+                field_lens = [0] * nf
+                for f_idx in range(nf):
+                    text = field_cols[f_idx][i]
+                    if text is None:
+                        continue
+                    toks, poss = tokenize(text, is_query=False, analyzer=analyzer)
+                    field_lens[f_idx] = len(toks)
+                    for tok, pos in zip(toks, poss):
+                        e = per_doc.get(tok)
+                        if e is None:
+                            per_doc[tok] = e = [[0] * nf, []]
+                        e[0][f_idx] += 1
+                        e[1].append(pos)
+                did = int(doc_ids[i])
+                for tok, (ff, positions) in per_doc.items():
+                    out_doc.append(did)
+                    out_term.append(tok)
+                    out_ff.append(ff)
+                    out_fl.append(field_lens)
+                    out_pos.append(positions)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": out_term,
+                    "field_freqs": out_ff,
+                    "field_lens": out_fl,
+                    "positions": out_pos,
+                }
+            )
+
+    return corpus.select(doc_id_col, *fields).mapInPandas(batches, POSTINGS_SCHEMA)
+
+
+def bm25_score_col(
+    num_fields: int,
+    avg_field_lengths: Sequence[float],
+    boosts: Sequence[float],
+    bs: Sequence[float],
+    k: float,
+):
+    """Index-time BM25 (``sea/document.pyx:254-280``) as a pure column
+    expression over ``field_freqs``/``field_lens`` arrays + an ``idf``
+    column — whole-stage-codegen'd, no UDF."""
+    tf = F.lit(0.0)
+    for f in range(num_fields):
+        ff = F.element_at("field_freqs", f + 1).cast("double")
+        fl = F.element_at("field_lens", f + 1).cast("double")
+        denom = (
+            F.lit(1.0 + bs[f])
+            + F.lit(1.0 - bs[f]) * fl / F.lit(float(avg_field_lengths[f]))
+        )
+        tf = tf + ff * F.lit(float(boosts[f])) / denom
+    return F.col("idf") * (tf * F.lit(k + 1.0)) / (tf + F.lit(k))
+
+
+def _make_block_encoder(block_size: int):
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        scores = pdf["score"].to_numpy()[order].astype(np.float32)
+        ffs = pdf["field_freqs"].to_numpy()[order]
+        fls = pdf["field_lens"].to_numpy()[order]
+        poss = pdf["positions"].to_numpy()[order]
+        n = len(doc_ids)
+        rows = []
+        base_block = int(pdf["doc_group"].iloc[0]) << 32
+        for b, start in enumerate(range(0, n, block_size)):
+            end = min(start + block_size, n)
+            d = doc_ids[start:end]
+            s = scores[start:end]
+            ff_flat = np.concatenate([np.asarray(x) for x in ffs[start:end]]).astype(
+                np.uint64
+            )
+            fl_flat = np.concatenate([np.asarray(x) for x in fls[start:end]]).astype(
+                np.uint64
+            )
+            pos_lists = [np.asarray(x, dtype=np.uint64) for x in poss[start:end]]
+            pos_counts = np.array([len(x) for x in pos_lists], dtype=np.int64)
+            pos_flat = (
+                np.concatenate(pos_lists)
+                if pos_lists
+                else np.empty(0, dtype=np.uint64)
+            )
+            rows.append(
+                {
+                    "term": term,
+                    # doc_group in the high bits keeps block_no globally
+                    # ordered by doc range across salt groups
+                    "block_no": base_block + b,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "count": end - start,
+                    "max_score": float(s.max()),
+                    "doc_ids_bin": varint_encode(delta_encode(d)),
+                    "scores_bin": encode_scores(s),
+                    "freqs_bin": varint_encode(ff_flat),
+                    "lens_bin": varint_encode(fl_flat),
+                    "pos_counts_bin": varint_encode(pos_counts.astype(np.uint64)),
+                    "positions_bin": varint_encode(
+                        grouped_delta_encode(pos_flat, pos_counts)
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_groups
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_path: str,
+    fields: Sequence[str],
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    group_span: int = DEFAULT_GROUP_SPAN,
+    hot_df: int = DEFAULT_HOT_DF,
+    boosts: Sequence[float] | None = None,
+    bs: Sequence[float] | None = None,
+    k: float = REF_K,
+    corpus_path: str | None = None,
+) -> dict:
+    """Build the full index at ``out_path``; returns the meta dict."""
+    t0 = time.time()
+    nf = len(fields)
+    if boosts is None or bs is None:
+        d_boosts, d_bs = default_field_params(nf)
+        boosts = boosts or d_boosts
+        bs = bs or d_bs
+
+    postings = tokenize_postings(corpus, fields, doc_id_col, analyzer)
+    postings.persist()
+
+    num_documents = corpus.count()
+    glob = postings.agg(
+        F.count(F.lit(1)).alias("num_postings"),
+        *[
+            F.sum(F.element_at("field_freqs", f + 1)).alias(f"len_{f}")
+            for f in range(nf)
+        ],
+    ).collect()[0]
+    num_postings = glob["num_postings"] or 0
+    avg_field_lengths = [
+        (glob[f"len_{f}"] or 0) / num_documents if num_documents else 0.0
+        for f in range(nf)
+    ]
+
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_stats = term_stats.withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(num_documents)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+    )
+
+    scored = postings.join(term_stats, "term").withColumn(
+        "score",
+        bm25_score_col(nf, avg_field_lengths, boosts, bs, k),
+    )
+    # doc-range salting for hot terms: groups stay doc-contiguous so the
+    # per-term list is the ordered concat of its groups (no re-merge)
+    scored = scored.withColumn(
+        "doc_group",
+        F.when(
+            F.col("df") > F.lit(hot_df),
+            (F.col("doc_id") / F.lit(group_span)).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+
+    blocks = scored.groupBy("term", "doc_group").applyInPandas(
+        _make_block_encoder(block_size), BLOCKS_SCHEMA
+    )
+    blocks = blocks.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    (
+        blocks.repartition(num_buckets, "term_bucket")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(out_path, "blocks"))
+    )
+
+    term_stats.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_path, "term_stats")
+    )
+    postings.unpersist()
+
+    wall = time.time() - t0
+    meta = {
+        "num_documents": int(num_documents),
+        "num_postings": int(num_postings),
+        "num_fields": nf,
+        "fields": list(fields),
+        "avg_field_lengths": avg_field_lengths,
+        "bm25_k": k,
+        "field_boosts": list(boosts),
+        "bm25_bs": list(bs),
+        "analyzer": analyzer,
+        "block_size": block_size,
+        "num_buckets": num_buckets,
+        "group_span": group_span,
+        "hot_df": hot_df,
+        "doc_id_col": doc_id_col,
+        "corpus_path": corpus_path,
+        "build_wall_sec": wall,
+        "postings_per_sec": (num_postings / wall) if wall > 0 else None,
+    }
+    with open(os.path.join(out_path, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+    # per-shard lineage manifest (B9 / north rule: resumability + metrics)
+    shard_rows = (
+        spark.read.parquet(os.path.join(out_path, "blocks"))
+        .groupBy("term_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("num_blocks"),
+            F.sum("count").alias("num_postings"),
+            F.countDistinct("term").alias("num_terms"),
+        )
+        .collect()
+    )
+    manifest = {
+        "built_at_unix": int(t0),
+        "wall_sec": wall,
+        "source": corpus_path,
+        "source_fingerprint": hashlib.sha256(
+            json.dumps([corpus_path, int(num_documents)]).encode()
+        ).hexdigest(),
+        "shards": sorted(
+            (
+                {
+                    "term_bucket": r["term_bucket"],
+                    "num_blocks": r["num_blocks"],
+                    "num_postings": int(r["num_postings"]),
+                    "num_terms": r["num_terms"],
+                }
+                for r in shard_rows
+            ),
+            key=lambda s: s["term_bucket"],
+        ),
+    }
+    with open(os.path.join(out_path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return meta
+
+
+def load_meta(index_path: str) -> dict:
+    with open(os.path.join(index_path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def load_blocks(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_path, "blocks"))
+
+
+def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_path, "term_stats"))

@@ -1,0 +1,129 @@
+"""AST -> DataFrame plan compiler with lazy-NOT De Morgan algebra.
+
+This is the driver-side "optimizer rule" the reference implements in
+``_tiered_full_boolean_search`` (``sea/engine.pyx:424-498``): complements
+are never materialized; each subtree evaluates to (postings, is_not) and
+the parent picks the join type:
+
+    AND(+,+) -> inner join, scores summed (sea/posting_list.pyx:46-75,:15)
+    AND(-,+) -> right ANTI left          (:469)
+    AND(+,-) -> left ANTI right          (:473)
+    AND(-,-) -> full-outer union, flag   (:477, De Morgan)
+    OR (+,+) -> full-outer union         (:482)
+    OR (-,+) -> left ANTI right, flag    (:487)
+    OR (+,-) -> right ANTI left, flag    (:491)
+    OR (-,-) -> inner join, flag         (:494)
+
+Phrase leaves chain inner joins with the consecutive-term position-window
+predicate ∃(p,q): 0 ≤ q−p ≤ 10 expressed with higher-order array functions
+(JVM-side; exactly the two-pointer ``phrase_constraint`` semantics,
+``sea/posting_list.pyx:23-44``). The top-level is_not flag is discarded
+exactly as the reference does (``sea/engine.pyx:531-553``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.operators.decode import term_postings
+from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+class QueryCompiler:
+    def __init__(self, spark: SparkSession, blocks: DataFrame, num_buckets: int):
+        self.spark = spark
+        self.blocks = blocks
+        self.num_buckets = num_buckets
+
+    def empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _leaf(self, term: str, with_positions: bool = False) -> DataFrame:
+        return term_postings(self.blocks, term, self.num_buckets, with_positions)
+
+    def _phrase(self, values: list[str]) -> DataFrame:
+        cur = self._leaf(values[0], with_positions=True)
+        for term in values[1:]:
+            nxt = (
+                self._leaf(term, with_positions=True)
+                .withColumnRenamed("score", "_s2")
+                .withColumnRenamed("positions", "_p2")
+            )
+            window_ok = F.exists(
+                "_p2",
+                lambda q: F.exists(
+                    "positions",
+                    lambda p: (q - p >= 0) & (q - p <= PHRASE_K),
+                ),
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .where(window_ok)
+                .select(
+                    "doc_id",
+                    (F.col("score") + F.col("_s2")).alias("score"),
+                    F.col("_p2").alias("positions"),
+                )
+            )
+        return cur.select("doc_id", "score")
+
+    def _eval(self, node: dict) -> tuple[DataFrame, bool]:
+        if node["type"] == "token":
+            return self._leaf(node["value"]), False
+        if node["type"] == "phrase":
+            return self._phrase(node["values"]), False
+
+        op = node["operator"]
+        if op == "not":
+            df, isnot = self._eval(node["right"])
+            return df, not isnot
+
+        left, lnot = self._eval(node["left"])
+        right, rnot = self._eval(node["right"])
+
+        def inner() -> DataFrame:
+            r = right.withColumnRenamed("score", "_s2")
+            return left.join(r, "doc_id").select(
+                "doc_id", (F.col("score") + F.col("_s2")).alias("score")
+            )
+
+        def union() -> DataFrame:
+            r = right.withColumnRenamed("score", "_s2")
+            return left.join(r, "doc_id", "full_outer").select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("_s2"), F.lit(0.0))
+                ).alias("score"),
+            )
+
+        def anti(a: DataFrame, b: DataFrame) -> DataFrame:
+            return a.join(b.select("doc_id"), "doc_id", "left_anti")
+
+        if op == "and":
+            if not lnot and not rnot:
+                return inner(), False
+            if lnot and not rnot:
+                return anti(right, left), False
+            if not lnot and rnot:
+                return anti(left, right), False
+            return union(), True
+        # op == "or"
+        if not lnot and not rnot:
+            return union(), False
+        if lnot and not rnot:
+            return anti(left, right), True
+        if not lnot and rnot:
+            return anti(right, left), True
+        return inner(), True
+
+    def compile(self, ast: Optional[dict]) -> DataFrame:
+        """AST -> (doc_id, score) DataFrame; top-level NOT flag discarded."""
+        if not ast:
+            return self.empty()
+        df, _ = self._eval(ast)
+        return df

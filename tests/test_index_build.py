@@ -1,0 +1,104 @@
+"""Spark index build vs the pure-Python oracle: stats, df/idf, per-posting
+BM25 scores, doc_id order, compression round-trip through the real parquet
+index."""
+
+import math
+
+import pytest
+
+from cs_search_engine_architecture_spark.operators import indexer
+from cs_search_engine_architecture_spark.operators.decode import term_postings
+from cs_search_engine_architecture_spark.oracle.reference import OracleIndex
+
+DOCS = [
+    (0, ["alpha beta", "alpha gamma delta phrase near here."]),
+    (1, ["beta", "beta beta gamma."]),
+    (2, ["", "delta epsilon zeta alpha."]),
+    (3, ["gamma delta", "unrelated words entirely."]),
+    (4, ["running tests", "the tokenizer runs utf8str 2024 20244 tests."]),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in DOCS], "doc_id long, title string, body string"
+    )
+    meta = indexer.build_index(
+        spark,
+        corpus,
+        out,
+        fields=["title", "body"],
+        block_size=2,  # tiny blocks to exercise multi-block lists
+        num_buckets=4,
+    )
+    oracle = OracleIndex(DOCS)
+    return spark, out, meta, oracle
+
+
+def test_meta_matches_oracle(built):
+    _, _, meta, oracle = built
+    assert meta["num_documents"] == oracle.num_documents
+    assert meta["num_postings"] == oracle.num_postings
+    assert meta["avg_field_lengths"] == pytest.approx(oracle.avg_field_lengths)
+
+
+def test_term_stats_match(built):
+    spark, out, meta, oracle = built
+    rows = indexer.load_term_stats(spark, out).collect()
+    got_df = {r["term"]: r["df"] for r in rows}
+    assert got_df == oracle.document_frequencies
+    for r in rows:
+        assert r["idf"] == pytest.approx(oracle.idf[r["term"]], rel=1e-9)
+
+
+def test_postings_match_oracle(built):
+    spark, out, meta, oracle = built
+    blocks = indexer.load_blocks(spark, out)
+    for term, plist in oracle.index.items():
+        got = term_postings(blocks, term, meta["num_buckets"]).collect()
+        got = sorted(((r["doc_id"], r["score"]) for r in got))
+        want = [(p.doc_id, p.score) for p in plist]
+        assert [d for d, _ in got] == [d for d, _ in want], term
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-5), term
+
+
+def test_positions_roundtrip(built):
+    spark, out, meta, oracle = built
+    blocks = indexer.load_blocks(spark, out)
+    for term in ["alpha", "beta", "gamma", "delta"]:
+        got = {
+            r["doc_id"]: list(r["positions"])
+            for r in term_postings(
+                blocks, term, meta["num_buckets"], with_positions=True
+            ).collect()
+        }
+        want = {p.doc_id: p.positions for p in oracle.index[term]}
+        assert got == want, term
+
+
+def test_block_metadata(built):
+    spark, out, meta, oracle = built
+    rows = indexer.load_blocks(spark, out).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        assert r["count"] <= 2
+        assert r["first_doc"] <= r["last_doc"]
+        by_term.setdefault(r["term"], []).append(r)
+    for term, blist in by_term.items():
+        blist.sort(key=lambda r: r["block_no"])
+        # blocks are doc-range disjoint and ordered
+        for a, b in zip(blist, blist[1:]):
+            assert a["last_doc"] < b["first_doc"]
+        want_max = max(p.score for p in oracle.index[term])
+        assert max(r["max_score"] for r in blist) == pytest.approx(
+            want_max, abs=1e-5
+        )
+
+
+def test_missing_term_empty(built):
+    spark, out, meta, _ = built
+    blocks = indexer.load_blocks(spark, out)
+    assert term_postings(blocks, "zzznotaterm", meta["num_buckets"]).count() == 0

@@ -1,0 +1,94 @@
+"""End-to-end rank identity: Spark engine vs oracle on the reference-style
+query set (FIXTURES.md §3) over a corpus that exercises tokenizer quirks,
+every boolean branch, phrases, and degenerate queries. Contract: identical
+doc_ids AND scores under the tie-break (score desc, doc_id asc)."""
+
+import pytest
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import indexer
+from cs_search_engine_architecture_spark.oracle.reference import OracleIndex
+
+DOCS = [
+    (0, ["spark shuffle", "spark makes the shuffle fast and wide."]),
+    (1, ["hash join", "the hash join beats merge join on small tables."]),
+    (2, ["merge join", "sorted merge join shines for big sorted runs."]),
+    (3, ["query planner", "the planner picks hash join or merge join."]),
+    (4, ["spark planner", "spark planner prefers broadcast hash join."]),
+    (5, ["", "a shuffle heavy query with skewed keys and salt."]),
+    (6, ["tokenizer", "running tests on the tokenizer with utf8str 2024."]),
+    (7, ["phrase docs", "delta gap varint blocks compress posting lists."]),
+    (8, ["delta", "delta encoding then gap then varint in order."]),
+    (9, ["spark spark", "spark spark spark repeated for term frequency."]),
+]
+
+QUERIES = [
+    "spark",
+    "join",
+    "spark and shuffle",
+    "hash join",  # implicit AND
+    "spark or planner",
+    "join and not merge",
+    "not spark",  # top-level NOT quirk: returns spark's postings
+    "not spark and join",
+    "spark and not (hash or merge)",
+    "not hash and not merge",  # De Morgan union
+    '"hash join"',
+    '"merge join" and sorted',
+    '"delta gap varint"',  # 3-term phrase chain
+    '"gap delta"',  # wrong order phrase
+    "spark and planner or shuffle",  # precedence
+    "spark or planner and shuffle",
+    "(spark or hash) and join",
+    "nonexistentterm",
+    "spark and nonexistentterm",
+    "spark or nonexistentterm",
+    "and",
+    '""',
+    "the and of",  # stopwords only -> but and/or kept in query mode
+    "running",  # stem: run
+    "2024",
+]
+
+
+@pytest.fixture(scope="module")
+def eng_oracle(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("e2e_index"))
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in DOCS], "doc_id long, title string, body string"
+    )
+    indexer.build_index(
+        spark, corpus, out, fields=["title", "body"], block_size=3, num_buckets=4
+    )
+    return SearchEngine(spark, out), OracleIndex(DOCS)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identical(eng_oracle, query):
+    engine, oracle = eng_oracle
+    got = engine.search_collect(query, top_k=10)
+    want = oracle.search(query, top_k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"{query!r}: got {got}, want {want}"
+    )
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-4), f"{query!r} doc {gd}"
+
+
+def test_topk_limits(eng_oracle):
+    engine, oracle = eng_oracle
+    got = engine.search_collect("spark or join or shuffle", top_k=3)
+    want = oracle.search("spark or join or shuffle", top_k=3)
+    assert len(got) == 3
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_materialize_invariant(eng_oracle, spark):
+    engine, _ = eng_oracle
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in DOCS], "doc_id long, title string, body string"
+    )
+    res = engine.search("spark and shuffle", top_k=5)
+    mat = engine.materialize(res, corpus).collect()
+    assert {r["doc_id"] for r in mat} <= {d for d, _ in DOCS}
+    assert all(r["body"] for r in mat)
