@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship reference-analyzer pipeline end-to-end on
+sf0.001; ``queries``/``oracle_sql`` are the sf0.01 DuckDB-checked gate
+(implementations in ``cs_search_engine_architecture_spark/gate.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs_search_engine_architecture_spark import gate  # noqa: E402
+from cs_search_engine_architecture_spark.engine import SearchEngine  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the reference-analyzer inverted index over the
+    sf0.001 documents corpus, run a boolean+phrase BM25 query through the
+    full compile path, and materialize the top-10 back against the corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng: SearchEngine = gate.gate_engine(spark, sf_dir, analyzer="reference")
+    top = eng.search('spark and (shuffle or "hash join")', top_k=10)
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eng.materialize(top, corpus).select(
+        "doc_id", "score", "text", "lang", "source"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return gate.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return gate.oracle_sql()

@@ -1,0 +1,125 @@
+"""Benchmark harness (driver-run per round; also usable standalone).
+
+Builds two indexes and times the headline operations:
+
+1. synthetic source-code corpus (input_hint shape, Zipfian + hot terms,
+   scaled by the sf of $SPARK_GRAFT_SF_DIR) -> reference-analyzer index
+   build -> postings/sec;
+2. the driver ``documents`` fixture -> gate (simple-analyzer) index ->
+   boolean/phrase/top-k query latencies through the full compile path.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs_search_engine_architecture_spark.engine import SearchEngine  # noqa: E402
+from cs_search_engine_architecture_spark.operators.indexer import build_index  # noqa: E402
+from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
+from cs_search_engine_architecture_spark.sources.corpus import (  # noqa: E402
+    synth_source_files,
+)
+
+QUERIES = [
+    ("q_single", "spark"),
+    ("q_and", "spark and data"),
+    ("q_or", "spark or data"),
+    ("q_and_not", "data and not slow"),
+    ("q_bool_mix", 'spark and (data or "hash join") not slow'),
+    ("q_phrase", '"window order"'),
+    ("q_hot_and", "index and data"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(app_name="spark-sea-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": int(cpus)}
+    work = "/tmp/spark_sea_bench"
+    shutil.rmtree(work, ignore_errors=True)
+
+    # -- 1. synthetic source-code corpus build (the headline metric)
+    num_docs = max(20_000, int(1_200_000 * sf))
+    corpus = synth_source_files(spark, num_docs).persist()
+    corpus.count()  # materialize generation outside the timed region
+    t0 = time.time()
+    meta = build_index(
+        spark,
+        corpus,
+        os.path.join(work, "code_idx"),
+        fields=["path", "content"],
+        analyzer="reference",
+        corpus_path=f"synthetic:{num_docs}",
+    )
+    t_build = time.time() - t0
+    timings["index_build_code"] = round(t_build, 3)
+    extras["num_docs"] = num_docs
+    extras["num_postings"] = meta["num_postings"]
+    extras["postings_per_sec"] = round(meta["num_postings"] / t_build)
+    extras["docs_per_sec"] = round(num_docs / t_build)
+    corpus.unpersist()
+
+    # query latency on the code index (reference analyzer)
+    code_eng = SearchEngine(spark, os.path.join(work, "code_idx"))
+    code_eng.search_collect("spark", 10)  # warm block cache
+    t0 = time.time()
+    code_eng.search_collect("index and data and spark", 10)
+    timings["q_code_hot_and"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    code_eng.search_collect('posting and not (merge or "delta block")', 10)
+    timings["q_code_bool_phrase"] = round(time.time() - t0, 3)
+
+    # -- 2. documents fixture: gate index + query set
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    build_index(
+        spark,
+        docs,
+        os.path.join(work, "docs_idx"),
+        fields=["text"],
+        analyzer="simple",
+        num_buckets=8,
+        corpus_path=os.path.join(sf_dir, "documents.parquet"),
+    )
+    timings["index_build_docs"] = round(time.time() - t0, 3)
+
+    eng = SearchEngine(spark, os.path.join(work, "docs_idx"))
+    eng.search_collect("spark", 5)  # warm
+    for name, q in QUERIES:
+        t0 = time.time()
+        eng.search_collect(q, 10)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ class SearchEngine:
 
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""
-        ast = parse_query(query)
+        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
         return self.compiler.compile(ast)
 
     def search(self, query: str, top_k: int = 10) -> DataFrame:

@@ -102,6 +102,12 @@ def tokenize(
     a distributed bottleneck; see SURVEY.md T4).
     """
     if analyzer == "simple":
+        if is_query:
+            # boolean query over a simple-analyzer index: operator tokens
+            # still come from the reference scanner, but terms are neither
+            # stemmed nor stop-filtered (they must match the simple index)
+            pairs = scan(text, is_query=True)
+            return [t for t, _ in pairs], [p for _, p in pairs]
         lowered = ascii_lower(text)
         toks: list[str] = []
         poss: list[int] = []

@@ -1,0 +1,286 @@
+"""Driver correctness-gate queries: Spark implementations + DuckDB oracles.
+
+Strategy (SURVEY.md §5): the DuckDB-checkable gate runs the REAL distributed
+pipeline (mapInPandas tokenizer -> compressed block index -> join-algebra
+compiler -> top-k) in the ``simple`` analyzer mode, whose tokenization is
+expressible in ANSI SQL (``regexp_extract_all``). Reference-analyzer
+fidelity (Porter2 truncation stemming, scan quirks) is covered by the
+pytest golden suite against the pure-Python oracle instead — DuckDB has no
+Snowball stemmer in this environment.
+
+Float policy: every compared score is computed with the *same explicit
+double expression tree* on both sides and then cast through float32
+(Spark ``cast('float')`` / DuckDB ``CAST(... AS REAL)``), which absorbs
+last-ulp libm differences; comparisons are exact after the cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators.indexer import (
+    build_index,
+    tokenize_postings,
+)
+
+GATE_VERSION = "r1"
+
+# shared DuckDB CTE: simple-analyzer tokenization of the documents table
+TOKS_CTE = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+_ENGINES: dict[tuple, SearchEngine] = {}
+
+
+def gate_engine(spark: SparkSession, sf_dir: str, analyzer: str = "simple") -> SearchEngine:
+    """Build (once, cached on disk + in-process) the gate index over the
+    ``documents`` fixture and return an engine on it."""
+    key = (sf_dir, analyzer)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    tag = f"{abs(hash(sf_dir)) % 10**8}_{analyzer}_{GATE_VERSION}"
+    path = os.path.join("/tmp/spark_sea_gate", tag)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            path,
+            fields=["text"],
+            analyzer=analyzer,
+            num_buckets=8,
+            corpus_path=os.path.join(sf_dir, "documents.parquet"),
+        )
+    eng = SearchEngine(spark, path)
+    _ENGINES[key] = eng
+    return eng
+
+
+# ---------------------------------------------------------------- queries
+
+def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_postings(_docs(spark, sf_dir), ["text"], analyzer="simple").select(
+        "doc_id", "term", F.element_at("field_freqs", 1).alias("tf")
+    )
+
+
+SQL_POSTINGS_TF = f"""
+SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+FROM ({TOKS_CTE}) toks
+GROUP BY doc_id, term
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    postings = tokenize_postings(docs, ["text"], analyzer="simple")
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).select(
+        "term",
+        "df",
+        F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .cast("float")
+        .cast("double")
+        .alias("idf"),
+    )
+
+
+SQL_TERM_STATS = f"""
+WITH toks AS ({TOKS_CTE}),
+per AS (SELECT DISTINCT doc_id, term FROM toks),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, count(*) AS df,
+  CAST(CAST(ln(((SELECT n FROM n) - count(*) + 0.5) / (count(*) + 0.5)) AS REAL)
+       AS DOUBLE) AS idf
+FROM per GROUP BY term
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = gate_engine(spark, sf_dir)
+    return eng.search("spark or data", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+# exact mirror of indexer.bm25_score_col (single field, boost 1.0, b 0.75,
+# k 1.5) followed by the engine's OR sum + float32 casts
+SQL_BM25_TOPK = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q_bool_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = gate_engine(spark, sf_dir)
+    return eng.search_df("data and not slow").select("doc_id")
+
+
+SQL_BOOL_AND_NOT = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT DISTINCT doc_id FROM toks WHERE term = 'data'
+EXCEPT
+SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'
+"""
+
+
+def q_bool_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # or(spark, and(data, slow)) — and binds tighter (sea/query.pyx:71-74)
+    eng = gate_engine(spark, sf_dir)
+    return eng.search_df("spark or data and slow").select("doc_id")
+
+
+SQL_BOOL_PRECEDENCE = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'
+UNION
+(SELECT DISTINCT doc_id FROM toks WHERE term = 'data'
+ INTERSECT
+ SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+"""
+
+
+def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # char-position window (k=10) — not ANSI-SQL-expressible without
+    # position extraction; driver records the weaker rows-only check
+    eng = gate_engine(spark, sf_dir)
+    return eng.search_df('"window order"').select("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = tokenize_postings(_docs(spark, sf_dir), ["text"], analyzer="simple")
+    return postings.groupBy("doc_id").agg(
+        F.sum(F.element_at("field_freqs", 1)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+        F.max(F.length("term")).cast("int").alias("max_term_len"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT doc_id, count(*) AS n_tokens,
+       count(DISTINCT term) AS n_distinct_terms,
+       CAST(max(length(term)) AS INT) AS max_term_len
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of vec_id 0
+    (R3 analog: exact, no ANN — ``sea/engine.pyx:555-565``)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with("embedding", qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_q = sum(float(x) * float(x) for x in qvec) ** 0.5
+    norm_d = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm_d * F.lit(norm_q))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", cos.cast("float").cast("double").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, (SELECT qe FROM q)),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(e.embedding,
+                  a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) AS nd,
+         (SELECT sqrt(list_sum(list_transform(qe,
+                  a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) FROM q) AS nq
+  FROM embeddings e WHERE e.vec_id != 0
+)
+SELECT vec_id, CAST(CAST(dot / (nd * nq) AS REAL) AS DOUBLE) AS cos
+FROM pairs
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def queries():
+    return {
+        "postings_tf": q_postings_tf,
+        "term_stats": q_term_stats,
+        "bm25_topk": q_bm25_topk,
+        "bool_and_not": q_bool_and_not,
+        "bool_precedence": q_bool_precedence,
+        "phrase_window": q_phrase_window,
+        "dedup_exact": q_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "embedding_topk": q_embedding_topk,
+    }
+
+
+def oracle_sql():
+    return {
+        "postings_tf": SQL_POSTINGS_TF,
+        "term_stats": SQL_TERM_STATS,
+        "bm25_topk": SQL_BM25_TOPK,
+        "bool_and_not": SQL_BOOL_AND_NOT,
+        "bool_precedence": SQL_BOOL_PRECEDENCE,
+        # phrase_window: rows-only (char-position windows not SQL-expressible)
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+    }

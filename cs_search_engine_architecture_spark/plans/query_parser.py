@@ -199,7 +199,7 @@ def parse_tokens(tokens: list[str]) -> Optional[dict]:
     return val_stack[0] if val_stack else None
 
 
-def parse_query(query: str) -> Optional[dict]:
+def parse_query(query: str, analyzer: str = "reference") -> Optional[dict]:
     """Tokenize (query mode: ``sea/engine.pyx:519-524``) then parse."""
-    tokens, _ = tokenize(query, is_query=True)
+    tokens, _ = tokenize(query, is_query=True, analyzer=analyzer)
     return parse_tokens(tokens)
