@@ -1,0 +1,208 @@
+"""Dual-dialect SQL fragment builders (Spark SQL + DuckDB).
+
+The driver's correctness gate runs every query twice — our Spark plan and
+an ANSI-ish DuckDB oracle — and value-hashes the results. For the
+training-data-pipeline operators (dedup, fingerprinting, LSH similarity,
+text analysis) the only way to guarantee bit-identical values on both
+sides is to generate BOTH expression trees from one source of truth.
+
+Every builder here returns a SQL string for the requested ``dialect``
+(``"spark"`` | ``"duckdb"``). The Spark strings are used via ``F.expr``
+— they compile to built-in Catalyst expressions (whole-stage codegen,
+no Python in the executor hot path), so this is the idiomatic fast path,
+not a compatibility shim.
+
+Scale note (100 TB): everything built from these fragments is pure
+column arithmetic over the row it lives on — no shuffle is introduced by
+the expressions themselves, so the operators that use them scale with
+the scan. Hash seeds are string literals folded at plan time.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+# 31^j factors for the 8-hex-char token hash (fits comfortably in int64)
+_POW31 = [31**j for j in range(8)]
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 1_000_003
+
+
+def _d(dialect: str) -> bool:
+    if dialect not in (SPARK, DUCKDB):
+        raise ValueError(f"unknown dialect {dialect!r}")
+    return dialect == DUCKDB
+
+
+def tokens(dialect: str, col: str = "text") -> str:
+    """Simple-analyzer token list: ``[a-z0-9]+`` runs of ``lower(col)``."""
+    if _d(dialect):
+        return f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+    return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+
+
+def transform(dialect: str, arr: str, lam: str) -> str:
+    fn = "list_transform" if _d(dialect) else "transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def array_min(dialect: str, arr: str) -> str:
+    fn = "list_min" if _d(dialect) else "array_min"
+    return f"{fn}({arr})"
+
+
+def array_size(dialect: str, arr: str) -> str:
+    fn = "len" if _d(dialect) else "size"
+    return f"{fn}({arr})"
+
+
+def array_join(dialect: str, arr: str, sep: str = " ") -> str:
+    fn = "array_to_string" if _d(dialect) else "array_join"
+    return f"{fn}({arr}, '{sep}')"
+
+
+def element_at(dialect: str, arr: str, idx: str) -> str:
+    """1-based element access (both engines are 1-based here)."""
+    if _d(dialect):
+        return f"{arr}[{idx}]"
+    return f"element_at({arr}, {idx})"
+
+
+def int_range(dialect: str, lo: str, hi: str) -> str:
+    """Inclusive integer list [lo..hi]; EMPTY when hi < lo (guard Spark's
+    reversed-sequence behavior explicitly)."""
+    if _d(dialect):
+        return f"generate_series({lo}, {hi})"
+    return (
+        f"(case when ({hi}) >= ({lo}) then sequence({lo}, {hi}) "
+        f"else array() end)"
+    )
+
+
+def reduce_bigint(dialect: str, arr: str, lam: str) -> str:
+    """Left fold with BIGINT accumulator starting at 0."""
+    if _d(dialect):
+        return f"list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), {lam})"
+    return f"aggregate({arr}, CAST(0 AS BIGINT), {lam})"
+
+
+def reduce_double(dialect: str, arr: str, lam: str) -> str:
+    """Left fold with DOUBLE accumulator starting at 0.0."""
+    if _d(dialect):
+        return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), {lam})"
+    return f"aggregate({arr}, CAST(0.0 AS DOUBLE), {lam})"
+
+
+def token_hash(dialect: str, var: str = "t") -> str:
+    """Deterministic 64-bit-safe token hash shared by both engines:
+    weighted sum of the first 8 hex chars of md5 (base 31). md5 is the
+    only hash both Spark and DuckDB compute identically."""
+    terms = " + ".join(
+        f"ascii(substr(md5({var}), {j + 1}, 1)) * CAST({_POW31[j]} AS BIGINT)"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+def rolling_fingerprint(dialect: str, toks: str = "toks") -> str:
+    """Karp-Rabin polynomial rolling hash over the token sequence
+    (order-sensitive document fingerprint):
+    ``acc = (acc * B + h(tok)) mod M``."""
+    hashed = transform(dialect, toks, f"t -> {token_hash(dialect, 't')}")
+    return reduce_bigint(
+        dialect,
+        hashed,
+        f"(acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}",
+    )
+
+
+def shingles(dialect: str, toks: str = "toks", n: int = 3) -> str:
+    """Word n-gram shingle list; a doc with fewer than n tokens
+    contributes its whole token string as one shingle."""
+    parts = ", ".join(
+        element_at(dialect, toks, f"i + {j}") for j in range(n)
+    )
+    grams = transform(
+        dialect,
+        int_range(dialect, "1", f"{array_size(dialect, toks)} - {n - 1}"),
+        f"i -> concat_ws(' ', {parts})",
+    )
+    whole = f"array({array_join(dialect, toks)})" if dialect == SPARK else (
+        f"[{array_join(dialect, toks)}]"
+    )
+    return (
+        f"(case when {array_size(dialect, toks)} >= {n} then {grams} "
+        f"else {whole} end)"
+    )
+
+
+def minhash_sig(dialect: str, shingle_col: str, seed: int) -> str:
+    """One MinHash signature component: lexicographic min of seeded md5
+    over the shingle set (hex strings order identically in both engines)."""
+    return array_min(
+        dialect,
+        transform(dialect, shingle_col, f"s -> md5(concat('h{seed}:', s))"),
+    )
+
+
+def simhash_bit_contrib(dialect: str, term: str, bit: int) -> str:
+    """±1 contribution of one term occurrence to SimHash bit ``bit``
+    (bit source: parity of the bit-th hex char of md5(term))."""
+    return f"((ascii(substr(md5({term}), {bit + 1}, 1)) % 2) * 2 - 1)"
+
+
+def dot_product(dialect: str, a: str, b: str) -> str:
+    """Σ a[i]*b[i] in double precision (arrays of equal length).
+    Both dialects use the SAME strict left fold — ``list_sum`` /
+    pairwise summation would differ from Spark's ``aggregate`` in the
+    last ulp, which can survive the float32 cast near a rounding
+    boundary."""
+    if _d(dialect):
+        prods = (
+            f"list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))"
+        )
+        return reduce_double(dialect, prods, "(acc, v) -> acc + v")
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm(dialect: str, a: str) -> str:
+    sq = transform(dialect, a, "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")
+    return f"sqrt({reduce_double(dialect, sq, '(acc, v) -> acc + v')})"
+
+
+def hyperplane_coef(dialect: str, plane: int, dim_var: str) -> str:
+    """Deterministic pseudo-random ±1 hyperplane coefficient for
+    (plane, dim) — derived from md5 so both engines agree exactly."""
+    return (
+        f"((ascii(substr(md5(concat('p{plane}_', {dim_var})), 1, 1)) % 2) "
+        f"* 2 - 1)"
+    )
+
+
+def hyperplane_dot(dialect: str, emb: str, plane: int, dims: int) -> str:
+    """Σ_d emb[d] * coef(plane, d) in double precision."""
+    terms = transform(
+        dialect,
+        int_range(dialect, "1", str(dims)),
+        f"d -> CAST({element_at(dialect, emb, 'd')} AS DOUBLE) "
+        f"* {hyperplane_coef(dialect, plane, 'd')}",
+    )
+    return reduce_double(dialect, terms, "(acc, x) -> acc + x")
+
+
+def lsh_bucket(dialect: str, emb: str, num_planes: int, dims: int) -> str:
+    """Random-hyperplane LSH bucket id: sign bits of ``num_planes``
+    hyperplane dot products packed into an integer."""
+    bits = " + ".join(
+        f"(case when {hyperplane_dot(dialect, emb, p, dims)} > 0 "
+        f"then {1 << p} else 0 end)"
+        for p in range(num_planes)
+    )
+    return f"({bits})"

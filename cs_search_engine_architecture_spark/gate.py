@@ -258,6 +258,231 @@ LIMIT 10
 """
 
 
+# ------------------------------------------------- training-pipeline ops
+#
+# Dedup / similarity / text-analysis / multimodal operators (the
+# pretraining-pipeline extensions over SURVEY.md §2). Spark plans and
+# DuckDB oracles are generated from the SAME fragment source
+# (``functions/dialect.py``), so values are bit-identical by
+# construction; see each operator module for the 100 TB scale notes.
+
+from cs_search_engine_architecture_spark.functions import dialect as D  # noqa: E402
+from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+    dedup as DD,
+    multimodal as MM,
+    similarity as SIM,
+    text_analysis as TA,
+)
+
+_DUCK_TOKS_CTE = (
+    f"SELECT doc_id, text, {D.tokens(D.DUCKDB)} AS toks FROM documents"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.language_id(_docs(spark, sf_dir))
+
+
+SQL_LANG_ID = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) "
+    f"SELECT doc_id, {TA.lang_id_sql(D.DUCKDB)} AS lang_pred FROM t"
+)
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality_scores(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_SCORES = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) SELECT doc_id, "
+    + ", ".join(f"{e} AS {k}" for k, e in TA.quality_sql(D.DUCKDB).items())
+    + " FROM t"
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNTS = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) SELECT doc_id, "
+    + ", ".join(f"{e} AS {k}" for k, e in TA.token_counts_sql(D.DUCKDB).items())
+    + " FROM t"
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprints(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) "
+    f"SELECT doc_id, {D.rolling_fingerprint(D.DUCKDB)} AS fingerprint FROM t"
+)
+
+
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_docs(spark, sf_dir))
+
+
+_DUCK_SIG_COLS = ", ".join(
+    D.minhash_sig(D.DUCKDB, "shingles", i) + f" AS sig_{i}"
+    for i in range(DD.NUM_MINHASHES)
+)
+_DUCK_SIGS_CTE = (
+    f"t AS ({_DUCK_TOKS_CTE}), "
+    f"sh AS (SELECT doc_id, {D.shingles(D.DUCKDB)} AS shingles FROM t), "
+    f"sigs AS (SELECT doc_id, {_DUCK_SIG_COLS} FROM sh)"
+)
+
+SQL_DEDUP_MINHASH_SIGS = f"WITH {_DUCK_SIGS_CTE} SELECT * FROM sigs"
+
+_DUCK_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(sig_{b}) AS bucket FROM sigs"
+    for b in range(DD.NUM_MINHASHES)
+)
+_DUCK_CAND_CTE = (
+    f"{_DUCK_SIGS_CTE}, bands AS ({_DUCK_BANDS}), "
+    f"cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b "
+    f"FROM bands a JOIN bands b "
+    f"ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+)
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(DD.minhash_signatures(_docs(spark, sf_dir)))
+
+
+SQL_DEDUP_LSH_PAIRS = f"WITH {_DUCK_CAND_CTE} SELECT doc_a, doc_b FROM cand"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_docs(spark, sf_dir))
+
+
+_DUCK_SIMHASH_SUMS = ", ".join(
+    f"sum({D.simhash_bit_contrib(D.DUCKDB, 'term', j)}) AS s_{j}"
+    for j in range(DD.SIMHASH_BITS)
+)
+_DUCK_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(DD.SIMHASH_BITS)
+)
+SQL_DEDUP_SIMHASH = (
+    f"WITH occ AS (SELECT doc_id, unnest({D.tokens(D.DUCKDB)}) AS term "
+    f"FROM documents), "
+    f"s AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM occ GROUP BY doc_id) "
+    f"SELECT doc_id, CAST({_DUCK_SIMHASH_PACK} AS BIGINT) AS simhash FROM s"
+)
+
+JACCARD_MIN = 0.2
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_MIN)
+
+
+SQL_DEDUP_JACCARD_PAIRS = f"""
+WITH {_DUCK_CAND_CTE},
+shl AS (SELECT doc_id, list_distinct({D.shingles(D.DUCKDB)}) AS sh
+        FROM ({_DUCK_TOKS_CTE}))
+SELECT doc_a, doc_b,
+  CASE WHEN (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) > 0
+  THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+  ELSE 0.0 END AS jaccard
+FROM cand JOIN shl x ON x.doc_id = cand.doc_a
+          JOIN shl y ON y.doc_id = cand.doc_b
+WHERE jaccard >= {JACCARD_MIN}
+"""
+
+EMB_DUP_MIN_COS = 0.5
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return DD.embedding_dup_pairs(emb, min_cosine=EMB_DUP_MIN_COS)
+
+
+SQL_DEDUP_EMBEDDING_PAIRS = f"""
+WITH w AS (SELECT vec_id AS id, embedding AS v,
+           {D.l2_norm(D.DUCKDB, "embedding")} AS nrm FROM embeddings)
+SELECT a.id id_a, b.id id_b,
+  CAST(CAST({D.dot_product(D.DUCKDB, "a.v", "b.v")} / (a.nrm * b.nrm)
+       AS REAL) AS DOUBLE) AS cos
+FROM w a, w b WHERE a.id < b.id AND cos >= {EMB_DUP_MIN_COS}
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return SIM.lsh_topk(emb.where("vec_id != 0"), qvec, k=10).select(
+        "id", "cos"
+    )
+
+
+def _sql_ann_lsh_topk() -> str:
+    # the oracle needs the query vector + its bucket; read them with
+    # duckdb-independent parquet access at call time is impossible in a
+    # static string, so the qvec is inlined per-sf by the gate runner —
+    # instead we recompute it INSIDE the SQL from vec_id 0
+    qdot = D.dot_product(D.DUCKDB, "w.v", "(SELECT v FROM q)")
+    return f"""
+WITH q AS (SELECT embedding AS v,
+           {D.l2_norm(D.DUCKDB, "embedding")} AS nrm,
+           {D.lsh_bucket(D.DUCKDB, "embedding", SIM.NUM_PLANES, SIM.DIMS)} AS bucket
+           FROM embeddings WHERE vec_id = 0),
+w AS (SELECT vec_id AS id, embedding AS v,
+      {D.l2_norm(D.DUCKDB, "embedding")} AS nrm,
+      {D.lsh_bucket(D.DUCKDB, "embedding", SIM.NUM_PLANES, SIM.DIMS)} AS bucket
+      FROM embeddings WHERE vec_id != 0)
+SELECT id, CAST(CAST({qdot} / (w.nrm * (SELECT nrm FROM q)) AS REAL)
+                AS DOUBLE) AS cos
+FROM w WHERE bucket = (SELECT bucket FROM q)
+ORDER BY cos DESC, id ASC LIMIT 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.to_blob_table(_docs(spark, sf_dir)).select(
+        "doc_id", "mime", "n_bytes", "payload_sha256"
+    )
+
+
+SQL_BLOB_METADATA = """
+SELECT doc_id, 'image/fake' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def q_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = MM.to_blob_table(_docs(spark, sf_dir))
+    return MM.decode_features(blobs).select(
+        "doc_id", "n_bytes", "fake_width", "fake_height", "mean_byte"
+    )
+
+
+# the fixture text is pure ASCII, so byte values == ascii(char); the
+# stub codec's integer-sum mean is reproduced exactly
+SQL_BLOB_DECODE = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(1 + length(text) % 64 AS INT) AS fake_width,
+  CAST(1 + (length(text) // 64) % 64 AS INT) AS fake_height,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    CAST(list_sum(list_transform(generate_series(1, length(text)),
+         i -> ascii(substr(text, i, 1)))) AS DOUBLE) / length(text)
+  END AS mean_byte
+FROM documents
+"""
+
+
 def queries():
     return {
         "postings_tf": q_postings_tf,
@@ -269,6 +494,18 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "blob_metadata": q_blob_metadata,
+        "blob_decode": q_blob_decode,
     }
 
 
@@ -283,4 +520,16 @@ def oracle_sql():
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "lang_id": SQL_LANG_ID,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_minhash_sigs": SQL_DEDUP_MINHASH_SIGS,
+        "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "blob_metadata": SQL_BLOB_METADATA,
+        "blob_decode": SQL_BLOB_DECODE,
     }

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``array<float>``):
+brute-force cosine top-k (the exactness baseline, reference R3 —
+``sea/engine.pyx:555-565`` does the same brute-force matmul) and a
+random-hyperplane LSH-bucketed variant (the 100 TB scale path).
+
+Scale shape:
+
+* **brute force** — one scan, row-local double-precision dot product
+  (whole-stage codegen via ``aggregate``/``zip_with``; no UDF, no
+  shuffle), then ``orderBy(desc).limit(k)`` = TakeOrderedAndProject:
+  per-partition top-k heaps, only k rows per partition reach the driver.
+* **LSH** — bucket ids are row-local sign-bit math from deterministic
+  md5-derived hyperplanes; the probe prunes to ``bucket = q_bucket``
+  before any scoring, so the scored row count drops by ~2^planes. The
+  bucket column is write-time partitionable (``partitionBy(bucket)``)
+  for partition pruning on a persisted embedding table.
+
+Both paths share ``functions.dialect`` fragments with the DuckDB gate
+oracles, so results are bit-identical after the float32 cast policy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions import dialect as D
+
+NUM_PLANES = 8
+DIMS = 64
+
+
+def _qvec_lit(qvec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def cosine_scores(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cos) for every row: double-precision fold, float32-cast."""
+    qn = sum(float(x) * float(x) for x in qvec) ** 0.5
+    df = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _qvec_lit(qvec).alias("q"),
+    )
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "v", "q"))
+        / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
+    )
+    return df.select("id", cos.cast("float").cast("double").alias("cos"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (deterministic tie-break: cos desc, id asc)."""
+    return (
+        cosine_scores(emb, qvec, id_col, vec_col)
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    num_planes: int = NUM_PLANES,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket, v) — random-hyperplane sign-bit bucket per row.
+    Hyperplane coefficients are ±1 values derived from md5(plane, dim),
+    so driver, executors, and the DuckDB oracle all agree without
+    shipping a plane matrix."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(D.lsh_bucket(D.SPARK, vec_col, num_planes, dims))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def bucket_of(qvec: Sequence[float], num_planes: int = NUM_PLANES) -> int:
+    """Driver-side bucket of a query vector (same md5 hyperplanes)."""
+    import hashlib
+
+    bucket = 0
+    for p in range(num_planes):
+        dot = 0.0
+        for d, x in enumerate(qvec, start=1):
+            h = hashlib.md5(f"p{p}_{d}".encode()).hexdigest()
+            coef = (ord(h[0]) % 2) * 2 - 1
+            dot += float(x) * coef
+        if dot > 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+    The bucket predicate folds to a literal comparison, so it pushes
+    into the scan (partition pruning when the table is bucket-
+    partitioned)."""
+    qb = bucket_of(list(qvec), num_planes)
+    qn = sum(float(x) * float(x) for x in qvec) ** 0.5
+    cand = lsh_buckets(emb, num_planes, dims, id_col, vec_col).where(
+        F.col("bucket") == F.lit(qb)
+    )
+    cand = cand.withColumn("q", _qvec_lit(qvec))
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "v", "q"))
+        / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
+    )
+    return (
+        cand.select("id", cos.cast("float").cast("double").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )

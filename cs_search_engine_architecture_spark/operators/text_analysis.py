@@ -1,0 +1,179 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+These are the corpus-hygiene stages a 100 TB pretraining pipeline runs
+before/alongside indexing (the reference engine has no equivalent — they
+extend SURVEY.md §2 per the build brief). All of them are pure
+row-local column arithmetic built from ``functions.dialect`` fragments:
+
+* executed JVM-side under whole-stage codegen (``F.expr`` over built-in
+  functions — zero Python in the executor path);
+* no shuffle — cost scales linearly with the scan, and filters on their
+  outputs (e.g. ``quality_score > t``) sit directly above the parquet
+  scan so Catalyst can prune columns/row groups;
+* every op has a bit-identical DuckDB oracle generated from the same
+  fragment source (see ``gate.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions import dialect as D
+
+# language-marker stopword sets for the n-gram/stopword-hit heuristic
+# (tiny, deterministic; argmax with fixed tie-break order)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "pour"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")  # deterministic tie-break
+
+# BPE-ish pre-tokenizer pieces: letter runs, single digits, single
+# non-alnum-non-space marks (a cheap stand-in for a GPT-2-style regex)
+BPE_PIECE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"{var} in ({quoted})"
+
+
+def marker_hits_sql(dialect: str, lang: str, toks: str = "toks") -> str:
+    """Count of tokens (with multiplicity) in ``lang``'s marker set."""
+    fn = "len" if dialect == D.DUCKDB else "size"
+    flt = "list_filter" if dialect == D.DUCKDB else "filter"
+    return f"{fn}({flt}({toks}, t -> {_in_list('t', LANG_MARKERS[lang])}))"
+
+
+def lang_id_sql(dialect: str, toks: str = "toks") -> str:
+    """Argmax language over marker-hit counts; 'und' when all zero.
+    Ties resolved in LANG_ORDER (first wins)."""
+    hits = {lang: marker_hits_sql(dialect, lang, toks) for lang in LANG_ORDER}
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"when {hits[lang]} = _mx then '{lang}'" for lang in LANG_ORDER
+    )
+    # inline _mx: both engines lack a let-binding in expressions, so we
+    # repeat the greatest() — constant-folded per row, still codegen'd
+    return (
+        f"(case when {greatest} = 0 then 'und' "
+        + " ".join(
+            f"when {hits[lang]} = {greatest} then '{lang}'"
+            for lang in LANG_ORDER
+        )
+        + " end)"
+    )
+
+
+def quality_sql(dialect: str, text: str = "text", toks: str = "toks") -> dict[str, str]:
+    """Quality-signal expressions keyed by output column name."""
+    nchars = f"CAST(length({text}) AS BIGINT)"
+    ntok = f"CAST({D.array_size(dialect, toks)} AS BIGINT)"
+    alpha = (
+        f"CAST(length(regexp_replace(lower({text}), '[^a-z]', "
+        + ("''" if dialect == D.DUCKDB else "''")
+        + ")) AS DOUBLE)"
+    )
+    if dialect == D.DUCKDB:
+        alpha = f"CAST(length(regexp_replace(lower({text}), '[^a-z]', '', 'g')) AS DOUBLE)"
+    digit = (
+        f"CAST(length(regexp_replace({text}, '[^0-9]', '', 'g')) AS DOUBLE)"
+        if dialect == D.DUCKDB
+        else f"CAST(length(regexp_replace({text}, '[^0-9]', '')) AS DOUBLE)"
+    )
+    stop_hits = marker_hits_sql(dialect, "en", toks)
+    mean_tok = (
+        f"(case when {ntok} = 0 then 0.0 else "
+        f"CAST({D.reduce_bigint(dialect, D.transform(dialect, toks, 't -> CAST(length(t) AS BIGINT)'), '(acc, x) -> acc + x')} AS DOUBLE) / {ntok} end)"
+    )
+    return {
+        "n_chars": nchars,
+        "n_tokens": ntok,
+        "alpha_ratio": f"(case when {nchars} = 0 then 0.0 else {alpha} / {nchars} end)",
+        "digit_ratio": f"(case when {nchars} = 0 then 0.0 else {digit} / {nchars} end)",
+        "stopword_ratio": (
+            f"(case when {ntok} = 0 then 0.0 else "
+            f"CAST({stop_hits} AS DOUBLE) / {ntok} end)"
+        ),
+        "mean_token_len": mean_tok,
+    }
+
+
+def token_counts_sql(dialect: str, text: str = "text", toks: str = "toks") -> dict[str, str]:
+    """Whitespace-word count and BPE-ish piece count."""
+    if dialect == D.DUCKDB:
+        ws = (
+            f"len(list_filter(str_split({text}, ' '), w -> length(w) > 0))"
+        )
+        bpe = f"len(regexp_extract_all(lower({text}), '{BPE_PIECE_RE}'))"
+    else:
+        ws = (
+            f"size(filter(split({text}, ' '), w -> length(w) > 0))"
+        )
+        bpe = f"size(regexp_extract_all(lower({text}), '{BPE_PIECE_RE}', 0))"
+    return {
+        "ws_tokens": f"CAST({ws} AS BIGINT)",
+        "bpe_pieces": f"CAST({bpe} AS BIGINT)",
+        "distinct_terms": (
+            f"CAST(len(list_distinct({toks})) AS BIGINT)"
+            if dialect == D.DUCKDB
+            else f"CAST(size(array_distinct({toks})) AS BIGINT)"
+        ),
+    }
+
+
+# ------------------------------------------------------------ operators
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — marker-stopword-hit argmax heuristic."""
+    return with_tokens(df, text_col).select(
+        "doc_id", F.expr(lang_id_sql(D.SPARK)).alias("lang_pred")
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio,
+    stopword_ratio, mean_token_len) — all double-precision ratios."""
+    exprs = quality_sql(D.SPARK, text_col)
+    return with_tokens(df, text_col).select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_pieces, distinct_terms)."""
+    exprs = token_counts_sql(D.SPARK, text_col)
+    return with_tokens(df, text_col).select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive Karp-Rabin rolling hash
+    of the token sequence; exact-dup detection that survives whitespace
+    and punctuation reformatting (unlike md5 of the raw text)."""
+    return with_tokens(df, text_col).select(
+        "doc_id",
+        F.expr(D.rolling_fingerprint(D.SPARK)).alias("fingerprint"),
+    )
+
+
+def quality_score_col(exprs: dict[str, Column] | None = None) -> Column:
+    """Composite quality score in [0,1]: rewards alpha-heavy, stopword-
+    bearing, mid-length docs. Deterministic; weights are arbitrary but
+    fixed."""
+    return (
+        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0)) * F.lit(0.4)
+        + F.col("alpha_ratio") * F.lit(0.3)
+        + F.least(F.lit(1.0), F.col("stopword_ratio") * F.lit(5.0)) * F.lit(0.3)
+    ).alias("quality_score")

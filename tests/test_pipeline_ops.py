@@ -1,0 +1,268 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing.
+
+Two layers of checking:
+1. semantic unit tests on a hand-built dup-heavy corpus (known dups
+   must be found; known non-dups must not);
+2. Spark-vs-DuckDB parity for the fragment-generated expressions (the
+   same mechanism the driver's sf0.01 gate uses) on that corpus.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators import (
+    dedup as DD,
+    multimodal as MM,
+    similarity as SIM,
+    text_analysis as TA,
+)
+
+DOCS = [
+    # (doc_id, text) — 0/1 near-dups, 2 exact dup of 0, 3/4 unrelated
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3, "completely different text about spark shuffle partitions and joins"),
+    (4, "el rapido zorro marron salta sobre el perro perezoso de la granja"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def duck(spark, docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    return con
+
+
+def _parity(sdf, con, sql):
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert srows == drows
+
+
+# ----------------------------------------------------------- dedup
+
+def test_exact_dup_groups(docs):
+    rows = {r["text_md5"]: r for r in DD.exact_dup_groups(docs).collect()}
+    dup = [r for r in rows.values() if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_doc_id"] == 0
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.lsh_candidate_pairs(DD.minhash_signatures(docs)).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_scores(docs):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()
+    }
+    assert rows[(0, 2)] == 1.0  # exact dup
+    assert 0.5 < rows[(0, 1)] < 1.0  # one-word difference
+    assert (0, 3) not in rows
+
+
+def test_simhash_exact_dup_collides(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert sh[0] == sh[2]
+    assert sh[0] != sh[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in DD.simhash_dup_pairs(docs).collect()
+    }
+    assert (0, 2) in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in DD.embedding_dup_pairs(emb, min_cosine=0.95).collect()
+    }
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
+
+
+# ------------------------------------------------------- similarity
+
+def test_brute_force_vs_lsh_topk(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvec = rows[0][1]
+    exact = SIM.brute_force_topk(
+        emb.where("vec_id != 0"), qvec, k=5
+    ).collect()
+    assert len(exact) == 5
+    assert all(
+        exact[i]["cos"] >= exact[i + 1]["cos"] for i in range(len(exact) - 1)
+    )
+    approx = SIM.lsh_topk(emb.where("vec_id != 0"), qvec, k=5).collect()
+    # LSH candidates are a strict subset: every returned cos must appear
+    # in the exact full ranking, and scores agree where ids overlap
+    exact_all = {
+        r["id"]: r["cos"]
+        for r in SIM.cosine_scores(emb.where("vec_id != 0"), qvec).collect()
+    }
+    for r in approx:
+        assert abs(exact_all[r["id"]] - r["cos"]) < 1e-9
+
+
+def test_bucket_of_matches_spark(spark):
+    emb = spark.createDataFrame(
+        [(0, [float(i % 7) - 3.0 for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    spark_bucket = SIM.lsh_buckets(emb).collect()[0]["bucket"]
+    assert spark_bucket == SIM.bucket_of(
+        [float(i % 7) - 3.0 for i in range(64)]
+    )
+
+
+# ----------------------------------------------------- text analysis
+
+def test_lang_id(docs):
+    langs = {r["doc_id"]: r["lang_pred"] for r in TA.language_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+    assert langs[5] == "und"
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in TA.quality_scores(docs).collect()}
+    assert rows[0]["n_tokens"] == 13
+    assert rows[0]["stopword_ratio"] == pytest.approx(3 / 13)  # the,the,the
+    assert rows[5]["n_tokens"] == 0 and rows[5]["alpha_ratio"] == 0.0
+    assert 0.75 < rows[0]["alpha_ratio"] < 1.0  # spaces lower it
+
+
+def test_token_counts(docs):
+    rows = {r["doc_id"]: r for r in TA.token_counts(docs).collect()}
+    assert rows[0]["ws_tokens"] == 13
+    assert rows[0]["distinct_terms"] == 11  # 'the' x3
+    assert rows[5]["ws_tokens"] == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprints(df).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # same bag of tokens, different order
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta, gamma!"), (1, "  alpha   BETA gamma  ")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprints(df).collect()}
+    assert fp[0] == fp[1]
+
+
+# -------------------------------------------------------- multimodal
+
+def test_blob_table_schema(docs):
+    blobs = MM.to_blob_table(docs)
+    kinds = dict(blobs.dtypes)
+    assert kinds["payload"] == "binary"
+    row = blobs.where("doc_id = 0").collect()[0]
+    assert row["n_bytes"] == len(DOCS[0][1])
+    assert len(row["payload_sha256"]) == 64
+
+
+def test_decode_features(docs):
+    feats = {
+        r["doc_id"]: r for r in MM.decode_features(MM.to_blob_table(docs)).collect()
+    }
+    r0 = feats[0]
+    text = DOCS[0][1]
+    assert r0["n_bytes"] == len(text)
+    assert r0["fake_width"] == 1 + len(text) % 64
+    assert r0["mean_byte"] == pytest.approx(
+        sum(text.encode()) / len(text)
+    )
+    assert len(r0["frame_hashes"]) == 4
+    # empty payload row survives the batch path
+    assert feats[5]["mean_byte"] == 0.0 and feats[5]["frame_hashes"] == []
+
+
+def test_frame_sample(docs):
+    frames = MM.frame_sample(MM.to_blob_table(docs), num_frames=2).collect()
+    per_doc: dict[int, int] = {}
+    for r in frames:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert per_doc[0] == 2 and 5 not in per_doc
+
+
+def test_resize_is_marked_stub(docs):
+    with pytest.raises(NotImplementedError):
+        MM.resize_stub(MM.to_blob_table(docs), 224, 224)
+
+
+# ---------------------------------------------- Spark/DuckDB parity
+
+def test_parity_fingerprint(docs, duck):
+    _parity(
+        TA.fingerprints(docs),
+        duck,
+        f"WITH t AS (SELECT doc_id, {D.tokens(D.DUCKDB)} AS toks FROM documents) "
+        f"SELECT doc_id, {D.rolling_fingerprint(D.DUCKDB)} AS f FROM t",
+    )
+
+
+def test_parity_minhash(docs, duck):
+    sig_cols = ", ".join(
+        D.minhash_sig(D.DUCKDB, "shingles", i) + f" AS sig_{i}" for i in range(8)
+    )
+    _parity(
+        DD.minhash_signatures(docs),
+        duck,
+        f"WITH t AS (SELECT doc_id, {D.tokens(D.DUCKDB)} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, {D.shingles(D.DUCKDB)} AS shingles FROM t) "
+        f"SELECT doc_id, {sig_cols} FROM sh",
+    )
+
+
+def test_parity_lang_quality(docs, duck):
+    _parity(
+        TA.language_id(docs),
+        duck,
+        f"WITH t AS (SELECT doc_id, {D.tokens(D.DUCKDB)} AS toks FROM documents) "
+        f"SELECT doc_id, {TA.lang_id_sql(D.DUCKDB)} AS lang FROM t",
+    )
+    q = TA.quality_sql(D.DUCKDB)
+    _parity(
+        TA.quality_scores(docs),
+        duck,
+        f"WITH t AS (SELECT doc_id, text, {D.tokens(D.DUCKDB)} AS toks FROM documents) "
+        "SELECT doc_id, " + ", ".join(f"{e} AS {k}" for k, e in q.items()) + " FROM t",
+    )
