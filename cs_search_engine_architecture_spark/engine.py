@@ -26,9 +26,8 @@ class SearchEngine:
         if cache:
             # analog of the reference's postings cache (sea/engine.pyx:314-324)
             self.blocks = self.blocks.persist()
-        self.compiler = QueryCompiler(
-            spark, self.blocks, self.meta["num_buckets"]
-        )
+        self.num_buckets = self.meta["num_buckets"]
+        self.compiler = QueryCompiler(spark, self.blocks, self.num_buckets)
 
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""
@@ -58,4 +57,215 @@ class SearchEngine:
         per-row ``content_sha256`` invariant if present."""
         return corpus.join(F.broadcast(results), corpus[doc_id_col] == results["doc_id"]).drop(
             results["doc_id"]
+        )
+
+    # ------------------------------------------------ secondary surfaces
+
+    def _leaf_terms(self, query: str) -> list[str]:
+        """Unique leaf terms of the parsed query, in first-seen order."""
+        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        terms: list[str] = []
+
+        def walk(node) -> None:
+            if not node:
+                return
+            if node["type"] == "token":
+                if node["value"] not in terms:
+                    terms.append(node["value"])
+            elif node["type"] == "phrase":
+                for v in node["values"]:
+                    if v not in terms:
+                        terms.append(v)
+            else:
+                walk(node.get("left"))
+                walk(node.get("right"))
+
+        walk(ast)
+        return terms
+
+    def term_stats(self) -> DataFrame:
+        if not hasattr(self, "_term_stats"):
+            self._term_stats = indexer.load_term_stats(
+                self.spark, self.index_path
+            )
+        return self._term_stats
+
+    def kgram_index(self, exclude_threshold: int | None = None) -> DataFrame:
+        """Cached spelling k-gram table (reference builds it at engine
+        startup — ``sea/engine.pyx:135``)."""
+        from cs_search_engine_architecture_spark.operators import spelling
+
+        if not hasattr(self, "_kgram"):
+            thr = (
+                exclude_threshold
+                if exclude_threshold is not None
+                else spelling.DEFAULT_EXCLUDE_THRESHOLD
+            )
+            self._kgram = spelling.build_kgram_index(
+                self.term_stats(), thr
+            ).persist()
+        return self._kgram
+
+    def suggest(
+        self, query: str, min_similarity: float = 0.75,
+        exclude_threshold: int | None = None,
+    ) -> tuple[str, int]:
+        """'Did you mean' (``sea/engine.pyx:526-529``): corrected query
+        string + how many tokens changed (advisory only)."""
+        from cs_search_engine_architecture_spark.operators import spelling
+
+        terms = self._leaf_terms(query)
+        corrected, n = spelling.correct_query_tokens(
+            self.spark, self.kgram_index(exclude_threshold), terms,
+            min_similarity,
+        )
+        mapping = dict(zip(terms, corrected))
+        # the reference rebuilds the query from ALL tokens (operators kept
+        # verbatim, content terms replaced) — sea/spelling_corrector.pyx
+        # get_top_correction's space-joined corrections vector
+        out = " ".join(mapping.get(t, t) for t in self._query_tokens(query))
+        return out, n
+
+    def _query_tokens(self, query: str) -> list[str]:
+        from cs_search_engine_architecture_spark.functions.tokenizer import (
+            tokenize,
+        )
+
+        toks, _ = tokenize(
+            query, is_query=True,
+            analyzer=self.meta.get("analyzer", "reference"),
+        )
+        return list(toks)
+
+    def search_with_snippets(
+        self, query: str, corpus: DataFrame, top_k: int = 10,
+        text_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Top-k joined back to the corpus with a ±100-char snippet
+        around the first matched-term position (reference Q10).
+        Snippet position comes from the INDEX (first position of the
+        earliest query leaf present in the doc), like the reference's
+        ``snippet_position``; the expression runs on top-k rows only."""
+        from cs_search_engine_architecture_spark.operators.decode import (
+            term_postings,
+        )
+        from cs_search_engine_architecture_spark.operators.snippets import (
+            snippet_col,
+        )
+
+        text_cols = text_cols or self.meta["fields"]
+        top = self.search(query, top_k)
+        leaves = self._leaf_terms(query)[:8]  # bound plan size
+        pos_frames = [
+            term_postings(self.blocks, t, self.num_buckets, with_positions=True)
+            .select(
+                "doc_id",
+                F.element_at("positions", 1).alias("_pos"),
+                F.lit(i).alias("_leaf"),
+            )
+            for i, t in enumerate(leaves)
+        ]
+        if pos_frames:
+            allpos = pos_frames[0]
+            for f in pos_frames[1:]:
+                allpos = allpos.unionByName(f)
+            firstpos = allpos.groupBy("doc_id").agg(
+                F.min_by("_pos", "_leaf").alias("snippet_pos")
+            )
+            top = top.join(firstpos, "doc_id", "left")
+        else:
+            top = top.withColumn("snippet_pos", F.lit(None).cast("int"))
+        joined = self.materialize(top, corpus)
+        text = F.concat_ws(" ", *text_cols)
+        return joined.withColumn(
+            "snippet", snippet_col(text, F.col("snippet_pos"))
+        )
+
+    def ltr_features(self, query: str, top: DataFrame | None = None) -> DataFrame:
+        """R1 feature frame for the query's matched docs (optionally
+        restricted to a top-k frame via a broadcast semi-join)."""
+        from cs_search_engine_architecture_spark.operators.decode import (
+            term_postings_full,
+        )
+        from cs_search_engine_architecture_spark.operators.ltr import (
+            feature_frame,
+        )
+
+        terms = self._leaf_terms(query)
+        nf = self.meta["num_fields"]
+        stats = {
+            r["term"]: r["idf"]
+            for r in self.term_stats()
+            .where(F.col("term").isin(terms))
+            .collect()
+        }
+        frames = []
+        for t in terms:
+            if t not in stats:
+                continue
+            frames.append(
+                term_postings_full(self.blocks, t, self.num_buckets, nf)
+                .withColumn("idf", F.lit(float(stats[t])))
+            )
+        if not frames:
+            return self.spark.createDataFrame([], "doc_id long")
+        matched = frames[0]
+        for f in frames[1:]:
+            matched = matched.unionByName(f)
+        if top is not None:
+            matched = matched.join(
+                F.broadcast(top.select("doc_id")), "doc_id", "left_semi"
+            )
+        return feature_frame(
+            matched,
+            num_query_terms=len(terms),
+            num_fields=nf,
+            avg_field_lengths=self.meta["avg_field_lengths"],
+            k=self.meta["bm25_k"],
+            bs=self.meta["bm25_bs"],
+        )
+
+    def semantic_search(
+        self, embeddings: DataFrame, qvec, top_k: int = 10,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """R3: exact brute-force cosine top-k over the embeddings table
+        (the reference is also exact — no ANN; ``sea/engine.pyx:555-565``).
+        Returns (doc_id, similarity)."""
+        from cs_search_engine_architecture_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        return brute_force_topk(embeddings, qvec, top_k, id_col=id_col).select(
+            F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
+        )
+
+    def combined_search(
+        self, query: str, embeddings: DataFrame, qvec,
+        top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
+    ) -> DataFrame:
+        """R4 hybrid: exact top-``pre_select_k`` ∪ semantic
+        top-``pre_select_k`` by doc_id with provenance labels
+        (``sea/engine.pyx:612-658``); final order = combined score
+        (bm25 + similarity) desc, doc_id asc, limit ``top_k``."""
+        exact = self.search(query, pre_select_k).select(
+            "doc_id", F.col("score").alias("bm25")
+        )
+        sem = self.semantic_search(embeddings, qvec, pre_select_k, id_col)
+        joined = exact.join(sem, "doc_id", "full_outer").select(
+            "doc_id",
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+            F.coalesce("similarity", F.lit(0.0)).alias("similarity"),
+            F.when(
+                F.col("bm25").isNotNull() & F.col("similarity").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("bm25").isNotNull(), F.lit("exact"))
+            .otherwise(F.lit("semantic"))
+            .alias("provenance"),
+        )
+        return (
+            joined.withColumn("score", F.col("bm25") + F.col("similarity"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
         )

@@ -483,6 +483,187 @@ FROM documents
 """
 
 
+# ------------------------------------------- secondary engine surfaces
+
+SPELL_TOKENS = ["customerr", "windoww", "spak"]  # last one: no acceptable fix
+SPELL_THRESHOLD = 10
+SPELL_MIN_SIM = 0.75
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cs_search_engine_architecture_spark.operators import spelling
+
+    eng = gate_engine(spark, sf_dir)
+    return spelling.suggest_df(
+        spark,
+        eng.kgram_index(exclude_threshold=SPELL_THRESHOLD),
+        SPELL_TOKENS,
+        min_similarity=SPELL_MIN_SIM,
+    )
+
+
+def _sql_spell_suggest() -> str:
+    from collections import Counter
+
+    from cs_search_engine_architecture_spark.operators.spelling import bigrams
+
+    vals = []
+    for tok in sorted(set(SPELL_TOKENS)):
+        for bg, c in sorted(Counter(bigrams(tok)).items()):
+            vals.append(f"('{tok}', '{bg}', {c}, {len(tok) + 1})")
+    values = ", ".join(vals)
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+per AS (SELECT DISTINCT doc_id, term FROM toks),
+vocab AS (SELECT term FROM per GROUP BY term
+          HAVING count(*) >= {SPELL_THRESHOLD}),
+cand AS (SELECT term, length(term) + 1 AS term_len,
+         unnest(list_transform(generate_series(1, length(term) + 1),
+                i -> substr('$' || term || '$', i, 2))) AS bigram
+         FROM vocab),
+ccnt AS (SELECT term, term_len, bigram, count(*) AS c
+         FROM cand GROUP BY term, term_len, bigram),
+q AS (SELECT * FROM (VALUES {values}) t(token, bigram, q_count, q_size)),
+inter AS (SELECT token, q_size, term, term_len,
+          sum(least(q_count, c)) AS i
+          FROM q JOIN ccnt USING (bigram) WHERE term != token
+          GROUP BY token, q_size, term, term_len),
+sims AS (SELECT token, term AS suggestion,
+         CAST(i AS DOUBLE) / (q_size + term_len - i) AS similarity
+         FROM inter
+         WHERE CAST(i AS DOUBLE) / (q_size + term_len - i) >= {SPELL_MIN_SIM})
+SELECT token, suggestion, similarity FROM sims
+QUALIFY row_number() OVER (PARTITION BY token
+                           ORDER BY similarity DESC, suggestion ASC) = 1
+"""
+
+
+SQL_SPELL_SUGGEST = _sql_spell_suggest()
+
+HYBRID_QUERY_TERMS = ("spark", "data")
+HYBRID_PRE_K = 10
+HYBRID_TOP_K = 15
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = gate_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    out = eng.combined_search(
+        " or ".join(HYBRID_QUERY_TERMS), emb, qvec,
+        top_k=HYBRID_TOP_K, pre_select_k=HYBRID_PRE_K,
+    )
+    return out.select(
+        "doc_id",
+        F.col("score").cast("float").cast("double").alias("score"),
+        "provenance",
+    )
+
+
+def _sql_hybrid_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in HYBRID_QUERY_TERMS)
+    qdot = D.dot_product(D.DUCKDB, "e.embedding", "(SELECT qe FROM qv)")
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+exact AS (
+  SELECT doc_id, SUM(CAST(score AS DOUBLE)) AS bm25
+  FROM sc GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {HYBRID_PRE_K}
+),
+qv AS (SELECT embedding AS qe,
+       {D.l2_norm(D.DUCKDB, "embedding")} AS qn
+       FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+    CAST(CAST({qdot} / ({D.l2_norm(D.DUCKDB, "e.embedding")}
+         * (SELECT qn FROM qv)) AS REAL) AS DOUBLE) AS similarity
+  FROM embeddings e
+  ORDER BY similarity DESC, doc_id ASC LIMIT {HYBRID_PRE_K}
+),
+joined AS (
+  SELECT COALESCE(exact.doc_id, sem.doc_id) AS doc_id,
+    COALESCE(bm25, 0.0) AS bm25, COALESCE(similarity, 0.0) AS similarity,
+    CASE WHEN bm25 IS NOT NULL AND similarity IS NOT NULL THEN 'both'
+         WHEN bm25 IS NOT NULL THEN 'exact' ELSE 'semantic' END AS provenance
+  FROM exact FULL OUTER JOIN sem ON exact.doc_id = sem.doc_id
+)
+SELECT doc_id,
+       CAST(CAST(bm25 + similarity AS REAL) AS DOUBLE) AS score,
+       provenance
+FROM joined
+ORDER BY bm25 + similarity DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+"""
+
+
+SQL_HYBRID_SEARCH = _sql_hybrid_search()
+
+LTR_QUERY = "spark or data"
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 feature frame over the indexed postings (first_pos is omitted:
+    token char positions are not derivable in ANSI SQL)."""
+    eng = gate_engine(spark, sf_dir)
+    feats = eng.ltr_features(LTR_QUERY)
+    return feats.select(
+        "doc_id",
+        F.col("bm25_f0").cast("float").cast("double").alias("bm25"),
+        F.col("len_f0").alias("dl"),
+        F.col("coverage_f0").alias("coverage"),
+    )
+
+
+SQL_LTR_FEATURES = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+per AS (SELECT DISTINCT doc_id, term FROM toks),
+dfs AS (SELECT term, count(*) AS df FROM per
+        WHERE term IN ('spark', 'data') GROUP BY term),
+feat AS (
+  SELECT t.doc_id,
+    ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.5
+      / (t.tf + 1.5 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM avgdl)))
+      AS bm25_term,
+    dl.dl AS dl
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT doc_id,
+  CAST(CAST(SUM(bm25_term) AS REAL) AS DOUBLE) AS bm25,
+  CAST(MIN(dl) AS DOUBLE) AS dl,
+  CAST(COUNT(*) AS DOUBLE) / 2 AS coverage
+FROM feat GROUP BY doc_id
+"""
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets are driven by index char positions, which ANSI SQL can't
+    reproduce — rows-only check (like phrase_window)."""
+    eng = gate_engine(spark, sf_dir)
+    return eng.search_with_snippets(
+        "spark and window", _docs(spark, sf_dir), top_k=10
+    ).select("doc_id", "score", "snippet")
+
+
 def queries():
     return {
         "postings_tf": q_postings_tf,
@@ -506,6 +687,10 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "blob_metadata": q_blob_metadata,
         "blob_decode": q_blob_decode,
+        "spell_suggest": q_spell_suggest,
+        "hybrid_search": q_hybrid_search,
+        "ltr_features": q_ltr_features,
+        "search_snippets": q_search_snippets,
     }
 
 
@@ -532,4 +717,8 @@ def oracle_sql():
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "blob_metadata": SQL_BLOB_METADATA,
         "blob_decode": SQL_BLOB_DECODE,
+        "spell_suggest": SQL_SPELL_SUGGEST,
+        "hybrid_search": SQL_HYBRID_SEARCH,
+        "ltr_features": SQL_LTR_FEATURES,
+        # search_snippets: rows-only (index char positions not in ANSI SQL)
     }

@@ -57,6 +57,79 @@ def _decode_batches(with_positions: bool):
     return fn
 
 
+def _decode_full_batches(num_fields: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_score, out_ff, out_fl, out_pos = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d = np.cumsum(varint_decode(row.doc_ids_bin), dtype=np.uint64)
+                s = decode_scores(row.scores_bin)
+                ff = varint_decode(row.freqs_bin).astype(np.int64).reshape(
+                    -1, num_fields
+                )
+                fl = varint_decode(row.lens_bin).astype(np.int64).reshape(
+                    -1, num_fields
+                )
+                counts = varint_decode(row.pos_counts_bin).astype(np.int64)
+                flat = grouped_delta_decode(
+                    varint_decode(row.positions_bin), counts
+                ).astype(np.int32)
+                pos_lists = np.split(flat, np.cumsum(counts)[:-1])
+                out_doc.append(d.astype(np.int64))
+                out_score.append(s.astype(np.float64))
+                out_ff.extend(r.tolist() for r in ff)
+                out_fl.extend(r.tolist() for r in fl)
+                out_pos.extend(p.tolist() for p in pos_lists)
+            doc_ids = (
+                np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
+            )
+            scores = (
+                np.concatenate(out_score)
+                if out_score
+                else np.empty(0, np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "score": scores,
+                    "field_freqs": pd.Series(out_ff, dtype="object"),
+                    "field_lens": pd.Series(out_fl, dtype="object"),
+                    "positions": pd.Series(out_pos, dtype="object"),
+                }
+            )
+
+    return fn
+
+
+def term_postings_full(
+    blocks: DataFrame, term: str, num_buckets: int, num_fields: int
+) -> DataFrame:
+    """Fully decoded postings of one term — per-field frequencies and
+    lengths included (the LTR feature path needs them; the scored
+    boolean path uses the narrower ``term_postings``)."""
+    from pyspark.sql import functions as F  # local to avoid shadowing
+
+    filtered = blocks.where(
+        (
+            F.col("term_bucket")
+            == F.pmod(F.xxhash64(F.lit(term)), F.lit(num_buckets)).cast("int")
+        )
+        & (F.col("term") == term)
+    ).select(
+        "doc_ids_bin",
+        "scores_bin",
+        "freqs_bin",
+        "lens_bin",
+        "pos_counts_bin",
+        "positions_bin",
+    )
+    schema = (
+        "doc_id long, score double, field_freqs array<int>, "
+        "field_lens array<int>, positions array<int>"
+    )
+    return filtered.mapInPandas(_decode_full_batches(num_fields), schema)
+
+
 def term_postings(
     blocks: DataFrame,
     term: str,

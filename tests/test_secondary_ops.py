@@ -1,0 +1,222 @@
+"""Secondary reference surfaces: spelling correction (P9), snippets
+(Q10), LTR features (R1) + ListNet inference (R2), semantic (R3) and
+hybrid (R4) search."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import ltr, spelling
+from cs_search_engine_architecture_spark.operators.indexer import build_index
+from cs_search_engine_architecture_spark.operators.snippets import (
+    snippet_col,
+    snippet_py,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+IDX = "/tmp/spark_sea_test_secondary_idx"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def engine(spark, docs):
+    shutil.rmtree(IDX, ignore_errors=True)
+    build_index(
+        spark, docs, IDX, fields=["text"], analyzer="simple", num_buckets=8,
+        corpus_path=os.path.join(SF_DIR, "documents.parquet"),
+    )
+    return SearchEngine(spark, IDX)
+
+
+# ---------------------------------------------------------- spelling
+
+def test_bigrams():
+    assert spelling.bigrams("spark") == ["$s", "sp", "pa", "ar", "rk", "k$"]
+
+
+def test_kgram_index_threshold(engine):
+    kg = spelling.build_kgram_index(engine.term_stats(), exclude_threshold=50)
+    terms = {r["term"] for r in kg.select("term").distinct().collect()}
+    stats = {
+        r["term"]: r["df"] for r in engine.term_stats().collect()
+    }
+    assert terms == {t for t, df in stats.items() if df >= 50}
+
+
+def test_suggest_doubled_letter_typo(spark, engine):
+    # 'customerr' vs 'customer': 10 vs 9 bigrams, 9 shared -> 0.9
+    out = spelling.suggest_df(
+        spark, engine.kgram_index(exclude_threshold=10), ["customerr"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["suggestion"] == "customer"
+    assert r["similarity"] == pytest.approx(9 / 10)
+
+
+def test_suggest_rejects_below_threshold(spark, engine):
+    # 'spak' vs 'spark' multiset-jaccard = 4/7 < 0.75 -> no suggestion
+    out = spelling.suggest_df(
+        spark, engine.kgram_index(exclude_threshold=10), ["spak"]
+    ).collect()
+    assert out == []
+
+
+def test_engine_suggest_roundtrip(engine):
+    corrected, n = engine.suggest("customerr and spark")
+    assert n == 1
+    assert "customer" in corrected and "spark" in corrected
+
+
+# ---------------------------------------------------------- snippets
+
+SNIPPET_TEXTS = [
+    "short text",
+    "a" * 300,
+    " ".join(f"w{i}" for i in range(100)),
+    "x" * 150 + " mid " + "y" * 150,
+    "",
+]
+
+
+@pytest.mark.parametrize("pos", [None, 0, 1, 5, 99, 100, 150, 10_000])
+def test_snippet_col_matches_reference_mirror(spark, pos):
+    rows = [(i, t) for i, t in enumerate(SNIPPET_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["snip"]
+        for r in df.select(
+            "doc_id",
+            snippet_col(
+                F.col("text"),
+                F.lit(pos).cast("int") if pos is not None else F.lit(None).cast("int"),
+            ).alias("snip"),
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == snippet_py(t, pos), (i, pos)
+
+
+def test_search_with_snippets(engine, docs):
+    out = engine.search_with_snippets("spark and window", docs, top_k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    for r in rows:
+        assert r["snippet"] in r["text"] or r["snippet"] == r["text"]
+        assert r["snippet"]  # non-empty
+
+
+# --------------------------------------------------------------- LTR
+
+def test_ltr_features_shape_and_values(engine):
+    top = engine.search("spark and window", top_k=5)
+    feats = engine.ltr_features("spark and window", top)
+    rows = feats.collect()
+    assert len(rows) == top.count()
+    r = rows[0]
+    # single-field index: one bm25/len/coverage feature + shared cols
+    assert set(feats.columns) == {
+        "doc_id", "bm25_f0", "len_f0", "coverage_f0", "first_pos",
+        "similarity",
+    }
+    for row in rows:
+        assert row["coverage_f0"] in (0.5, 1.0)  # 2-term query
+        assert row["first_pos"] >= 0
+        assert row["similarity"] == 0.0
+
+
+def test_ltr_querytime_bm25_formula(engine):
+    """Query-time BM25 (standard denominator) computed per the R1 quirk
+    list — checked against a direct python recomputation."""
+    q = "spark"
+    feats = {r["doc_id"]: r for r in engine.ltr_features(q).collect()}
+    meta = engine.meta
+    stats = {
+        r["term"]: (r["df"], r["idf"])
+        for r in engine.term_stats().where(F.col("term") == "spark").collect()
+    }
+    idf = stats["spark"][1]
+    from cs_search_engine_architecture_spark.operators.decode import (
+        term_postings_full,
+    )
+
+    postings = term_postings_full(
+        engine.blocks, "spark", engine.num_buckets, 1
+    ).collect()
+    k, b = meta["bm25_k"], meta["bm25_bs"][0]
+    avg = meta["avg_field_lengths"][0]
+    for p in postings[:20]:
+        tf, fl = p["field_freqs"][0], p["field_lens"][0]
+        expect = idf * tf * (k + 1) / (tf + k * (1 - b + b * fl / avg))
+        assert feats[p["doc_id"]]["bm25_f0"] == pytest.approx(expect)
+
+
+def _make_weights(path: str, nf: int, seed: int = 3) -> None:
+    rng = np.random.default_rng(seed)
+    d = nf
+    np.savez(
+        path,
+        w0=rng.normal(size=(d, 16)), b0=rng.normal(size=16),
+        w1=rng.normal(size=(16, 16)), b1=rng.normal(size=16),
+        w2=rng.normal(size=(16, 1)), b2=rng.normal(size=1),
+        means=rng.normal(size=d), stds=np.abs(rng.normal(size=d)) + 0.1,
+    )
+
+
+def test_listnet_rerank_matches_numpy(spark, engine, tmp_path):
+    q = "spark and window"
+    feats = engine.ltr_features(q, engine.search(q, 10))
+    order = ["bm25_f0", "len_f0", "coverage_f0", "first_pos", "similarity"]
+    wpath = str(tmp_path / "w.npz")
+    _make_weights(wpath, nf=len(order))
+    ranked = {
+        r["doc_id"]: r["ltr_score"]
+        for r in ltr.rerank(feats, wpath, order).collect()
+    }
+    scorer = ltr.ListNetScorer(wpath)
+    for row in feats.collect():
+        x = np.array([[float(row[c]) for c in order]])
+        assert ranked[row["doc_id"]] == pytest.approx(
+            float(scorer.score(x)[0])
+        )
+
+
+# --------------------------------------------- semantic + hybrid
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_semantic_search_exact(spark, engine, embeddings):
+    qvec = [float(x) for x in embeddings.where("vec_id = 3").collect()[0]["embedding"]]
+    out = engine.semantic_search(embeddings, qvec, top_k=5).collect()
+    assert out[0]["doc_id"] == 3  # self-similarity = 1.0 tops the list
+    assert out[0]["similarity"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["similarity"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_combined_search_provenance(spark, engine, embeddings):
+    qvec = [float(x) for x in embeddings.where("vec_id = 3").collect()[0]["embedding"]]
+    out = engine.combined_search(
+        "spark or window", embeddings, qvec, top_k=20, pre_select_k=10
+    ).collect()
+    provs = {r["provenance"] for r in out}
+    assert provs <= {"exact", "semantic", "both"}
+    assert len(provs) >= 2  # union actually mixes sources
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert math.isclose(r["score"], r["bm25"] + r["similarity"])
