@@ -227,16 +227,47 @@ def build_index(
 ) -> dict:
     """Build the full index at ``out_path``; returns the meta dict."""
     t0 = time.time()
+    postings = tokenize_postings(corpus, fields, doc_id_col, analyzer)
+    postings.persist()
+    num_documents = corpus.count()
+    try:
+        return _finalize_index(
+            spark, postings, num_documents, out_path, fields,
+            doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
+            num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
+            boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
+        )
+    finally:
+        postings.unpersist()
+
+
+def _finalize_index(
+    spark: SparkSession,
+    postings: DataFrame,
+    num_documents: int,
+    out_path: str,
+    fields: Sequence[str],
+    doc_id_col: str,
+    analyzer: str,
+    block_size: int,
+    num_buckets: int,
+    group_span: int,
+    hot_df: int,
+    boosts: Sequence[float] | None,
+    bs: Sequence[float] | None,
+    k: float,
+    corpus_path: str | None,
+    t0: float,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Stats + score + block-encode + sink from a postings frame
+    (shared by the one-shot and the checkpoint-resumable builds)."""
     nf = len(fields)
     if boosts is None or bs is None:
         d_boosts, d_bs = default_field_params(nf)
         boosts = boosts or d_boosts
         bs = bs or d_bs
 
-    postings = tokenize_postings(corpus, fields, doc_id_col, analyzer)
-    postings.persist()
-
-    num_documents = corpus.count()
     glob = postings.agg(
         F.count(F.lit(1)).alias("num_postings"),
         *[
@@ -291,7 +322,6 @@ def build_index(
     ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
         os.path.join(out_path, "term_stats")
     )
-    postings.unpersist()
 
     wall = time.time() - t0
     meta = {
@@ -312,6 +342,7 @@ def build_index(
         "corpus_path": corpus_path,
         "build_wall_sec": wall,
         "postings_per_sec": (num_postings / wall) if wall > 0 else None,
+        **(extra_meta or {}),
     }
     with open(os.path.join(out_path, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
@@ -350,6 +381,105 @@ def build_index(
     with open(os.path.join(out_path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
     return meta
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_path: str,
+    fields: Sequence[str],
+    num_slices: int = 8,
+    max_slices: int | None = None,
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    group_span: int = DEFAULT_GROUP_SPAN,
+    hot_df: int = DEFAULT_HOT_DF,
+    boosts: Sequence[float] | None = None,
+    bs: Sequence[float] | None = None,
+    k: float = REF_K,
+    corpus_path: str | None = None,
+) -> dict | None:
+    """Checkpoint-resumable build (north rule; the distributed analog of
+    the reference's byte-offset resume, ``sea/corpus.pyx:224-227``).
+
+    Phase A — the corpus is split into ``num_slices`` deterministic
+    hash slices of ``doc_id``; each slice's tokenized postings are
+    written to ``<out>/work/postings/slice=<i>`` and then a checkpoint
+    manifest ``<out>/work/checkpoints/slice_<i>.json`` (lineage: source,
+    predicate, doc/posting counts, wall sec, postings/sec). The manifest
+    is written strictly AFTER the parquet commit, so a crash leaves
+    either a complete checkpointed slice or a re-runnable one — on
+    restart, checkpointed slices are skipped (tokenization is the
+    dominant cost at scale, so completed work is never repaid).
+
+    Phase B — once all slices are checkpointed, finalize (stats, BM25,
+    block encode, sink) from the materialized slice postings. Finalize
+    is a deterministic pure function of the slices and simply reruns if
+    interrupted.
+
+    ``max_slices`` processes at most that many pending slices then
+    returns None (used by tests to simulate a crash; a production
+    driver-retry loop just calls this function again).
+    """
+    work = os.path.join(out_path, "work")
+    ckpt_dir = os.path.join(work, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    t0 = time.time()
+
+    done = 0
+    for i in range(num_slices):
+        ck_path = os.path.join(ckpt_dir, f"slice_{i}.json")
+        if os.path.exists(ck_path):
+            continue
+        if max_slices is not None and done >= max_slices:
+            return None
+        ts = time.time()
+        predicate = f"pmod({doc_id_col}, {num_slices}) = {i}"
+        part = corpus.where(F.expr(predicate))
+        slice_postings = tokenize_postings(part, fields, doc_id_col, analyzer)
+        slice_path = os.path.join(work, "postings", f"slice={i}")
+        slice_postings.write.mode("overwrite").parquet(slice_path)
+        num_docs = part.count()
+        num_postings = spark.read.parquet(slice_path).count()
+        wall = time.time() - ts
+        ck = {
+            "slice": i,
+            "predicate": predicate,
+            "source": corpus_path,
+            "analyzer": analyzer,
+            "fields": list(fields),
+            "num_docs": int(num_docs),
+            "num_postings": int(num_postings),
+            "wall_sec": wall,
+            "postings_per_sec": (num_postings / wall) if wall > 0 else None,
+            "completed_at_unix": int(time.time()),
+        }
+        # checkpoint AFTER the data commit (atomicity boundary)
+        with open(ck_path + ".tmp", "w") as fh:
+            json.dump(ck, fh, indent=2)
+        os.replace(ck_path + ".tmp", ck_path)
+        done += 1
+
+    # Phase B: all slices checkpointed -> finalize
+    ckpts = []
+    for i in range(num_slices):
+        with open(os.path.join(ckpt_dir, f"slice_{i}.json")) as fh:
+            ckpts.append(json.load(fh))
+    num_documents = sum(c["num_docs"] for c in ckpts)
+    postings = spark.read.parquet(os.path.join(work, "postings"))
+    return _finalize_index(
+        spark, postings, num_documents, out_path, fields,
+        doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
+        num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
+        boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
+        extra_meta={
+            "resumable": True,
+            "num_slices": num_slices,
+            "slice_checkpoints": ckpts,
+        },
+    )
 
 
 def load_meta(index_path: str) -> dict:

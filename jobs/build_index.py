@@ -16,7 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cs_search_engine_architecture_spark.operators.indexer import build_index  # noqa: E402
+from cs_search_engine_architecture_spark.operators.indexer import (  # noqa: E402
+    build_index,
+    build_index_resumable,
+)
 from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
 from cs_search_engine_architecture_spark.sources.corpus import assign_doc_ids  # noqa: E402
 
@@ -32,6 +35,11 @@ def main() -> None:
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--cores", default=None)
+    ap.add_argument(
+        "--resume-slices", type=int, default=0,
+        help="checkpoint-resumable build with N slices (0 = one-shot); "
+        "re-running after an interruption skips completed slices",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -41,10 +49,7 @@ def main() -> None:
     corpus = spark.read.parquet(args.input)
     if args.order_by:
         corpus = assign_doc_ids(corpus, args.order_by.split(","))
-    meta = build_index(
-        spark,
-        corpus,
-        args.output,
+    kwargs = dict(
         fields=args.fields.split(","),
         doc_id_col=args.doc_id_col,
         analyzer=args.analyzer,
@@ -52,6 +57,12 @@ def main() -> None:
         num_buckets=args.num_buckets,
         corpus_path=args.input,
     )
+    if args.resume_slices > 0:
+        meta = build_index_resumable(
+            spark, corpus, args.output, num_slices=args.resume_slices, **kwargs
+        )
+    else:
+        meta = build_index(spark, corpus, args.output, **kwargs)
     print(json.dumps(meta, indent=2))
     spark.stop()
 
