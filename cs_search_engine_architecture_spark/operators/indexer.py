@@ -69,8 +69,14 @@ BLOCKS_SCHEMA = (
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_NUM_BUCKETS = 64
-DEFAULT_GROUP_SPAN = 1 << 16  # docs per hot-term salt group
-DEFAULT_HOT_DF = 1 << 16  # salt terms with more postings than this
+# Doc-range salting: a hot term's posting list is split into
+# doc-contiguous groups of GROUP_SPAN docs so no single task owns the
+# whole list (the Zipf head otherwise becomes the build's serial tail —
+# one straggler task encodes the hottest term while every other core
+# idles). df > HOT_DF gates the extra doc_group key; both scale-free:
+# groups stay ~bounded work regardless of corpus size.
+DEFAULT_GROUP_SPAN = 1 << 11  # docs per hot-term salt group
+DEFAULT_HOT_DF = 1 << 11  # salt terms with more postings than this
 
 # reference BM25 constants (sea/indexer.pyx:22-24)
 REF_BOOSTS = (1.0, 0.5)

@@ -1,0 +1,204 @@
+"""Scaling-efficiency evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N parallelism).
+
+No real cluster exists in this sandbox, so — per the driver's
+instruction — the SAME index build runs at two parallelism levels
+(default local[8] vs local[32]) on the SAME materialized input, each in
+a FRESH JVM subprocess, and we report postings/sec at both plus
+
+    efficiency = (P_4N / P_N) / 4.
+
+Work is held identical across runs: one shared input parquet, one fixed
+``spark.sql.shuffle.partitions`` (64, so both runs execute the same
+task graph and only executor-thread counts differ), identical block /
+bucket / salting parameters. The timed region is the build only —
+corpus generation, session startup, and JVM warmup are excluded.
+
+Usage:
+    python jobs/scaling_bench.py [--docs 60000] [--cores 8,32]
+        [--out BENCH]
+Internal child mode (one measured run):
+    python jobs/scaling_bench.py --child --cores 8 --input <parquet>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHUFFLE_PARTITIONS = 64
+
+
+def run_child(cores: int, input_path: str) -> None:
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        build_index,
+    )
+    from cs_search_engine_architecture_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"spark-sea-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+
+    # prime the OS page cache identically for both runs (the timed build
+    # still reads from parquet like a real build would)
+    spark.read.parquet(input_path).count()
+    # warmup: small build in the same JVM — JIT, codegen caches, and the
+    # Python workers' stemmer tables all warm up outside the timed region
+    warm = spark.read.parquet(input_path).limit(2000)
+    shutil.rmtree("/tmp/spark_sea_scaling_warm", ignore_errors=True)
+    build_index(
+        spark, warm, "/tmp/spark_sea_scaling_warm",
+        fields=["path", "content"], analyzer="reference",
+    )
+
+    out = f"/tmp/spark_sea_scaling_idx_{cores}"
+    best = None
+    for _rep in range(2):  # best-of-2 absorbs scheduler noise
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        meta = build_index(
+            spark,
+            spark.read.parquet(input_path),
+            out,
+            fields=["path", "content"],
+            analyzer="reference",
+            corpus_path=input_path,
+        )
+        wall = time.time() - t0
+        if best is None or wall < best[0]:
+            best = (wall, meta)
+    wall, meta = best
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 3),
+                "num_postings": meta["num_postings"],
+                "num_documents": meta["num_documents"],
+                "postings_per_sec": round(meta["num_postings"] / wall),
+                "docs_per_sec": round(meta["num_documents"] / wall),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--docs", type=int, default=80_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(int(args.cores), args.input)
+        return
+
+    core_levels = [int(c) for c in args.cores.split(",")]
+    assert len(core_levels) == 2 and core_levels[1] == 4 * core_levels[0], (
+        "north rule compares N vs 4N parallelism"
+    )
+
+    # one shared input: deterministic synthetic source-code corpus in the
+    # BASELINE.json input_hint shape (repo, path, commit, lang, content)
+    input_path = f"/tmp/spark_sea_scaling_corpus_{args.docs}"
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        from cs_search_engine_architecture_spark.session import get_spark
+        from cs_search_engine_architecture_spark.sources.corpus import (
+            synth_source_files,
+        )
+
+        spark = get_spark(app_name="spark-sea-scaling-gen", master="local[8]")
+        spark.sparkContext.setLogLevel("ERROR")
+        # 64 files: the tokenize stage's parallelism is bounded by input
+        # splits — 8 files would cap BOTH runs at 8-way scan parallelism
+        # and hide the scaling signal the bench exists to measure
+        synth_source_files(spark, args.docs).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(input_path)
+        spark.stop()
+
+    results = []
+    for cores in core_levels:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--child", "--cores", str(cores), "--input", input_path,
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("CHILD_RESULT ")
+        ]
+        if not line:
+            sys.stderr.write(proc.stdout + "\n" + proc.stderr)
+            raise SystemExit(f"child (cores={cores}) produced no result")
+        results.append(json.loads(line[0][len("CHILD_RESULT "):]))
+        print(json.dumps(results[-1]))
+
+    p_n, p_4n = (r["postings_per_sec"] for r in results)
+    eff = (p_4n / p_n) / (core_levels[1] / core_levels[0])
+    summary = {
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "target": ">=0.8",
+        "passed": eff >= 0.8,
+        "runs": results,
+        "num_docs": args.docs,
+        "shuffle_partitions": SHUFFLE_PARTITIONS,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "scaling.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+
+North rule: index-build throughput scaling efficiency >= 0.8 from N to
+4N parallelism. No real cluster exists in this sandbox, so the SAME
+build ran at two parallelism levels on the SAME input (fresh JVM each,
+identical shuffle partitioning = {SHUFFLE_PARTITIONS} so the task graph
+is identical and only executor-thread count changes).
+
+Input: {args.docs:,} synthetic source files (BASELINE.json input_hint
+schema: repo, path, commit, lang, content; Zipfian vocabulary + hot
+terms), reference analyzer, fields = (path, content).
+
+| parallelism | wall (s) | postings | postings/sec | docs/sec |
+|---|---|---|---|---|
+| local[{core_levels[0]}] | {results[0]["wall_sec"]} | {results[0]["num_postings"]:,} | {results[0]["postings_per_sec"]:,} | {results[0]["docs_per_sec"]:,} |
+| local[{core_levels[1]}] | {results[1]["wall_sec"]} | {results[1]["num_postings"]:,} | {results[1]["postings_per_sec"]:,} | {results[1]["docs_per_sec"]:,} |
+
+**Scaling efficiency (P_4N / P_N) / 4 = {eff:.3f}** (target >= 0.8:
+{"PASS" if eff >= 0.8 else "FAIL"}).
+
+Reference single-thread baseline for calibration (BASELINE.md): ~695
+docs/s end-to-end on MS MARCO (3.2M docs / 77 min, one process).
+
+Generated by `python jobs/scaling_bench.py --docs {args.docs}` at
+{summary["generated_at"]}.
+"""
+    with open(os.path.join(args.out, "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
