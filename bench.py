@@ -57,6 +57,16 @@ def main() -> None:
     num_docs = max(20_000, int(1_200_000 * sf))
     corpus = synth_source_files(spark, num_docs).persist()
     corpus.count()  # materialize generation outside the timed region
+    # warmup build: JIT, codegen caches, and Python-worker stemmer tables
+    # warm up outside the timed region (steady-state throughput is the
+    # comparable number — the reference's 695 docs/s is steady-state too)
+    build_index(
+        spark,
+        corpus.limit(2000),
+        os.path.join(work, "warm_idx"),
+        fields=["path", "content"],
+        analyzer="reference",
+    )
     t0 = time.time()
     meta = build_index(
         spark,

@@ -35,10 +35,97 @@ class SearchEngine:
         return self.compiler.compile(ast)
 
     def search(self, query: str, top_k: int = 10) -> DataFrame:
+        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        if ast and ast["type"] == "token":
+            return self._topk_single_term(ast["value"], top_k)
         return (
-            self.search_df(query)
+            self.compiler.compile(ast)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
+        )
+
+    def _topk_single_term(self, term: str, k: int) -> DataFrame:
+        """Block-max top-k (north rule: per-block max-score skipping —
+        the distributed form of block-max WAND for the 1-term case;
+        ``sea/engine.pyx``'s tier escalation Q7 is subsumed by this).
+
+        Two exact phases over the block METADATA (one tiny row per
+        ``block_size`` postings; the posting payloads stay encoded):
+
+        1. decode only the count-prefix of blocks in descending
+           ``max_score`` order until >= k postings are covered; their
+           exact k-th best score s̃ is a lower bound on the true k-th
+           score (k-th largest over a subset never exceeds the
+           superset's);
+        2. any posting that can still reach the top-k lies in a block
+           with ``max_score >= s̃`` (block max bounds every posting in
+           it), so the final answer decodes exactly those blocks.
+
+        Exactness does not depend on s̃ quality — a loose bound only
+        decodes more blocks. Worst case (all scores equal, e.g. a
+        salted hot stopword) degrades to the full decode the naive path
+        always pays; the Zipf middle is where the skip wins."""
+        from cs_search_engine_architecture_spark.operators.decode import (
+            term_postings,
+        )
+
+        term_blocks = self.blocks.where(
+            (
+                F.col("term_bucket")
+                == F.pmod(F.xxhash64(F.lit(term)), F.lit(self.num_buckets)).cast(
+                    "int"
+                )
+            )
+            & (F.col("term") == term)
+        )
+        if not hasattr(self, "_block_meta_cache"):
+            self._block_meta_cache: dict[str, list] = {}
+        meta = self._block_meta_cache.get(term)
+        if meta is None:
+            # one tiny row per block_size postings; cached per term like
+            # the reference's postings cache (sea/engine.pyx:314-324) —
+            # but holding only metadata, never decoded payloads
+            meta = term_blocks.select("block_no", "count", "max_score").collect()
+            self._block_meta_cache[term] = meta
+        if not meta:
+            return self.compiler.empty()
+        total = sum(r["count"] for r in meta)
+        if total <= max(4 * k, 2048):
+            # short list: the two-phase bound costs more driver round-
+            # trips than the full decode it would save — decode directly
+            return (
+                term_postings(term_blocks, term, self.num_buckets)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        by_max = sorted(meta, key=lambda r: -r["max_score"])
+        cum, cand_cut = 0, by_max[-1]["max_score"]
+        for r in by_max:
+            cum += r["count"]
+            if cum >= k:
+                cand_cut = r["max_score"]
+                break
+        cand = term_postings(
+            term_blocks.where(F.col("max_score") >= cand_cut),
+            term,
+            self.num_buckets,
+        )
+        kth = (
+            cand.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        if len(kth) < k:  # fewer than k postings exist in total
+            return self.spark.createDataFrame(
+                [(r["doc_id"], r["score"]) for r in kth],
+                "doc_id long, score double",
+            )
+        s_tilde = kth[-1]["score"]
+        final_blocks = term_blocks.where(F.col("max_score") >= s_tilde)
+        return (
+            term_postings(final_blocks, term, self.num_buckets)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def search_collect(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
