@@ -1,0 +1,155 @@
+"""Structured-Streaming incremental index ingest.
+
+The reference ingests one document at a time with byte-offset resume
+(``sea/corpus.pyx:285-319``, resume ``:224-227``) and flushes a SPIMI
+partition every 20k docs (``sea/indexer.pyx:192-193``). The Spark-first
+mapping: a file-source stream over the corpus directory, one tokenize
+pass per micro-batch appended to a postings staging area (the SPIMI
+"partition flush"), Spark's streaming checkpoint as the resume cursor
+(exactly-once file-source progress), and a ``compact()`` step that runs
+the shared finalize (stats → BM25 → block encode → shard sink) over
+everything staged — the reference's ``_finalize`` k-way merge, done by
+the shuffle.
+
+Watermarks/event-time windows are deliberately absent: corpus ingest
+has no event time (SURVEY.md §1.4) — the only stream semantics needed
+are incremental progress + exactly-once, which the file source +
+checkpoint provide.
+
+Scale shape: each micro-batch is one narrow ``mapInPandas`` pass (no
+shuffle) appended as parquet; the single wide shuffle happens once per
+``compact()``, amortized over many batches. Staged postings are
+partitioned by batch, so a failed batch re-stages idempotently (the
+batch id keys the overwrite) and compaction reads only committed data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cs_search_engine_architecture_spark.operators.indexer import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_NUM_BUCKETS,
+    _finalize_index,
+    tokenize_postings,
+)
+
+
+def stream_corpus(
+    spark: SparkSession, input_dir: str, schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a corpus directory (new files = new docs,
+    the distributed analog of the reference's append-only TSV tail)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+class StreamingIndexer:
+    """Stages tokenized postings per micro-batch; ``compact()`` builds
+    the queryable index from everything staged so far."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        fields: Sequence[str],
+        doc_id_col: str = "doc_id",
+        analyzer: str = "reference",
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+    ):
+        self.spark = spark
+        self.out_path = out_path
+        self.fields = list(fields)
+        self.doc_id_col = doc_id_col
+        self.analyzer = analyzer
+        self.block_size = block_size
+        self.num_buckets = num_buckets
+        self.stage_dir = os.path.join(out_path, "stream", "postings")
+        self.batch_meta_dir = os.path.join(out_path, "stream", "batches")
+        self.checkpoint_dir = os.path.join(out_path, "stream", "checkpoint")
+        os.makedirs(self.batch_meta_dir, exist_ok=True)
+
+    # ---------------------------------------------------------- ingest
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        ts = time.time()
+        postings = tokenize_postings(
+            batch_df, self.fields, self.doc_id_col, self.analyzer
+        )
+        path = os.path.join(self.stage_dir, f"batch={batch_id}")
+        # overwrite keyed by batch id -> idempotent on replay
+        postings.write.mode("overwrite").parquet(path)
+        num_docs = batch_df.count()
+        num_postings = self.spark.read.parquet(path).count()
+        wall = time.time() - ts
+        meta = {
+            "batch_id": batch_id,
+            "num_docs": int(num_docs),
+            "num_postings": int(num_postings),
+            "wall_sec": wall,
+            "postings_per_sec": (num_postings / wall) if wall > 0 else None,
+            "completed_at_unix": int(time.time()),
+        }
+        tmp = os.path.join(self.batch_meta_dir, f"batch_{batch_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, tmp[: -len(".tmp")])
+
+    def start(
+        self, stream_df: DataFrame, available_now: bool = False
+    ) -> StreamingQuery:
+        writer = (
+            stream_df.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def ingest_available(self, stream_df: DataFrame) -> None:
+        """Process everything currently in the source, then stop
+        (resumes from the streaming checkpoint on the next call)."""
+        q = self.start(stream_df, available_now=True)
+        q.awaitTermination()
+
+    # --------------------------------------------------------- compact
+
+    def batches(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.batch_meta_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.batch_meta_dir, name)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda b: b["batch_id"])
+
+    def compact(self) -> dict:
+        """Finalize the index over all staged batches (rerunnable; the
+        reference's merge step)."""
+        batches = self.batches()
+        if not batches:
+            raise ValueError("no staged batches to compact")
+        postings = self.spark.read.parquet(self.stage_dir)
+        num_documents = sum(b["num_docs"] for b in batches)
+        return _finalize_index(
+            self.spark, postings, num_documents, self.out_path, self.fields,
+            doc_id_col=self.doc_id_col, analyzer=self.analyzer,
+            block_size=self.block_size, num_buckets=self.num_buckets,
+            group_span=2048, hot_df=2048, boosts=None, bs=None, k=1.5,
+            corpus_path=f"stream:{self.stage_dir}", t0=time.time(),
+            extra_meta={
+                "streaming": True,
+                "num_batches": len(batches),
+                "batch_checkpoints": batches,
+            },
+        )
