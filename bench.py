@@ -115,6 +115,31 @@ def main() -> None:
         eng.search_collect(q, 10)
         timings[name] = round(time.time() - t0, 3)
 
+    # -- 3. training-pipeline ops over the documents + embeddings fixtures
+    from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+        dedup,
+        similarity,
+        text_analysis,
+    )
+
+    t0 = time.time()
+    dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup.simhash(docs).count()
+    timings["dedup_simhash"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    text_analysis.fingerprints(docs).count()
+    timings["fingerprint"] = round(time.time() - t0, 3)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    t0 = time.time()
+    similarity.brute_force_topk(emb, qvec, 10).collect()
+    timings["ann_brute_force"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.lsh_topk(emb, qvec, 10).collect()
+    timings["ann_lsh"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -137,14 +137,42 @@ class SearchEngine:
         ]
 
     def materialize(
-        self, results: DataFrame, corpus: DataFrame, doc_id_col: str = "doc_id"
+        self, results: DataFrame, corpus: DataFrame, doc_id_col: str = "doc_id",
+        verify_sha: bool = True, content_col: str = "content",
     ) -> DataFrame:
         """Join top-k doc_ids back to the source table (broadcast the small
-        result side; ``sea/engine.pyx:400-422`` analog) and carry the
-        per-row ``content_sha256`` invariant if present."""
-        return corpus.join(F.broadcast(results), corpus[doc_id_col] == results["doc_id"]).drop(
-            results["doc_id"]
-        )
+        result side; ``sea/engine.pyx:400-422`` analog).
+
+        North-rule row invariant: when the corpus carries a
+        ``content_sha256`` column, every materialized row re-computes
+        ``sha2(content)`` JVM-side and exposes ``sha_ok`` — a False
+        value means the served row no longer matches the bytes that
+        were indexed (a torn read / stale snapshot), which callers can
+        assert on (``assert_sha_ok``)."""
+        out = corpus.join(
+            F.broadcast(results), corpus[doc_id_col] == results["doc_id"]
+        ).drop(results["doc_id"])
+        if verify_sha and "content_sha256" in corpus.columns and (
+            content_col in corpus.columns
+        ):
+            out = out.withColumn(
+                "sha_ok",
+                F.sha2(F.col(content_col), 256) == F.col("content_sha256"),
+            )
+        return out
+
+    @staticmethod
+    def assert_sha_ok(materialized: DataFrame) -> None:
+        """Raise if any served row violates the content-sha invariant."""
+        if "sha_ok" not in materialized.columns:
+            return
+        bad = materialized.where(~F.col("sha_ok")).limit(5).collect()
+        if bad:
+            ids = [r["doc_id"] for r in bad]
+            raise ValueError(
+                f"content_sha256 mismatch for doc_ids {ids}: served rows "
+                "do not match the indexed snapshot"
+            )
 
     # ------------------------------------------------ secondary surfaces
 
