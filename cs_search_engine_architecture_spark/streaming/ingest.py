@@ -37,7 +37,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (
     DEFAULT_BLOCK_SIZE,
     DEFAULT_NUM_BUCKETS,
     _finalize_index,
-    tokenize_postings,
+    tokenize_postings_packed,
 )
 
 
@@ -83,7 +83,7 @@ class StreamingIndexer:
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         ts = time.time()
-        postings = tokenize_postings(
+        postings = tokenize_postings_packed(
             batch_df, self.fields, self.doc_id_col, self.analyzer
         )
         path = os.path.join(self.stage_dir, f"batch={batch_id}")
