@@ -71,18 +71,26 @@ BLOCKS_SCHEMA = (
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_NUM_BUCKETS = 64
 # Doc-range salting: a hot term's posting list is split into
-# doc-contiguous groups of GROUP_SPAN docs so no single task owns the
-# whole list (the Zipf head otherwise becomes the build's serial tail —
-# one straggler task encodes the hottest term while every other core
-# idles). df > HOT_DF gates the extra doc_group key; both scale-free:
-# groups stay ~bounded work regardless of corpus size.
-DEFAULT_GROUP_SPAN = 1 << 11  # docs per hot-term salt group
-DEFAULT_HOT_DF = 1 << 11  # salt terms with more postings than this
+# doc-contiguous groups targeting GROUP_TARGET postings each, so no
+# single task owns the Zipf head (otherwise one straggler encodes the
+# hottest term while every other core idles). Sizing by TARGET POSTINGS
+# — ngroups = ceil(df / target), span = ceil(N_docs / ngroups) — keeps
+# the total group count ~ num_postings / target at ANY corpus size;
+# fixed doc-span salting made group count grow superlinearly with the
+# corpus and the per-group applyInPandas overhead dominated the build
+# (measured 6x groups and 4x encode time at 2.5x docs).
+DEFAULT_GROUP_TARGET = 1 << 13  # target postings per hot-term salt group
+DEFAULT_GROUP_SPAN = DEFAULT_GROUP_TARGET  # back-compat alias (target)
+DEFAULT_HOT_DF = 1 << 13  # salt terms with more postings than this
 
 # reference BM25 constants (sea/indexer.pyx:22-24)
 REF_BOOSTS = (1.0, 0.5)
 REF_BS = (0.75, 0.75)
 REF_K = 1.5
+
+# per-phase walls of the most recent build (diagnostic; also copied into
+# the meta dict so lineage records where the time went)
+_PHASES: dict[str, float] = {}
 
 
 def default_field_params(num_fields: int) -> tuple[list[float], list[float]]:
@@ -352,29 +360,44 @@ def _make_block_encoder_packed(block_size: int, num_fields: int):
         n = len(doc_ids)
         nf = num_fields
 
-        rows = []
         base_block = int(pdf["doc_group"].iloc[0]) << 32
-        for b, start in enumerate(range(0, n, block_size)):
+        starts = list(range(0, n, block_size))
+        nb = len(starts)
+        col_first, col_last, col_count, col_max = [], [], [], []
+        col_docs, col_scores, col_freqs, col_lens = [], [], [], []
+        col_pcnt, col_pos = [], []
+        for start in starts:
             end = min(start + block_size, n)
             d = doc_ids[start:end]
             s = scores[start:end]
-            rows.append(
-                {
-                    "term": term,
-                    "block_no": base_block + b,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "count": end - start,
-                    "max_score": float(s.max()),
-                    "doc_ids_bin": varint_encode(delta_encode(d)),
-                    "scores_bin": encode_scores(s),
-                    "freqs_bin": varint_encode(ff_inter[start * nf : end * nf]),
-                    "lens_bin": varint_encode(fl_inter[start * nf : end * nf]),
-                    "pos_counts_bin": varint_encode(pos_counts_all[start:end]),
-                    "positions_bin": b"".join(pos_bins[start:end]),
-                }
-            )
-        return pd.DataFrame(rows)
+            col_first.append(int(d[0]))
+            col_last.append(int(d[-1]))
+            col_count.append(end - start)
+            col_max.append(float(s.max()))
+            col_docs.append(varint_encode(delta_encode(d)))
+            col_scores.append(encode_scores(s))
+            col_freqs.append(varint_encode(ff_inter[start * nf : end * nf]))
+            col_lens.append(varint_encode(fl_inter[start * nf : end * nf]))
+            col_pcnt.append(varint_encode(pos_counts_all[start:end]))
+            col_pos.append(b"".join(pos_bins[start:end]))
+        return pd.DataFrame(
+            {
+                "term": pd.Series([term] * nb, dtype="object"),
+                "block_no": pd.Series(
+                    np.arange(nb, dtype=np.int64) + base_block
+                ),
+                "first_doc": pd.Series(col_first, dtype="int64"),
+                "last_doc": pd.Series(col_last, dtype="int64"),
+                "count": pd.Series(col_count, dtype="int32"),
+                "max_score": pd.Series(col_max, dtype="float32"),
+                "doc_ids_bin": pd.Series(col_docs, dtype="object"),
+                "scores_bin": pd.Series(col_scores, dtype="object"),
+                "freqs_bin": pd.Series(col_freqs, dtype="object"),
+                "lens_bin": pd.Series(col_lens, dtype="object"),
+                "pos_counts_bin": pd.Series(col_pcnt, dtype="object"),
+                "positions_bin": pd.Series(col_pos, dtype="object"),
+            }
+        )
 
     return encode_groups
 
@@ -395,20 +418,30 @@ def build_index(
     k: float = REF_K,
     corpus_path: str | None = None,
 ) -> dict:
-    """Build the full index at ``out_path``; returns the meta dict."""
+    """Build the full index at ``out_path``; returns the meta dict.
+
+    The tokenized postings are STAGED TO PARQUET, not memory-persisted:
+    finalize reads them three times (global stats, term stats, scoring),
+    and a memory cache of the postings frame grows with the corpus —
+    measured throughput dropped ~40% between 10M and 26M postings from
+    cache pressure alone. Columnar-compressed disk staging keeps the
+    build's memory footprint flat regardless of corpus size (the SPIMI
+    discipline: bounded RAM, spill runs, merge from disk)."""
     t0 = time.time()
-    postings = tokenize_postings_packed(corpus, fields, doc_id_col, analyzer)
-    postings.persist()
+    _PHASES.clear()
+    work = os.path.join(out_path, "work", "postings", "slice=0")
+    tokenize_postings_packed(
+        corpus, fields, doc_id_col, analyzer
+    ).write.mode("overwrite").parquet(work)
+    postings = spark.read.parquet(work)
+    _PHASES["tokenize_stage"] = time.time() - t0
     num_documents = corpus.count()
-    try:
-        return _finalize_index(
-            spark, postings, num_documents, out_path, fields,
-            doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
-            num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
-            boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
-        )
-    finally:
-        postings.unpersist()
+    return _finalize_index(
+        spark, postings, num_documents, out_path, fields,
+        doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
+        num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
+        boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
+    )
 
 
 def _finalize_index(
@@ -438,10 +471,12 @@ def _finalize_index(
         boosts = boosts or d_boosts
         bs = bs or d_bs
 
+    _t = time.time()
     glob = postings.agg(
         F.count(F.lit(1)).alias("num_postings"),
         *[F.sum(f"ff_{f}").alias(f"len_{f}") for f in range(nf)],
     ).collect()[0]
+    _PHASES["global_stats"] = time.time() - _t
     num_postings = glob["num_postings"] or 0
     avg_field_lengths = [
         (glob[f"len_{f}"] or 0) / num_documents if num_documents else 0.0
@@ -461,12 +496,19 @@ def _finalize_index(
         bm25_score_col_packed(nf, avg_field_lengths, boosts, bs, k),
     )
     # doc-range salting for hot terms: groups stay doc-contiguous so the
-    # per-term list is the ordered concat of its groups (no re-merge)
+    # per-term list is the ordered concat of its groups (no re-merge).
+    # ``group_span`` is the TARGET POSTINGS PER GROUP: a term with df
+    # postings splits into ceil(df/target) doc-ranges, so total group
+    # count stays ~ num_postings/target at any corpus size (a fixed
+    # doc-span made groups multiply with the corpus and the per-group
+    # Arrow/pandas overhead dominated the encode stage).
+    ngroups = F.ceil(F.col("df") / F.lit(float(group_span)))
+    span = F.ceil(F.lit(float(max(num_documents, 1))) / ngroups)
     scored = scored.withColumn(
         "doc_group",
         F.when(
             F.col("df") > F.lit(hot_df),
-            (F.col("doc_id") / F.lit(group_span)).cast("long"),
+            F.floor(F.col("doc_id") / span).cast("long"),
         ).otherwise(F.lit(0)),
     )
 
@@ -476,6 +518,7 @@ def _finalize_index(
     blocks = blocks.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
+    _t = time.time()
     (
         blocks.repartition(num_buckets, "term_bucket")
         .sortWithinPartitions("term", "first_doc")
@@ -483,12 +526,15 @@ def _finalize_index(
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_path, "blocks"))
     )
+    _PHASES["score_encode_write"] = time.time() - _t
 
+    _t = time.time()
     term_stats.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
         os.path.join(out_path, "term_stats")
     )
+    _PHASES["term_stats_write"] = time.time() - _t
 
     wall = time.time() - t0
     meta = {
@@ -509,6 +555,7 @@ def _finalize_index(
         "corpus_path": corpus_path,
         "build_wall_sec": wall,
         "postings_per_sec": (num_postings / wall) if wall > 0 else None,
+        "phase_walls": {k_: round(v, 3) for k_, v in _PHASES.items()},
         **(extra_meta or {}),
     }
     with open(os.path.join(out_path, "meta.json"), "w") as fh:
@@ -590,6 +637,7 @@ def build_index_resumable(
     returns None (used by tests to simulate a crash; a production
     driver-retry loop just calls this function again).
     """
+    _PHASES.clear()
     work = os.path.join(out_path, "work")
     ckpt_dir = os.path.join(work, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)

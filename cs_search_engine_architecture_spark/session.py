@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default advisory is 64MB — tuned for byte-bound JVM stages. Our
+        # wide stages feed Arrow->Python encoders whose cost is per ROW,
+        # so 64MB coalescing collapses them to a handful of tasks and
+        # starves >8-core runs; 8MB keeps Python stages wide while still
+        # coalescing truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
