@@ -27,7 +27,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (
     tokenize_postings,
 )
 
-GATE_VERSION = "r1"
+GATE_VERSION = "r1b"  # bump to invalidate /tmp gate-index caches on layout changes
 
 # shared DuckDB CTE: simple-analyzer tokenization of the documents table
 TOKS_CTE = (
@@ -655,6 +655,91 @@ FROM feat GROUP BY doc_id
 """
 
 
+def q_bm25_two_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-field index-time BM25 (the reference's B6 quirk formula with
+    title/body boosts 1.0/0.5 and the non-standard ``1 + b + (1-b)*l/avg``
+    normalizer) over (source=title, text=body), checked value-exact
+    against DuckDB."""
+    eng = gate_engine2(spark, sf_dir)
+    return eng.search("spark or data", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+def gate_engine2(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = (sf_dir, "simple2f")
+    if key in _ENGINES:
+        return _ENGINES[key]
+    tag = f"{abs(hash(sf_dir)) % 10**8}_simple2f_{GATE_VERSION}"
+    path = os.path.join("/tmp/spark_sea_gate", tag)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            path,
+            fields=["source", "text"],  # title/body analog
+            analyzer="simple",
+            num_buckets=8,
+            corpus_path=os.path.join(sf_dir, "documents.parquet"),
+        )
+    eng = SearchEngine(spark, path)
+    _ENGINES[key] = eng
+    return eng
+
+
+# field 0 = source (boost 1.0), field 1 = text (boost 0.5); b = 0.75 both;
+# k = 1.5. Index-time normalizer: tf_f / (1 + b + (1-b) * len_f / avg_f);
+# df counts docs containing the term in ANY field.
+SQL_BM25_TWO_FIELD_TOPK = """
+WITH t0 AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term
+            FROM documents),
+t1 AS (SELECT doc_id,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+avg0 AS (SELECT count(*) * 1.0 / (SELECT n FROM n) AS a FROM t0),
+avg1 AS (SELECT count(*) * 1.0 / (SELECT n FROM n) AS a FROM t1),
+len0 AS (SELECT doc_id, count(*) AS l FROM t0 GROUP BY doc_id),
+len1 AS (SELECT doc_id, count(*) AS l FROM t1 GROUP BY doc_id),
+tf0 AS (SELECT doc_id, term, count(*) AS tf FROM t0
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+tf1 AS (SELECT doc_id, term, count(*) AS tf FROM t1
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+docterm AS (SELECT doc_id, term FROM tf0 UNION SELECT doc_id, term FROM tf1),
+dfs AS (SELECT term, count(*) AS df FROM docterm GROUP BY term),
+sc AS (
+  SELECT dt.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5)) *
+      ((0.0
+        + COALESCE(tf0.tf, 0) * 1.0
+          / (1.75 + 0.25 * COALESCE(len0.l, 0) / (SELECT a FROM avg0))
+        + COALESCE(tf1.tf, 0) * 0.5
+          / (1.75 + 0.25 * COALESCE(len1.l, 0) / (SELECT a FROM avg1))
+       ) * 2.5)
+      / ((0.0
+        + COALESCE(tf0.tf, 0) * 1.0
+          / (1.75 + 0.25 * COALESCE(len0.l, 0) / (SELECT a FROM avg0))
+        + COALESCE(tf1.tf, 0) * 0.5
+          / (1.75 + 0.25 * COALESCE(len1.l, 0) / (SELECT a FROM avg1))
+       ) + 1.5)
+    AS REAL) AS score
+  FROM docterm dt
+  JOIN dfs d ON d.term = dt.term
+  LEFT JOIN tf0 ON tf0.doc_id = dt.doc_id AND tf0.term = dt.term
+  LEFT JOIN tf1 ON tf1.doc_id = dt.doc_id AND tf1.term = dt.term
+  LEFT JOIN len0 ON len0.doc_id = dt.doc_id
+  LEFT JOIN len1 ON len1.doc_id = dt.doc_id
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippets are driven by index char positions, which ANSI SQL can't
     reproduce — rows-only check (like phrase_window)."""
@@ -687,6 +772,7 @@ def queries():
         "ann_lsh_topk": q_ann_lsh_topk,
         "blob_metadata": q_blob_metadata,
         "blob_decode": q_blob_decode,
+        "bm25_two_field_topk": q_bm25_two_field_topk,
         "spell_suggest": q_spell_suggest,
         "hybrid_search": q_hybrid_search,
         "ltr_features": q_ltr_features,
@@ -717,6 +803,7 @@ def oracle_sql():
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "blob_metadata": SQL_BLOB_METADATA,
         "blob_decode": SQL_BLOB_DECODE,
+        "bm25_two_field_topk": SQL_BM25_TWO_FIELD_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "hybrid_search": SQL_HYBRID_SEARCH,
         "ltr_features": SQL_LTR_FEATURES,
