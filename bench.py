@@ -93,6 +93,9 @@ def main() -> None:
     t0 = time.time()
     code_eng.search_collect('posting and not (merge or "delta block")', 10)
     timings["q_code_bool_phrase"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    code_eng.search_collect("index or spark or data", 10)  # WAND path
+    timings["q_code_wand_or"] = round(time.time() - t0, 3)
 
     # -- 2. documents fixture: gate index + query set
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -38,11 +38,47 @@ class SearchEngine:
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
         if ast and ast["type"] == "token":
             return self._topk_single_term(ast["value"], top_k)
+        flat_or = self._flat_or_terms(ast)
+        # WAND pays 2 extra driver round-trips; below ~1M postings the
+        # join path's single job is cheaper (same scale gate as the
+        # single-term block-max path — at cluster scale WAND always wins)
+        if flat_or and self.meta.get("num_postings", 0) >= 1_000_000:
+            # scored disjunctions take the partition-parallel block-max
+            # WAND path (one shuffle-free scan + shard kernels) instead
+            # of a chain of full-outer joins
+            from cs_search_engine_architecture_spark.operators.wand import (
+                wand_or_topk,
+            )
+
+            return wand_or_topk(
+                self.spark, self.blocks, self.num_buckets, flat_or, top_k
+            )
         return (
             self.compiler.compile(ast)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
+
+    @staticmethod
+    def _flat_or_terms(ast) -> list[str] | None:
+        """Token list if the AST is a pure OR-of-tokens tree, else None."""
+        terms: list[str] = []
+
+        def walk(node) -> bool:
+            if not node:
+                return False
+            if node["type"] == "token":
+                terms.append(node["value"])
+                return True
+            if node["type"] == "operator" and node["operator"] == "or":
+                return walk(node["left"]) and walk(node["right"])
+            return False
+
+        if ast and ast.get("type") == "operator" and walk(ast):
+            # duplicate terms would double-count in the OR-sum; the join
+            # path dedups via full-outer joins, so bail out to it
+            return terms if len(set(terms)) == len(terms) else None
+        return None
 
     def _topk_single_term(self, term: str, k: int) -> DataFrame:
         """Block-max top-k (north rule: per-block max-score skipping —

@@ -63,7 +63,7 @@ POSTINGS_SCHEMA = (
 
 BLOCKS_SCHEMA = (
     "term string, block_no long, first_doc long, last_doc long, count int, "
-    "max_score float, doc_ids_bin binary, scores_bin binary, "
+    "max_score float, min_score float, doc_ids_bin binary, scores_bin binary, "
     "freqs_bin binary, lens_bin binary, pos_counts_bin binary, "
     "positions_bin binary"
 )
@@ -321,6 +321,7 @@ def _make_block_encoder(block_size: int):
                     "last_doc": int(d[-1]),
                     "count": end - start,
                     "max_score": float(s.max()),
+                    "min_score": float(s.min()),
                     "doc_ids_bin": varint_encode(delta_encode(d)),
                     "scores_bin": encode_scores(s),
                     "freqs_bin": varint_encode(ff_all[start * nf : end * nf]),
@@ -363,7 +364,7 @@ def _make_block_encoder_packed(block_size: int, num_fields: int):
         base_block = int(pdf["doc_group"].iloc[0]) << 32
         starts = list(range(0, n, block_size))
         nb = len(starts)
-        col_first, col_last, col_count, col_max = [], [], [], []
+        col_first, col_last, col_count, col_max, col_min = [], [], [], [], []
         col_docs, col_scores, col_freqs, col_lens = [], [], [], []
         col_pcnt, col_pos = [], []
         for start in starts:
@@ -374,6 +375,7 @@ def _make_block_encoder_packed(block_size: int, num_fields: int):
             col_last.append(int(d[-1]))
             col_count.append(end - start)
             col_max.append(float(s.max()))
+            col_min.append(float(s.min()))
             col_docs.append(varint_encode(delta_encode(d)))
             col_scores.append(encode_scores(s))
             col_freqs.append(varint_encode(ff_inter[start * nf : end * nf]))
@@ -390,6 +392,7 @@ def _make_block_encoder_packed(block_size: int, num_fields: int):
                 "last_doc": pd.Series(col_last, dtype="int64"),
                 "count": pd.Series(col_count, dtype="int32"),
                 "max_score": pd.Series(col_max, dtype="float32"),
+                "min_score": pd.Series(col_min, dtype="float32"),
                 "doc_ids_bin": pd.Series(col_docs, dtype="object"),
                 "scores_bin": pd.Series(col_scores, dtype="object"),
                 "freqs_bin": pd.Series(col_freqs, dtype="object"),

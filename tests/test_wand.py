@@ -1,0 +1,97 @@
+"""Partition-parallel block-max WAND: exact equality with the join-based
+OR path across term mixes, k values, and shard spans (including spans
+that force blocks to straddle shard boundaries)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import wand
+from cs_search_engine_architecture_spark.operators.indexer import build_index
+from cs_search_engine_architecture_spark.sources.corpus import synth_source_files
+
+IDX = "/tmp/spark_sea_test_wand_idx"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    shutil.rmtree(IDX, ignore_errors=True)
+    corpus = synth_source_files(spark, 4000, parallelism=8)
+    build_index(
+        spark, corpus, IDX, fields=["path", "content"],
+        analyzer="reference", num_buckets=8, block_size=32,
+        hot_df=128, group_span=128,  # many small salted blocks
+        corpus_path="synth:4000",
+    )
+    return SearchEngine(spark, IDX)
+
+
+def _or_join_topk(engine, terms, k):
+    from cs_search_engine_architecture_spark.plans.query_parser import (
+        parse_tokens,
+    )
+
+    toks = []
+    for i, t in enumerate(terms):
+        if i:
+            toks.append("or")
+        toks.append(t)
+    ast = parse_tokens(toks)
+    return [
+        (r["doc_id"], r["score"])
+        for r in engine.compiler.compile(ast)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def _wand_topk(engine, terms, k, span=wand.DEFAULT_SHARD_SPAN):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_or_topk(
+            engine.spark, engine.blocks, engine.num_buckets, terms, k,
+            shard_span=span,
+        ).collect()
+    ]
+
+
+TERM_SETS = [
+    ["index", "spark"],
+    ["index", "spark", "data"],
+    ["merg", "batch", "row"],  # stemmed index terms
+    ["index", "zzznope"],  # one missing term
+    ["2024", "index"],
+]
+
+
+@pytest.mark.parametrize("terms", TERM_SETS)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_equals_join_or(engine, terms, k):
+    want = [(d, round(s, 9)) for d, s in _or_join_topk(engine, terms, k)]
+    assert _wand_topk(engine, terms, k) == want
+
+
+@pytest.mark.parametrize("span", [64, 1 << 10, 1 << 20])
+def test_wand_shard_span_invariance(engine, span):
+    terms = ["index", "spark", "data"]
+    want = _wand_topk(engine, terms, 25)
+    assert _wand_topk(engine, terms, 25, span=span) == want
+
+
+def test_wand_single_term_matches_blockmax(engine):
+    got = _wand_topk(engine, ["index"], 15)
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in engine._topk_single_term("index", 15).collect()
+    ]
+    assert got == want
+
+
+def test_wand_k_exceeds_matches(engine):
+    got = _wand_topk(engine, ["zzznope"], 10)
+    assert got == []
