@@ -139,6 +139,88 @@ class ListNetScorer:
         return (x @ self.w[2] + self.b[2]).reshape(-1)
 
 
+def train_listnet(
+    feature_groups: list["np.ndarray"],
+    label_groups: list["np.ndarray"],
+    hidden: int = 64,
+    epochs: int = 60,
+    lr: float = 0.01,
+    seed: int = 5,
+    weights_path: str | None = None,
+) -> dict:
+    """Numpy ListNet training (reference:
+    ``sea/learning_to_rank/train.py`` + ``model.py`` — torch is not in
+    this container, so the same architecture/loss run on numpy; the
+    reference itself trains single-node, so there is nothing to
+    distribute here — R6's *feature extraction* is the Spark part).
+
+    ListNet top-1 loss per query group: CE(softmax(labels), softmax(f(x))).
+    Features are z-normalized with stats from the training set (stored
+    with the weights, as the reference stores means/stds). Returns
+    {"losses": [...], "weights": dict}; optionally saves an ``.npz``
+    loadable by ``ListNetScorer``."""
+    import numpy as np
+
+    x_all = np.concatenate(feature_groups)
+    means = x_all.mean(axis=0)
+    stds = x_all.std(axis=0)
+    stds = np.where(stds == 0, 1.0, stds)
+    d = x_all.shape[1]
+
+    rng = np.random.default_rng(seed)
+    w0 = rng.normal(0, np.sqrt(2.0 / d), size=(d, hidden))
+    b0 = np.zeros(hidden)
+    w1 = rng.normal(0, np.sqrt(2.0 / hidden), size=(hidden, hidden))
+    b1 = np.zeros(hidden)
+    w2 = rng.normal(0, np.sqrt(2.0 / hidden), size=(hidden, 1))
+    b2 = np.zeros(1)
+
+    def softmax(v: "np.ndarray") -> "np.ndarray":
+        e = np.exp(v - v.max())
+        return e / e.sum()
+
+    losses = []
+    for _ in range(epochs):
+        total = 0.0
+        for feats, labels in zip(feature_groups, label_groups):
+            x = (feats - means) / stds
+            h0 = x @ w0 + b0
+            a0 = np.maximum(h0, 0.0)
+            h1 = a0 @ w1 + b1
+            a1 = np.maximum(h1, 0.0)
+            s = (a1 @ w2 + b2).reshape(-1)
+            p = softmax(s)
+            y = softmax(labels.astype(np.float64))
+            total += float(-(y * np.log(p + 1e-12)).sum())
+            # backprop of CE(softmax) -> ds = p - y
+            ds = (p - y).reshape(-1, 1)
+            gw2 = a1.T @ ds
+            gb2 = ds.sum(axis=0)
+            da1 = ds @ w2.T
+            dh1 = da1 * (h1 > 0)
+            gw1 = a0.T @ dh1
+            gb1 = dh1.sum(axis=0)
+            da0 = dh1 @ w1.T
+            dh0 = da0 * (h0 > 0)
+            gw0 = x.T @ dh0
+            gb0 = dh0.sum(axis=0)
+            w2 -= lr * gw2
+            b2 -= lr * gb2
+            w1 -= lr * gw1
+            b1 -= lr * gb1
+            w0 -= lr * gw0
+            b0 -= lr * gb0
+        losses.append(total / max(len(feature_groups), 1))
+
+    weights = {
+        "w0": w0, "b0": b0, "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        "means": means, "stds": stds,
+    }
+    if weights_path:
+        np.savez(weights_path, **weights)
+    return {"losses": losses, "weights": weights}
+
+
 def rerank(
     features: DataFrame,
     weights_path: str,

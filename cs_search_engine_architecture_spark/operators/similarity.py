@@ -157,6 +157,106 @@ def ann_search(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 10_000,
+    seed: int = 13,
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer for IVF: numpy Lloyd's k-means on a
+    driver-side sample (the quantizer is tiny and global — training it on
+    a bounded sample is the standard IVF recipe; assignment of the full
+    table stays distributed). Returns a (C, dims) float64 array."""
+    import numpy as np
+
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(num_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell) — nearest-centroid assignment via an Arrow-batched
+    numpy kernel (the centroid matrix broadcasts in the task closure)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cents = centroids.copy()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(x) == 0:
+                yield pd.DataFrame({"id": [], "v": [], "cell": []})
+                continue
+            d2 = (
+                (x**2).sum(axis=1, keepdims=True)
+                - 2.0 * x @ cents.T
+                + (cents**2).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "v": pdf[vec_col],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        batches, "id long, v array<float>, cell int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only rows in the ``n_probe`` cells nearest the
+    query. Like the LSH path, persisting the assignment partitioned by
+    ``cell`` turns the probe into partition pruning; recall grows with
+    n_probe (n_probe = num_centroids degrades to exact brute force)."""
+    import numpy as np
+
+    q = np.asarray(list(qvec), dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    qn = float(np.sqrt((q**2).sum()))
+    cand = ivf_assign(emb, centroids, id_col, vec_col).where(
+        F.col("cell").isin(probe)
+    )
+    cand = cand.withColumn("q", _qvec_lit([float(x) for x in qvec]))
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "v", "q"))
+        / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
+    )
+    return (
+        cand.select("id", cos.cast("float").cast("double").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     qvec: Sequence[float],

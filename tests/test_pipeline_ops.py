@@ -297,3 +297,46 @@ def test_persisted_ann_index_matches_adhoc(spark):
     probe = spark.read.parquet(path).where("bucket = 3")
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or probe.count() >= 0  # smoke
+
+
+# ------------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_recall_and_exactness(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(21)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, num_centroids=8, iters=5)
+    assert cents.shape == (8, 64)
+
+    qvec = rows[7][1]
+    exact = {
+        r["id"]: r["cos"] for r in SIM.cosine_scores(emb, qvec).collect()
+    }
+    # full probe == exact brute force (same scores, same order)
+    full = [
+        (r["id"], r["cos"])
+        for r in SIM.ivf_topk(emb, qvec, cents, k=10, n_probe=8).collect()
+    ]
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert full == want
+
+    # narrow probe: a subset of the exact ranking with matching scores,
+    # containing the query vector itself (its own cell is always probed)
+    approx = SIM.ivf_topk(emb, qvec, cents, k=10, n_probe=2).collect()
+    assert approx[0]["id"] == 7
+    for r in approx:
+        assert abs(exact[r["id"]] - r["cos"]) < 1e-9
+
+
+def test_ivf_assignment_is_nearest_centroid(spark):
+    import numpy as np
+
+    rows = [(0, [0.0] * 64), (1, [10.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[0.0] * 64, [10.0] * 64])
+    got = {r["id"]: r["cell"] for r in SIM.ivf_assign(emb, cents).collect()}
+    assert got == {0: 0, 1: 1}

@@ -220,3 +220,28 @@ def test_combined_search_provenance(spark, engine, embeddings):
     assert scores == sorted(scores, reverse=True)
     for r in out:
         assert math.isclose(r["score"], r["bm25"] + r["similarity"])
+
+
+def test_listnet_training_learns(tmp_path):
+    """ListNet training must reduce the loss and learn a synthetic
+    ranking signal well enough to beat random ordering."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    true_w = rng.normal(size=5)
+    groups, labels = [], []
+    for _ in range(30):
+        x = rng.normal(size=(10, 5))
+        rel = x @ true_w  # hidden linear relevance
+        groups.append(x)
+        labels.append(rel)
+    wpath = str(tmp_path / "trained.npz")
+    out = ltr.train_listnet(groups, labels, hidden=32, epochs=40, weights_path=wpath)
+    assert out["losses"][-1] < out["losses"][0] * 0.9
+
+    scorer = ltr.ListNetScorer(wpath)
+    # held-out group: model's top-1 should be in the true top-3
+    x = rng.normal(size=(10, 5))
+    rel = x @ true_w
+    pred = scorer.score(x)
+    assert np.argmax(pred) in np.argsort(-rel)[:3]
