@@ -38,30 +38,68 @@ class SearchEngine:
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
         if ast and ast["type"] == "token":
             return self._topk_single_term(ast["value"], top_k)
-        flat_or = self._flat_or_terms(ast)
         # WAND pays 2 extra driver round-trips; below ~1M postings the
         # join path's single job is cheaper (same scale gate as the
-        # single-term block-max path — at cluster scale WAND always wins)
-        if flat_or and self.meta.get("num_postings", 0) >= 1_000_000:
-            # scored disjunctions take the partition-parallel block-max
-            # WAND path (one shuffle-free scan + shard kernels) instead
-            # of a chain of full-outer joins
-            from cs_search_engine_architecture_spark.operators.wand import (
-                wand_or_topk,
-            )
+        # single-term block-max path — at cluster scale WAND always wins).
+        if self.meta.get("num_postings", 0) >= 1_000_000:
+            flat_or = self._flat_op_terms(ast, "or")
+            if flat_or:
+                # scored disjunctions: partition-parallel block-max WAND
+                # (one shuffle-free scan + shard kernels) instead of a
+                # chain of full-outer joins
+                from cs_search_engine_architecture_spark.operators.wand import (
+                    wand_or_topk,
+                )
 
-            return wand_or_topk(
-                self.spark, self.blocks, self.num_buckets, flat_or, top_k
-            )
+                return wand_or_topk(
+                    self.spark, self.blocks, self.num_buckets, flat_or, top_k
+                )
+            flat_and = self._flat_op_terms(ast, "and")
+            if flat_and:
+                # conjunctions: metadata range-skip intersection — blocks
+                # whose doc range overlaps no block of some other term
+                # never decode. Pays only when a SELECTIVE term exists
+                # (sparse ranges skip the hot term's blocks); dense-only
+                # conjunctions intersect faster as a broadcast/SMJ join.
+                dfs = self._term_dfs(flat_and)
+                if min(dfs.values(), default=0) <= max(
+                    10_000, self.meta["num_postings"] // 200
+                ):
+                    from cs_search_engine_architecture_spark.operators.wand import (
+                        wand_and_topk,
+                    )
+
+                    return wand_and_topk(
+                        self.spark, self.blocks, self.num_buckets, flat_and,
+                        top_k,
+                    )
         return (
             self.compiler.compile(ast)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
 
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term document frequency, cached (one tiny broadcast-able
+        lookup per previously-unseen term; a missing term has df 0)."""
+        if not hasattr(self, "_df_cache"):
+            self._df_cache: dict[str, int] = {}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.term_stats()
+                .where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
     @staticmethod
-    def _flat_or_terms(ast) -> list[str] | None:
-        """Token list if the AST is a pure OR-of-tokens tree, else None."""
+    def _flat_op_terms(ast, op: str) -> list[str] | None:
+        """Token list if the AST is a pure ``op``-of-tokens tree."""
         terms: list[str] = []
 
         def walk(node) -> bool:
@@ -70,13 +108,13 @@ class SearchEngine:
             if node["type"] == "token":
                 terms.append(node["value"])
                 return True
-            if node["type"] == "operator" and node["operator"] == "or":
+            if node["type"] == "operator" and node["operator"] == op:
                 return walk(node["left"]) and walk(node["right"])
             return False
 
         if ast and ast.get("type") == "operator" and walk(ast):
-            # duplicate terms would double-count in the OR-sum; the join
-            # path dedups via full-outer joins, so bail out to it
+            # duplicate terms double-count in the summed score; the join
+            # path reproduces that reference quirk, so bail out to it
             return terms if len(set(terms)) == len(terms) else None
         return None
 

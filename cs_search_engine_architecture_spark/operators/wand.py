@@ -180,6 +180,125 @@ def shard_wand_topk(
     return pd.DataFrame({"doc_id": u[sel], "score": t[sel]})
 
 
+def shard_and_topk(
+    pdf: pd.DataFrame, terms: list[str], k: int, lo: int, hi: int
+) -> pd.DataFrame:
+    """Exact top-k of the AND (intersection) of ``terms`` in one shard.
+
+    Skip pointers, literally: a block of term t whose doc range overlaps
+    NO block of some other term t' cannot contain an intersection doc
+    (blocks are doc-contiguous), so it is dropped from the decode set on
+    metadata alone — sparse co-occurrence skips most of both lists."""
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    tcol = pdf["term"].to_numpy()
+    present = set(tcol.tolist())
+    if present != set(terms):
+        return empty  # a term with no postings here -> empty intersection
+
+    firsts = pdf["first_doc"].to_numpy()
+    lasts = pdf["last_doc"].to_numpy()
+    docs_bin = pdf["doc_ids_bin"].to_numpy()
+    scores_bin = pdf["scores_bin"].to_numpy()
+
+    idx_by_term = {t: np.flatnonzero(tcol == t) for t in terms}
+    ranges = {}
+    for t, idxs in idx_by_term.items():
+        f = firsts[idxs]
+        l = lasts[idxs]
+        o = np.argsort(f)
+        ranges[t] = (f[o], l[o])
+
+    def overlaps_some(t_other: str, f: np.ndarray, l: np.ndarray) -> np.ndarray:
+        """For query blocks [f,l], does ANY block of t_other overlap?"""
+        of, ol = ranges[t_other]
+        # block ranges of one term are disjoint and sorted; overlap exists
+        # iff the first other-block with end >= f starts <= l
+        ends_sorted = ol  # ol is sorted because ranges are disjoint+sorted
+        j = np.searchsorted(ends_sorted, f, side="left")
+        ok = j < len(of)
+        res = np.zeros(len(f), dtype=bool)
+        res[ok] = of[np.clip(j[ok], 0, len(of) - 1)] <= l[ok]
+        return res
+
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in terms:
+        idxs = idx_by_term[t]
+        f = firsts[idxs]
+        l = lasts[idxs]
+        alive = np.ones(len(idxs), dtype=bool)
+        for t2 in terms:
+            if t2 == t:
+                continue
+            alive &= overlaps_some(t2, f, l)
+        ids_parts, sc_parts = [], []
+        for i in idxs[alive]:
+            ids = np.cumsum(
+                varint_decode(docs_bin[i]), dtype=np.uint64
+            ).astype(np.int64)
+            sc = decode_scores(scores_bin[i]).astype(np.float64)
+            m = (ids >= lo) & (ids < hi)
+            if m.any():
+                ids_parts.append(ids[m])
+                sc_parts.append(sc[m])
+        if not ids_parts:
+            return empty
+        ids = np.concatenate(ids_parts)
+        sc = np.concatenate(sc_parts)
+        o = np.argsort(ids, kind="stable")
+        per_term[t] = (ids[o], sc[o])
+
+    inter = per_term[terms[0]][0]
+    for t in terms[1:]:
+        inter = np.intersect1d(inter, per_term[t][0], assume_unique=True)
+        if inter.size == 0:
+            return empty
+    total = np.zeros(len(inter), dtype=np.float64)
+    for t in terms:
+        ids_s, sc_s = per_term[t]
+        total += sc_s[np.searchsorted(ids_s, inter)]
+    kk = min(k, len(inter))
+    sel = np.lexsort((inter, -total))[:kk]
+    return pd.DataFrame({"doc_id": inter[sel], "score": total[sel]})
+
+
+def wand_and_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    num_buckets: int,
+    terms: list[str],
+    k: int,
+    shard_span: int = DEFAULT_SHARD_SPAN,
+) -> DataFrame:
+    """Exact top-k of the AND-intersection score over ``terms``."""
+    buckets = term_buckets(spark, terms, num_buckets)
+    sel = blocks.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
+    ).select(
+        "term", "first_doc", "last_doc", "doc_ids_bin", "scores_bin"
+    )
+    sharded = sel.withColumn(
+        "shard",
+        F.explode(
+            F.sequence(
+                (F.col("first_doc") / shard_span).cast("long"),
+                (F.col("last_doc") / shard_span).cast("long"),
+            )
+        ),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        return shard_and_topk(
+            pdf, list(terms), k, lo=shard * shard_span,
+            hi=(shard + 1) * shard_span,
+        )
+
+    local = sharded.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> list[int]:
     rows = (
         spark.createDataFrame([(t,) for t in terms], "term string")

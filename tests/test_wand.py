@@ -95,3 +95,82 @@ def test_wand_single_term_matches_blockmax(engine):
 def test_wand_k_exceeds_matches(engine):
     got = _wand_topk(engine, ["zzznope"], 10)
     assert got == []
+
+
+# ----------------------------------------------------------- AND path
+
+def _and_join_topk(engine, terms, k):
+    from cs_search_engine_architecture_spark.plans.query_parser import (
+        parse_tokens,
+    )
+
+    toks = []
+    for i, t in enumerate(terms):
+        if i:
+            toks.append("and")
+        toks.append(t)
+    ast = parse_tokens(toks)
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in engine.compiler.compile(ast)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def _wand_and(engine, terms, k, span=wand.DEFAULT_SHARD_SPAN):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_and_topk(
+            engine.spark, engine.blocks, engine.num_buckets, terms, k,
+            shard_span=span,
+        ).collect()
+    ]
+
+
+AND_TERM_SETS = [
+    ["index", "spark"],
+    ["index", "spark", "data"],
+    ["merg", "batch", "row"],
+    ["index", "zzznope"],  # missing term -> empty
+    ["2024", "index"],
+]
+
+
+@pytest.mark.parametrize("terms", AND_TERM_SETS)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_and_equals_join(engine, terms, k):
+    assert _wand_and(engine, terms, k) == _and_join_topk(engine, terms, k)
+
+
+@pytest.mark.parametrize("span", [64, 1 << 10, 1 << 20])
+def test_wand_and_span_invariance(engine, span):
+    terms = ["index", "spark", "data"]
+    want = _wand_and(engine, terms, 25)
+    assert _wand_and(engine, terms, 25, span=span) == want
+
+
+def test_wand_and_range_skip_actually_skips(spark, engine):
+    """With a rare term and a hot term, most hot-term blocks must fail
+    the range-overlap test (kernel-level check on one shard's frame)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    rare = (
+        engine.term_stats().where("df BETWEEN 2 AND 5").orderBy("term")
+        .limit(1).collect()[0]["term"]
+    )
+    hot = "index"
+    blocks = engine.blocks.where(F2.col("term").isin([rare, hot])).select(
+        "term", "first_doc", "last_doc", "doc_ids_bin", "scores_bin"
+    ).toPandas()
+    n_hot = (blocks["term"] == hot).sum()
+    n_rare = (blocks["term"] == rare).sum()
+    assert n_hot > 10 * max(n_rare, 1)
+    # the intersection via kernel over the whole doc space
+    out = wand.shard_and_topk(blocks, [rare, hot], 100, lo=0, hi=1 << 40)
+    join = dict(_and_join_topk(engine, [rare, hot], 100))
+    got = {int(r.doc_id): round(float(r.score), 9) for r in out.itertuples()}
+    assert got == {d: round(s, 9) for d, s in join.items()}
