@@ -276,67 +276,6 @@ def bm25_score_col_packed(
     return F.col("idf") * (tf * F.lit(k + 1.0)) / (tf + F.lit(k))
 
 
-def _make_block_encoder(block_size: int):
-    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-        scores = pdf["score"].to_numpy()[order].astype(np.float32)
-        ffs = pdf["field_freqs"].to_numpy()[order]
-        fls = pdf["field_lens"].to_numpy()[order]
-        poss = pdf["positions"].to_numpy()[order]
-        n = len(doc_ids)
-        nf = len(ffs[0])
-
-        # flatten the ragged columns ONCE per group (single C-level pass;
-        # per-posting np.asarray calls were the encode hot spot)
-        ff_all = np.concatenate(ffs.tolist()).astype(np.uint64)
-        fl_all = np.concatenate(fls.tolist()).astype(np.uint64)
-        pos_counts_all = np.fromiter(
-            (len(x) for x in poss), dtype=np.int64, count=n
-        )
-        pos_all = (
-            np.concatenate(poss.tolist()).astype(np.uint64)
-            if pos_counts_all.sum()
-            else np.empty(0, dtype=np.uint64)
-        )
-        pos_offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(pos_counts_all, out=pos_offsets[1:])
-
-        rows = []
-        base_block = int(pdf["doc_group"].iloc[0]) << 32
-        for b, start in enumerate(range(0, n, block_size)):
-            end = min(start + block_size, n)
-            d = doc_ids[start:end]
-            s = scores[start:end]
-            pos_counts = pos_counts_all[start:end]
-            pos_flat = pos_all[pos_offsets[start] : pos_offsets[end]]
-            rows.append(
-                {
-                    "term": term,
-                    # doc_group in the high bits keeps block_no globally
-                    # ordered by doc range across salt groups
-                    "block_no": base_block + b,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "count": end - start,
-                    "max_score": float(s.max()),
-                    "min_score": float(s.min()),
-                    "doc_ids_bin": varint_encode(delta_encode(d)),
-                    "scores_bin": encode_scores(s),
-                    "freqs_bin": varint_encode(ff_all[start * nf : end * nf]),
-                    "lens_bin": varint_encode(fl_all[start * nf : end * nf]),
-                    "pos_counts_bin": varint_encode(pos_counts.astype(np.uint64)),
-                    "positions_bin": varint_encode(
-                        grouped_delta_encode(pos_flat, pos_counts)
-                    ),
-                }
-            )
-        return pd.DataFrame(rows)
-
-    return encode_groups
-
-
 def _make_block_encoder_packed(block_size: int, num_fields: int):
     """Block encoder over the packed posting schema: all ragged data
     arrives as flat numpy / per-posting bytes, so assembly is slicing
