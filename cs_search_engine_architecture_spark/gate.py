@@ -170,10 +170,34 @@ UNION
 
 
 def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # char-position window (k=10) — not ANSI-SQL-expressible without
-    # position extraction; driver records the weaker rows-only check
     eng = gate_engine(spark, sf_dir)
     return eng.search_df('"window order"').select("doc_id")
+
+
+def _pos_cte(name: str, term: str) -> str:
+    """0-based char positions of ``term`` as a simple-analyzer token:
+    an alnum run starting at i (predecessor not alnum) that equals the
+    term and ends at a non-alnum boundary — reproducing the tokenizer's
+    ``m.start()`` positions in pure SQL."""
+    ln = len(term)
+    return f"""
+{name} AS (
+  SELECT doc_id,
+    unnest(list_filter(generate_series(1, length(text)),
+      i -> substr(lower(text), i, {ln}) = '{term}'
+        AND (i = 1 OR NOT substr(lower(text), i-1, 1) SIMILAR TO '[a-z0-9]')
+        AND (i + {ln} > length(text)
+             OR NOT substr(lower(text), i+{ln}, 1) SIMILAR TO '[a-z0-9]')
+    )) - 1 AS p
+  FROM documents)"""
+
+
+# the reference's phrase constraint: consecutive phrase terms' char
+# positions within 0 <= p2 - p1 <= 10 (sea/posting_list.pyx:23-44, k=10)
+SQL_PHRASE_WINDOW = f"""WITH {_pos_cte("w", "window")}, {_pos_cte("o", "order")}
+SELECT DISTINCT w.doc_id FROM w JOIN o ON w.doc_id = o.doc_id
+WHERE o.p - w.p BETWEEN 0 AND 10
+"""
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,12 +765,78 @@ LIMIT 10
 
 
 def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snippets are driven by index char positions, which ANSI SQL can't
-    reproduce — rows-only check (like phrase_window)."""
     eng = gate_engine(spark, sf_dir)
     return eng.search_with_snippets(
         "spark and window", _docs(spark, sf_dir), top_k=10
-    ).select("doc_id", "score", "snippet")
+    ).select(
+        "doc_id",
+        F.col("score").cast("float").cast("double").alias("score"),
+        "snippet",
+    )
+
+
+# full SQL mirror: AND top-10 by summed BM25, snippet_pos = first index
+# position of the first query leaf ('spark'), then the reference's
+# space-snapped ±100-char window (sea/engine.pyx:366-398) branch by branch
+SQL_SEARCH_SNIPPETS = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+topk AS (
+  SELECT doc_id, CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM sc GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC LIMIT 10
+),
+{_pos_cte("sp", "spark")},
+spos AS (SELECT doc_id, min(p) AS snippet_pos FROM sp GROUP BY doc_id),
+geom AS (
+  SELECT topk.doc_id, topk.score, d.text,
+    length(d.text) AS nn,
+    CASE WHEN COALESCE(spos.snippet_pos, 0) <= 0 THEN 1
+         ELSE spos.snippet_pos END AS pos
+  FROM topk JOIN documents d ON d.doc_id = topk.doc_id
+  LEFT JOIN spos ON spos.doc_id = topk.doc_id
+),
+g2 AS (
+  SELECT *, CASE WHEN pos >= 100 THEN pos - 100 ELSE 1 END AS st FROM geom
+),
+g3 AS (
+  SELECT *, CASE WHEN st + 200 < nn THEN st + 200 ELSE nn END AS en FROM g2
+),
+g4 AS (
+  SELECT *,
+    -- forward scan [st, en): first space; strpos is 1-based relative
+    CASE WHEN strpos(substr(text, st + 1), ' ') > 0
+              AND strpos(substr(text, st + 1), ' ') + st - 1 < en
+         THEN strpos(substr(text, st + 1), ' ') + st - 1 ELSE 0 END AS f0,
+    -- backward scan (st, en]: last space via reversed window
+    CASE WHEN en != nn
+              AND strpos(reverse(substr(text, st + 2, en - st)), ' ') > 0
+         THEN en + 1 - strpos(reverse(substr(text, st + 2, en - st)), ' ')
+         ELSE 0 END AS l0
+  FROM g3
+),
+g5 AS (
+  SELECT *, CASE WHEN f0 > 0 THEN f0 + 1 ELSE st END AS st2 FROM g4
+),
+g6 AS (
+  SELECT *, CASE WHEN l0 > 0 AND l0 > st2 THEN l0 ELSE en END AS en2 FROM g5
+)
+SELECT doc_id, score, substr(text, st2 + 1, en2 - st2) AS snippet FROM g6
+"""
 
 
 def queries():
@@ -787,7 +877,7 @@ def oracle_sql():
         "bm25_topk": SQL_BM25_TOPK,
         "bool_and_not": SQL_BOOL_AND_NOT,
         "bool_precedence": SQL_BOOL_PRECEDENCE,
-        # phrase_window: rows-only (char-position windows not SQL-expressible)
+        "phrase_window": SQL_PHRASE_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
@@ -807,5 +897,5 @@ def oracle_sql():
         "spell_suggest": SQL_SPELL_SUGGEST,
         "hybrid_search": SQL_HYBRID_SEARCH,
         "ltr_features": SQL_LTR_FEATURES,
-        # search_snippets: rows-only (index char positions not in ANSI SQL)
+        "search_snippets": SQL_SEARCH_SNIPPETS,
     }
