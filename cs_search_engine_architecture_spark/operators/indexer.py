@@ -375,7 +375,11 @@ def build_index(
     tokenize_postings_packed(
         corpus, fields, doc_id_col, analyzer
     ).write.mode("overwrite").parquet(work)
-    postings = spark.read.parquet(work)
+    # explicit schema: an empty corpus writes no data files, and schema
+    # inference over an empty directory fails
+    postings = spark.read.schema(packed_postings_schema(len(fields))).parquet(
+        work
+    )
     _PHASES["tokenize_stage"] = time.time() - t0
     num_documents = corpus.count()
     return _finalize_index(
@@ -505,7 +509,7 @@ def _finalize_index(
 
     # per-shard lineage manifest (B9 / north rule: resumability + metrics)
     shard_rows = (
-        spark.read.parquet(os.path.join(out_path, "blocks"))
+        load_blocks(spark, out_path)
         .groupBy("term_bucket")
         .agg(
             F.count(F.lit(1)).alias("num_blocks"),
@@ -647,8 +651,13 @@ def load_meta(index_path: str) -> dict:
 
 
 def load_blocks(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_path, "blocks"))
+    # explicit schema so indexes over empty corpora stay queryable
+    return spark.read.schema(BLOCKS_SCHEMA + ", term_bucket int").parquet(
+        os.path.join(index_path, "blocks")
+    )
 
 
 def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_path, "term_stats"))
+    return spark.read.schema(
+        "term string, df long, idf double, term_bucket int"
+    ).parquet(os.path.join(index_path, "term_stats"))
