@@ -23,6 +23,13 @@ def main() -> None:
     ap.add_argument("--query", required=True)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--corpus", default=None, help="materialize hits against this parquet")
+    ap.add_argument("--snippets", action="store_true",
+                    help="with --corpus: ±100-char snippets around first match")
+    ap.add_argument("--suggest", action="store_true",
+                    help="print a 'did you mean' spelling correction")
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet -> hybrid exact+semantic search "
+                    "(query vector = centroid of exact top-k hits)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -32,12 +39,35 @@ def main() -> None:
     )
     eng = SearchEngine(spark, args.index)
     t0 = time.time()
-    top = eng.search(args.query, args.top_k)
-    if args.corpus:
+    if args.suggest:
+        corrected, n = eng.suggest(args.query, exclude_threshold=10)
+        if n:
+            print(f"did you mean: {corrected!r} ({n} corrected)")
+    if args.embeddings:
+        import numpy as np
+
+        emb = spark.read.parquet(args.embeddings)
+        top_ids = [r["doc_id"] for r in eng.search(args.query, args.top_k).collect()]
+        seed = emb.where(emb["vec_id"].isin(top_ids or [0])).collect()
+        qvec = (
+            np.mean([list(r["embedding"]) for r in seed], axis=0).tolist()
+            if seed else [0.0] * 64
+        )
+        eng.combined_search(
+            args.query, emb, qvec, top_k=args.top_k
+        ).show(args.top_k, truncate=False)
+    elif args.corpus and args.snippets:
         corpus = spark.read.parquet(args.corpus)
-        eng.materialize(top, corpus).show(args.top_k, truncate=80)
+        eng.search_with_snippets(args.query, corpus, args.top_k).select(
+            "doc_id", "score", "snippet"
+        ).show(args.top_k, truncate=80)
+    elif args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+        out = eng.materialize(eng.search(args.query, args.top_k), corpus)
+        SearchEngine.assert_sha_ok(out)
+        out.show(args.top_k, truncate=80)
     else:
-        top.show(args.top_k, truncate=False)
+        eng.search(args.query, args.top_k).show(args.top_k, truncate=False)
     print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
     spark.stop()
 
