@@ -34,7 +34,16 @@ class SearchEngine:
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
         return self.compiler.compile(ast)
 
-    def search(self, query: str, top_k: int = 10) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        top_k: int = 10,
+        ltr_enabled: bool = False,
+        ltr_weights: str | None = None,
+        pre_select_k: int = 50,
+    ) -> DataFrame:
+        if ltr_enabled:
+            return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
         if ast and ast["type"] == "token":
             return self._topk_single_term(ast["value"], top_k)
@@ -315,6 +324,13 @@ class SearchEngine:
         out = " ".join(mapping.get(t, t) for t in self._query_tokens(query))
         return out, n
 
+    def _num_query_tokens(self, query: str) -> int:
+        """The LTR coverage denominator is ``tokenized_query.tokens.
+        size()`` — query-mode tokenization KEEPS operator words
+        (``sea/tokenizer.pyx:21-23``), so "spark or data" counts 3
+        (reference quirk, ``feature_mapping.pyx:39,44``)."""
+        return len(self._query_tokens(query))
+
     def _query_tokens(self, query: str) -> list[str]:
         from cs_search_engine_architecture_spark.functions.tokenizer import (
             tokenize,
@@ -407,11 +423,46 @@ class SearchEngine:
             )
         return feature_frame(
             matched,
-            num_query_terms=len(terms),
+            num_query_terms=self._num_query_tokens(query),
             num_fields=nf,
             avg_field_lengths=self.meta["avg_field_lengths"],
             k=self.meta["bm25_k"],
             bs=self.meta["bm25_bs"],
+        )
+
+    def doc_lens(self) -> DataFrame:
+        """Cached per-doc field-length side table (see indexer)."""
+        if not hasattr(self, "_doc_lens"):
+            self._doc_lens = indexer.load_doc_lens(
+                self.spark, self.index_path, self.meta["num_fields"]
+            )
+        return self._doc_lens
+
+    def search_ltr(
+        self,
+        query: str,
+        top_k: int = 10,
+        pre_select_k: int = 50,
+        ltr_weights: str | None = None,
+    ) -> DataFrame:
+        """``exact_search(..., ltr_enabled=True)`` parity
+        (``sea/engine.pyx:584-607``): BM25 retrieves, the top
+        ``pre_select_k`` get R1 features, the ListNet MLP re-ranks them,
+        and the final order is (ltr_score desc, doc_id asc) limit k.
+        Returns (doc_id, score [index BM25], ltr_score)."""
+        from cs_search_engine_architecture_spark.operators import ltr
+
+        if ltr_weights is None:
+            raise ValueError("search_ltr requires an ltr_weights .npz path")
+        top = self.search(query, pre_select_k)
+        feats = self.ltr_features(query, top=top)
+        order = ltr.feature_order(self.meta["num_fields"])
+        scored = ltr.rerank(feats, ltr_weights, order)
+        return (
+            top.join(F.broadcast(scored), "doc_id")
+            .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
+            .limit(top_k)
+            .select("doc_id", "score", "ltr_score")
         )
 
     def semantic_search(
@@ -429,19 +480,18 @@ class SearchEngine:
             F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
         )
 
-    def combined_search(
+    def _hybrid_union(
         self, query: str, embeddings: DataFrame, qvec,
-        top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
+        pre_select_k: int, sem_k: int, id_col: str,
     ) -> DataFrame:
-        """R4 hybrid: exact top-``pre_select_k`` ∪ semantic
-        top-``pre_select_k`` by doc_id with provenance labels
-        (``sea/engine.pyx:612-658``); final order = combined score
-        (bm25 + similarity) desc, doc_id asc, limit ``top_k``."""
+        """Exact top-``pre_select_k`` ∪ semantic top-``sem_k`` with
+        provenance labels (``sea/engine.pyx:612-641``):
+        (doc_id, bm25, similarity, provenance)."""
         exact = self.search(query, pre_select_k).select(
             "doc_id", F.col("score").alias("bm25")
         )
-        sem = self.semantic_search(embeddings, qvec, pre_select_k, id_col)
-        joined = exact.join(sem, "doc_id", "full_outer").select(
+        sem = self.semantic_search(embeddings, qvec, sem_k, id_col)
+        return exact.join(sem, "doc_id", "full_outer").select(
             "doc_id",
             F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
             F.coalesce("similarity", F.lit(0.0)).alias("similarity"),
@@ -453,8 +503,108 @@ class SearchEngine:
             .otherwise(F.lit("semantic"))
             .alias("provenance"),
         )
+
+    def hybrid_features(self, query: str, union: DataFrame) -> DataFrame:
+        """R1 feature frame for a hybrid union frame, reproducing the
+        reference's ``merge_postings`` double-count: docs found by BOTH
+        paths carry the exact posting's matched tokens AND the semantic
+        ``simulate_search_result`` posting's (``sea/posting_list.pyx:
+        7-21``), so every matched term contributes twice to bm25 and
+        coverage (weight = 2). Semantic-only docs that match no query
+        term still get a feature row (zeros + real field lengths from
+        the ``doc_lens`` side table — the distributed stand-in for the
+        reference's on-the-fly re-tokenization, ``sea/engine.pyx:
+        225-277``)."""
+        from cs_search_engine_architecture_spark.operators.decode import (
+            term_postings_full,
+        )
+        from cs_search_engine_architecture_spark.operators.ltr import (
+            feature_frame,
+        )
+
+        terms = self._leaf_terms(query)
+        nf = self.meta["num_fields"]
+        stats = {
+            r["term"]: r["idf"]
+            for r in self.term_stats()
+            .where(F.col("term").isin(terms))
+            .collect()
+        }
+        frames = []
+        for t in terms:
+            if t not in stats:
+                continue
+            frames.append(
+                term_postings_full(self.blocks, t, self.num_buckets, nf)
+                .withColumn("idf", F.lit(float(stats[t])))
+            )
+        weights = union.select(
+            "doc_id",
+            F.when(F.col("provenance") == "both", F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("w"),
+        )
+        if frames:
+            matched = frames[0]
+            for f in frames[1:]:
+                matched = matched.unionByName(f)
+            matched = matched.join(F.broadcast(weights), "doc_id")
+        else:
+            matched = self.spark.createDataFrame(
+                [],
+                "doc_id long, score double, field_freqs array<int>, "
+                "field_lens array<int>, positions array<int>, idf double, "
+                "w int",
+            )
+        return feature_frame(
+            matched,
+            num_query_terms=self._num_query_tokens(query),
+            num_fields=nf,
+            avg_field_lengths=self.meta["avg_field_lengths"],
+            k=self.meta["bm25_k"],
+            bs=self.meta["bm25_bs"],
+            similarity=union.select("doc_id", "similarity"),
+            universe=union,
+            doc_lens=self.doc_lens(),
+            weight_col="w",
+        )
+
+    def combined_search(
+        self, query: str, embeddings: DataFrame, qvec,
+        top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
+        sem_k: int | None = None, ltr_weights: str | None = None,
+    ) -> DataFrame:
+        """R4 hybrid (``sea/engine.pyx:612-658``).
+
+        With ``ltr_weights``: REFERENCE PARITY — the exact∪semantic
+        union is feature-ized (double-count quirk included, on-the-fly
+        BM25 features for semantic-only hits) and ALWAYS re-ranked by
+        the ListNet MLP (``sea/engine.pyx:643`` → ``_rank_documents``
+        ``:500-517``); final order (ltr_score desc, doc_id asc) — the
+        deterministic form of torch.argsort's tie handling. Returns
+        (doc_id, ltr_score, bm25, similarity, provenance).
+
+        Without weights (legacy fallback, kept for ad-hoc use): order by
+        bm25 + similarity. Returns (doc_id, bm25, similarity,
+        provenance, score)."""
+        sem_k = sem_k if sem_k is not None else pre_select_k
+        joined = self._hybrid_union(
+            query, embeddings, qvec, pre_select_k, sem_k, id_col
+        )
+        if ltr_weights is None:
+            return (
+                joined.withColumn("score", F.col("bm25") + F.col("similarity"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(top_k)
+            )
+        from cs_search_engine_architecture_spark.operators import ltr
+
+        feats = self.hybrid_features(query, joined)
+        order = ltr.feature_order(self.meta["num_fields"])
+        scored = ltr.rerank(feats, ltr_weights, order)
         return (
-            joined.withColumn("score", F.col("bm25") + F.col("similarity"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            joined.join(F.broadcast(scored), "doc_id")
+            .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
             .limit(top_k)
+            .select("doc_id", "ltr_score", "bm25", "similarity", "provenance")
         )

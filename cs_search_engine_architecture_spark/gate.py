@@ -27,7 +27,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (
     tokenize_postings,
 )
 
-GATE_VERSION = "r1b"  # bump to invalidate /tmp gate-index caches on layout changes
+GATE_VERSION = "r2a"  # bump to invalidate /tmp gate-index caches on layout changes
 
 # shared DuckDB CTE: simple-analyzer tokenization of the documents table
 TOKS_CTE = (
@@ -584,11 +584,13 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid_search() -> str:
+def _hybrid_cte_prefix() -> str:
+    """Shared oracle CTE chain: index-time BM25 scores -> exact top-k,
+    semantic top-k, full-outer union with provenance (mirrors
+    ``SearchEngine._hybrid_union``)."""
     terms = ", ".join(f"'{t}'" for t in HYBRID_QUERY_TERMS)
     qdot = D.dot_product(D.DUCKDB, "e.embedding", "(SELECT qe FROM qv)")
-    return f"""
-WITH toks AS ({TOKS_CTE}),
+    return f"""toks AS ({TOKS_CTE}),
 n AS (SELECT count(*) AS n FROM documents),
 avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -625,7 +627,12 @@ joined AS (
     CASE WHEN bm25 IS NOT NULL AND similarity IS NOT NULL THEN 'both'
          WHEN bm25 IS NOT NULL THEN 'exact' ELSE 'semantic' END AS provenance
   FROM exact FULL OUTER JOIN sem ON exact.doc_id = sem.doc_id
-)
+)"""
+
+
+def _sql_hybrid_search() -> str:
+    return f"""
+WITH {_hybrid_cte_prefix()}
 SELECT doc_id,
        CAST(CAST(bm25 + similarity AS REAL) AS DOUBLE) AS score,
        provenance
@@ -635,6 +642,176 @@ ORDER BY bm25 + similarity DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
 
 
 SQL_HYBRID_SEARCH = _sql_hybrid_search()
+
+
+# ------------------------------------------- ListNet-reranked surfaces
+#
+# Reference parity for R2/R4: ``exact_search(..., ltr_enabled=True)``
+# (sea/engine.pyx:584-607) and ``combined_search`` (sea/engine.pyx:
+# 612-658, which ALWAYS re-ranks the exact∪semantic union with the
+# ListNet MLP). The gate pins a deterministic 5->4->4->1 MLP whose
+# weights are exact binary fractions; the Spark side scores through the
+# production ``ltr.rerank`` (Arrow-batched left-fold numpy), the oracle
+# through ``ltr.mlp_score_sql`` — the SAME literals and the SAME IEEE
+# operation order, so the float64 scores are bit-identical.
+
+from cs_search_engine_architecture_spark.operators import ltr as LTR  # noqa: E402
+
+GATE_MLP_WEIGHTS = {
+    "w0": [
+        [(((i * 7 + j * 3) % 11) - 5) / 8.0 for j in range(4)]
+        for i in range(5)
+    ],
+    "b0": [(j - 1.5) / 4.0 for j in range(4)],
+    "w1": [
+        [(((i * 5 + j * 7) % 9) - 4) / 8.0 for j in range(4)]
+        for i in range(4)
+    ],
+    "b1": [(j - 2) / 8.0 for j in range(4)],
+    "w2": [[((j * 3) % 5 - 2) / 4.0] for j in range(4)],
+    "b2": [0.125],
+    # plausible z-norm stats as exact binary fractions
+    "means": [1.0, 96.0, 0.5, 32.0, 0.25],
+    "stds": [2.0, 64.0, 0.5, 64.0, 0.5],
+}
+
+GATE_FEATURE_SQL = ["f_bm25", "f_len", "f_cov", "f_first", "f_sim"]
+EXACT_LTR_PRE_K = 10
+EXACT_LTR_TOP_K = 10
+
+
+def _gate_mlp_npz() -> str:
+    import numpy as np
+
+    path = os.path.join("/tmp/spark_sea_gate", f"mlp_{GATE_VERSION}.npz")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        np.savez(
+            path,
+            **{
+                k: np.array(v, dtype=np.float64)
+                for k, v in GATE_MLP_WEIGHTS.items()
+            },
+        )
+    return path
+
+
+def q_hybrid_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = gate_engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    out = eng.combined_search(
+        " or ".join(HYBRID_QUERY_TERMS), emb, qvec,
+        top_k=HYBRID_TOP_K, pre_select_k=HYBRID_PRE_K,
+        ltr_weights=_gate_mlp_npz(),
+    )
+    return out.select(
+        "doc_id",
+        F.col("ltr_score").cast("float").cast("double").alias("ltr_score"),
+        "provenance",
+    )
+
+
+# feature CTEs shared by both LTR oracles: per-(doc, term) query-time
+# BM25 (the STANDARD formula — R1's deliberate difference from the
+# index-time B6 normalizer) + per-term first char positions
+def _ltr_feature_ctes() -> str:
+    t0, t1 = HYBRID_QUERY_TERMS
+    return f"""{_pos_cte("sp", t0)},
+{_pos_cte("da", t1)},
+tpos AS (SELECT doc_id, '{t0}' AS term, MIN(p) AS fp FROM sp GROUP BY doc_id
+         UNION ALL
+         SELECT doc_id, '{t1}' AS term, MIN(p) AS fp FROM da GROUP BY doc_id),
+qt AS (
+  SELECT t.doc_id, t.term,
+    ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.5
+      / (t.tf + 1.5 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM avgdl)))
+      AS bm25_term
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)"""
+
+
+def _sql_hybrid_ltr() -> str:
+    mlp = LTR.mlp_score_sql(GATE_MLP_WEIGHTS, GATE_FEATURE_SQL)
+    return f"""
+WITH {_hybrid_cte_prefix()},
+{_ltr_feature_ctes()},
+matched AS (
+  SELECT j.doc_id, qt.term, qt.bm25_term, tp.fp,
+         CASE WHEN j.provenance = 'both' THEN 2 ELSE 1 END AS w
+  FROM joined j
+  JOIN qt ON qt.doc_id = j.doc_id
+  JOIN tpos tp ON tp.doc_id = j.doc_id AND tp.term = qt.term
+),
+feats AS (
+  SELECT j.doc_id, j.provenance, j.similarity AS f_sim,
+    COALESCE(SUM(m.bm25_term * m.w), 0.0) AS f_bm25,
+    CAST(COALESCE(dl.dl, 0) AS DOUBLE) AS f_len,
+    COALESCE(CAST(SUM(m.w) AS DOUBLE) / 3.0, 0.0) AS f_cov,
+    CAST(COALESCE(MIN(m.fp), -1) AS DOUBLE) AS f_first
+  FROM joined j
+  LEFT JOIN matched m ON m.doc_id = j.doc_id
+  LEFT JOIN dl ON dl.doc_id = j.doc_id
+  GROUP BY j.doc_id, j.provenance, j.similarity, dl.dl
+),
+scored AS (SELECT doc_id, provenance, {mlp} AS s FROM feats)
+SELECT doc_id, CAST(CAST(s AS REAL) AS DOUBLE) AS ltr_score, provenance
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+"""
+
+
+SQL_HYBRID_LTR = _sql_hybrid_ltr()
+
+
+def q_exact_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = gate_engine(spark, sf_dir)
+    out = eng.search(
+        " or ".join(HYBRID_QUERY_TERMS),
+        top_k=EXACT_LTR_TOP_K,
+        ltr_enabled=True,
+        ltr_weights=_gate_mlp_npz(),
+        pre_select_k=EXACT_LTR_PRE_K,
+    )
+    return out.select(
+        "doc_id",
+        F.col("score").cast("float").cast("double").alias("score"),
+        F.col("ltr_score").cast("float").cast("double").alias("ltr_score"),
+    )
+
+
+def _sql_exact_ltr() -> str:
+    mlp = LTR.mlp_score_sql(GATE_MLP_WEIGHTS, GATE_FEATURE_SQL)
+    return f"""
+WITH {_hybrid_cte_prefix()},
+{_ltr_feature_ctes()},
+matched AS (
+  SELECT e.doc_id, qt.term, qt.bm25_term, tp.fp
+  FROM exact e
+  JOIN qt ON qt.doc_id = e.doc_id
+  JOIN tpos tp ON tp.doc_id = e.doc_id AND tp.term = qt.term
+),
+feats AS (
+  SELECT e.doc_id, e.bm25,
+    COALESCE(SUM(m.bm25_term), 0.0) AS f_bm25,
+    CAST(COALESCE(dl.dl, 0) AS DOUBLE) AS f_len,
+    COALESCE(CAST(SUM(1) AS DOUBLE) / 3.0, 0.0) AS f_cov,
+    CAST(COALESCE(MIN(m.fp), -1) AS DOUBLE) AS f_first,
+    0.0 AS f_sim
+  FROM exact e
+  LEFT JOIN matched m ON m.doc_id = e.doc_id
+  LEFT JOIN dl ON dl.doc_id = e.doc_id
+  GROUP BY e.doc_id, e.bm25, dl.dl
+),
+scored AS (SELECT doc_id, bm25, {mlp} AS s FROM feats)
+SELECT doc_id,
+       CAST(CAST(bm25 AS REAL) AS DOUBLE) AS score,
+       CAST(CAST(s AS REAL) AS DOUBLE) AS ltr_score
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {EXACT_LTR_TOP_K}
+"""
+
+
+SQL_EXACT_LTR = _sql_exact_ltr()
 
 LTR_QUERY = "spark or data"
 
@@ -674,7 +851,10 @@ feat AS (
 SELECT doc_id,
   CAST(CAST(SUM(bm25_term) AS REAL) AS DOUBLE) AS bm25,
   CAST(MIN(dl) AS DOUBLE) AS dl,
-  CAST(COUNT(*) AS DOUBLE) / 2 AS coverage
+  -- denominator 3, not 2: query-mode tokenization keeps operator words
+  -- ("spark or data" -> 3 tokens), the reference's coverage quirk
+  -- (sea/tokenizer.pyx:21-23, feature_mapping.pyx:39,44)
+  CAST(SUM(1) AS DOUBLE) / 3.0 AS coverage
 FROM feat GROUP BY doc_id
 """
 
@@ -865,6 +1045,8 @@ def queries():
         "bm25_two_field_topk": q_bm25_two_field_topk,
         "spell_suggest": q_spell_suggest,
         "hybrid_search": q_hybrid_search,
+        "hybrid_ltr": q_hybrid_ltr,
+        "exact_ltr": q_exact_ltr,
         "ltr_features": q_ltr_features,
         "search_snippets": q_search_snippets,
     }
@@ -896,6 +1078,8 @@ def oracle_sql():
         "bm25_two_field_topk": SQL_BM25_TWO_FIELD_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "hybrid_search": SQL_HYBRID_SEARCH,
+        "hybrid_ltr": SQL_HYBRID_LTR,
+        "exact_ltr": SQL_EXACT_LTR,
         "ltr_features": SQL_LTR_FEATURES,
         "search_snippets": SQL_SEARCH_SNIPPETS,
     }

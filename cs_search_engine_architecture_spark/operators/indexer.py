@@ -482,6 +482,20 @@ def _finalize_index(
     )
     _PHASES["term_stats_write"] = time.time() - _t
 
+    # per-doc field lengths (one row per doc): the LTR feature path needs
+    # lengths for docs that match NO query term (the reference re-tokenizes
+    # the doc on the fly for semantic-only hits — ``sea/engine.pyx:225-277``;
+    # here the lengths are read back from this tiny side table instead).
+    # Every posting of a doc carries identical field_lens, so F.first is
+    # exact; the aggregate is one narrow shuffle on doc_id.
+    _t = time.time()
+    postings.groupBy("doc_id").agg(
+        *[F.first(f"fl_{f}").alias(f"fl_{f}") for f in range(nf)]
+    ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
+        os.path.join(out_path, "doc_lens")
+    )
+    _PHASES["doc_lens_write"] = time.time() - _t
+
     wall = time.time() - t0
     meta = {
         "num_documents": int(num_documents),
@@ -661,3 +675,13 @@ def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.schema(
         "term string, df long, idf double, term_bucket int"
     ).parquet(os.path.join(index_path, "term_stats"))
+
+
+def load_doc_lens(spark: SparkSession, index_path: str, num_fields: int) -> DataFrame:
+    """(doc_id, fl_0..fl_{nf-1}) side table written by the build; docs
+    with zero postings (all-empty fields) have no row — readers coalesce
+    missing lengths to 0, matching the tokenizer's empty-field length."""
+    cols = ", ".join(f"fl_{f} int" for f in range(num_fields))
+    return spark.read.schema(f"doc_id long, {cols}").parquet(
+        os.path.join(index_path, "doc_lens")
+    )

@@ -59,15 +59,33 @@ def feature_frame(
     k: float = 1.5,
     bs: list[float] | None = None,
     similarity: DataFrame | None = None,
+    universe: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``matched``: one row per (doc_id, term) with ``field_freqs``,
     ``field_lens``, ``positions``, ``idf``. Returns one row per doc_id
-    with the R1 feature columns."""
+    with the R1 feature columns.
+
+    ``weight_col`` (optional int/double column on ``matched``) multiplies
+    each row's bm25 and coverage contribution — the reference's hybrid
+    ``merge_postings`` concatenates the exact and the semantic posting's
+    token lists for docs found by BOTH paths (``sea/posting_list.pyx:
+    7-21``), so ``get_features`` counts every matched term twice for
+    those docs; weight=2 reproduces that exactly (2·x == x+x in IEEE).
+
+    ``universe`` (doc_id frame) extends the output to docs that match no
+    query term at all (semantic-only hits): their bm25/coverage are 0,
+    first_pos is -1, and field lengths come from ``doc_lens`` (the
+    ``indexer`` side table) — mirroring ``simulate_search_result``'s
+    zero-token feature rows (``sea/engine.pyx:225-277``,
+    ``feature_mapping.pyx:28-53``)."""
     bs = bs or [0.75] * num_fields
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     per_term = matched.select(
         "doc_id",
         *[
-            querytime_bm25_col(i, avg_field_lengths[i], k, bs[i]).alias(
+            (querytime_bm25_col(i, avg_field_lengths[i], k, bs[i]) * w).alias(
                 f"_bm25_{i}"
             )
             for i in range(num_fields)
@@ -79,12 +97,13 @@ def feature_frame(
         F.when(
             F.size("positions") > 0, F.element_at("positions", 1)
         ).alias("_first_pos"),
+        w.alias("_w"),
     )
     nq = float(max(num_query_terms, 1))
     agg = per_term.groupBy("doc_id").agg(
         *[F.sum(f"_bm25_{i}").alias(f"bm25_f{i}") for i in range(num_fields)],
         *[F.first(f"_len_{i}").alias(f"len_f{i}") for i in range(num_fields)],
-        (F.count(F.lit(1)) / F.lit(nq)).alias("_coverage"),
+        (F.sum("_w") / F.lit(nq)).alias("_coverage"),
         F.min("_first_pos").alias("_first_pos_min"),
     )
     out = agg.select(
@@ -99,8 +118,39 @@ def feature_frame(
         .cast("double")
         .alias("first_pos"),
     )
+    if universe is not None:
+        out = universe.select("doc_id").join(out, "doc_id", "left")
+        if doc_lens is not None:
+            out = out.join(F.broadcast(doc_lens), "doc_id", "left")
+        fills = []
+        for i in range(num_fields):
+            fallback = (
+                F.col(f"fl_{i}").cast("double")
+                if doc_lens is not None
+                else F.lit(None).cast("double")
+            )
+            fills.append(
+                F.coalesce(F.col(f"len_f{i}"), fallback, F.lit(0.0)).alias(
+                    f"len_f{i}"
+                )
+            )
+        out = out.select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(f"bm25_f{i}"), F.lit(0.0)).alias(f"bm25_f{i}")
+                for i in range(num_fields)
+            ],
+            *fills,
+            *[
+                F.coalesce(F.col(f"coverage_f{i}"), F.lit(0.0)).alias(
+                    f"coverage_f{i}"
+                )
+                for i in range(num_fields)
+            ],
+            F.coalesce(F.col("first_pos"), F.lit(-1.0)).alias("first_pos"),
+        )
     if similarity is not None:
-        out = out.join(similarity, "doc_id", "left").withColumn(
+        out = out.join(F.broadcast(similarity), "doc_id", "left").withColumn(
             "similarity", F.coalesce(F.col("similarity"), F.lit(0.0))
         )
     else:
@@ -112,6 +162,17 @@ FEATURE_ORDER_2F = [
     "bm25_f0", "bm25_f1", "len_f0", "len_f1",
     "coverage_f0", "coverage_f1", "first_pos", "similarity",
 ]
+
+
+def feature_order(num_fields: int) -> list[str]:
+    """Reference 8-feature layout generalized to ``nf`` fields
+    (``feature_mapping.pyx:17-26``; nf=2 reproduces it exactly)."""
+    return (
+        [f"bm25_f{i}" for i in range(num_fields)]
+        + [f"len_f{i}" for i in range(num_fields)]
+        + [f"coverage_f{i}" for i in range(num_fields)]
+        + ["first_pos", "similarity"]
+    )
 
 
 class ListNetScorer:
@@ -133,10 +194,70 @@ class ListNetScorer:
         self.stds = z["stds"]
 
     def score(self, feats: np.ndarray) -> np.ndarray:
+        """Inference with STRICT LEFT-FOLD dot products (per output unit:
+        ``(((x0·w0 + x1·w1) + x2·w2) … + b)``), not matmul: BLAS reorders
+        the summation, which diverges from the SQL mirror generated by
+        ``mlp_score_sql`` in the last ulp. Left folds make the float64
+        result bit-identical to the DuckDB/Spark-SQL expression tree —
+        the gate's dual-dialect policy (CLAUDE.md invariants). Layers are
+        tiny (≤64 units over ≤top-k rows), so the loop cost is nil."""
         x = (feats - self.means) / np.where(self.stds == 0, 1.0, self.stds)
-        x = np.maximum(x @ self.w[0] + self.b[0], 0.0)
-        x = np.maximum(x @ self.w[1] + self.b[1], 0.0)
-        return (x @ self.w[2] + self.b[2]).reshape(-1)
+        x = _affine_leftfold(x, self.w[0], self.b[0], relu=True)
+        x = _affine_leftfold(x, self.w[1], self.b[1], relu=True)
+        return _affine_leftfold(x, self.w[2], self.b[2], relu=False).reshape(-1)
+
+
+def _affine_leftfold(
+    x: np.ndarray, w: np.ndarray, b: np.ndarray, relu: bool
+) -> np.ndarray:
+    """Per-unit strict left fold, vectorized over rows (each element's
+    additions happen in the same IEEE order as the generated SQL)."""
+    cols = []
+    for j in range(w.shape[1]):
+        acc = x[:, 0] * w[0, j]
+        for i in range(1, w.shape[0]):
+            acc = acc + x[:, i] * w[i, j]
+        acc = acc + b[j]
+        cols.append(np.maximum(acc, 0.0) if relu else acc)
+    return np.stack(cols, axis=1)
+
+
+def _lit(v: float) -> str:
+    """Exact double literal for SQL: repr() round-trips the float64 and
+    the CAST keeps DuckDB from parsing it as DECIMAL."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def mlp_score_sql(weights: dict, feature_exprs: list[str]) -> str:
+    """One SQL expression computing ``ListNetScorer.score`` over per-row
+    feature expressions — valid in BOTH Spark SQL and DuckDB (only
+    arithmetic + ``greatest``), bit-identical to the numpy left-fold
+    scorer by construction. ``weights``: w0,b0,w1,b1,w2,b2,means,stds
+    (arrays / nested lists)."""
+    import numpy as np  # noqa: F811 — local for nested-list inputs
+
+    w = {k_: np.asarray(v, dtype=np.float64) for k_, v in weights.items()}
+    stds = np.where(w["stds"] == 0, 1.0, w["stds"])
+    z = [
+        f"((({e}) - {_lit(m)}) / {_lit(s)})"
+        for e, m, s in zip(feature_exprs, w["means"], stds)
+    ]
+
+    def layer(inputs: list[str], wm, bv, relu: bool) -> list[str]:
+        outs = []
+        for j in range(wm.shape[1]):
+            acc = f"(({inputs[0]}) * {_lit(wm[0, j])})"
+            for i in range(1, wm.shape[0]):
+                acc = f"({acc} + (({inputs[i]}) * {_lit(wm[i, j])}))"
+            acc = f"({acc} + {_lit(bv[j])})"
+            outs.append(
+                f"greatest(CAST(0.0 AS DOUBLE), {acc})" if relu else acc
+            )
+        return outs
+
+    h = layer(z, w["w0"], w["b0"], relu=True)
+    h = layer(h, w["w1"], w["b1"], relu=True)
+    return layer(h, w["w2"], w["b2"], relu=False)[0]
 
 
 def train_listnet(
@@ -219,6 +340,50 @@ def train_listnet(
     if weights_path:
         np.savez(weights_path, **weights)
     return {"losses": losses, "weights": weights}
+
+
+# ------------------------------------------------ ranking-quality metrics
+#
+# numpy ports of the reference's evaluation metrics
+# (``sea/learning_to_rank/train.py:29-72`` — dcgs_at_k / ndcg_at_k /
+# mrr_at_k): exponential gains 2^rel - 1, log2(rank+1) discounts,
+# idcg + 1e-8 guard, and MRR's "first hit of the max relevance" rule.
+
+
+def dcg_at_k(pred: "np.ndarray", rel: "np.ndarray", k: int) -> float:
+    """DCG@k of one query group: docs ordered by ``pred`` descending
+    (stable — ties keep input order, the deterministic analog of the
+    reference's torch.sort)."""
+    k = min(k, len(pred))
+    order = np.argsort(-np.asarray(pred, dtype=np.float64), kind="stable")[:k]
+    gains = 2.0 ** np.asarray(rel, dtype=np.float64)[order] - 1.0
+    discounts = np.log2(np.arange(1, k + 1, dtype=np.float64) + 1.0)
+    return float((gains / discounts).sum())
+
+
+def ndcg_at_k(pred: "np.ndarray", rel: "np.ndarray", k: int) -> float:
+    """NDCG@k of one query group (reference ``train.py:46-53``)."""
+    rel = np.asarray(rel, dtype=np.float64)
+    return dcg_at_k(pred, rel, k) / (dcg_at_k(rel, rel, k) + 1e-8)
+
+
+def mrr_at_k(pred: "np.ndarray", rel: "np.ndarray", k: int) -> float:
+    """MRR@k of one query group: reciprocal rank of the first top-k
+    position holding the group's MAX relevance, 0 if none
+    (reference ``train.py:56-72``)."""
+    rel = np.asarray(rel, dtype=np.float64)
+    k = min(k, len(pred))
+    order = np.argsort(-np.asarray(pred, dtype=np.float64), kind="stable")[:k]
+    hits = rel[order] == rel.max()
+    idx = np.flatnonzero(hits)
+    return float(1.0 / (idx[0] + 1.0)) if idx.size else 0.0
+
+
+def mean_metric(metric, pred_groups, rel_groups, k: int) -> float:
+    """Mean of a per-group metric over query groups (the reference
+    averages over the batch dimension)."""
+    vals = [metric(p, r, k) for p, r in zip(pred_groups, rel_groups)]
+    return float(np.mean(vals)) if vals else 0.0
 
 
 def rerank(

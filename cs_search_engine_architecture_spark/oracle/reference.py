@@ -100,6 +100,8 @@ class OracleIndex:
         summed_field_lengths = [0] * num_fields
         index: dict[str, dict[int, Posting]] = {}
 
+        self.doc_field_lengths: dict[int, list[int]] = {}
+        self.doc_terms: dict[int, dict[str, Posting]] = {}
         for doc_id, fields in docs:
             self.num_documents += 1
             per_doc: dict[str, Posting] = {}
@@ -116,6 +118,8 @@ class OracleIndex:
                     p.positions.append(pos)
             for f_idx in range(num_fields):
                 summed_field_lengths[f_idx] += field_lengths[f_idx]
+            self.doc_field_lengths[doc_id] = field_lengths
+            self.doc_terms[doc_id] = per_doc
             for tok, p in per_doc.items():
                 # field_lengths list is shared by reference postings too
                 # (sea/corpus.pyx:168) and is final after the doc loop
@@ -294,3 +298,151 @@ class OracleIndex:
 
     def search_all(self, query: str) -> list[tuple[int, float]]:
         return self.search(query, top_k=1 << 62)
+
+    # ---- LTR feature matrix + hybrid search (R1/R2/R4 parity) ----
+    #
+    # Mirrors ``get_features`` (``sea/learning_to_rank/
+    # feature_mapping.pyx:10-53``) generalized to nf fields, and
+    # ``combined_search`` (``sea/engine.pyx:612-658``): the union
+    # concatenates exact and semantic postings' token entries for docs in
+    # both (``merge_postings``, ``sea/posting_list.pyx:7-21``) so matched
+    # terms double-count; the MLP re-ranks the whole union. Deviation
+    # (documented): features accumulate in float64, not the reference's
+    # float32 matrix — the float32 cast happens at the comparison
+    # boundary, per the repo-wide float policy.
+
+    def _query_token_count(self, query: str) -> int:
+        """``tokenized_query.tokens.size()`` — query-mode tokenization
+        KEEPS operator words (``sea/tokenizer.pyx:21-23``), so they count
+        toward the coverage denominator (reference quirk)."""
+        toks, _ = tokenize(query, is_query=True, analyzer=self.analyzer)
+        return len(toks)
+
+    def _feature_row(
+        self,
+        doc_id: int,
+        entries: list[tuple[str, Posting]],
+        similarity: float,
+        num_query_tokens: int,
+    ) -> list[float]:
+        nf = self.num_fields
+        bm25 = [0.0] * nf
+        coverage = 0.0
+        first_pos = None
+        for term, p in entries:
+            idf = self.idf[term]
+            for f in range(nf):
+                tf = float(p.field_frequencies[f])
+                denom = tf + self.bm25_k * (
+                    1.0
+                    - self.bm25_bs[f]
+                    + self.bm25_bs[f]
+                    * (p.field_lengths[f] / self.avg_field_lengths[f])
+                )
+                if denom > 0:
+                    bm25[f] += idf * tf * (self.bm25_k + 1.0) / denom
+            coverage += 1.0 / num_query_tokens if num_query_tokens > 0 else 0.0
+            if p.positions:
+                fp = p.positions[0]
+                first_pos = fp if first_pos is None else min(first_pos, fp)
+        lens = [
+            float(x)
+            for x in self.doc_field_lengths.get(doc_id, [0] * nf)
+        ]
+        return (
+            bm25
+            + lens
+            + [coverage] * nf
+            + [float(first_pos) if first_pos is not None else -1.0, similarity]
+        )
+
+    def exact_search_ltr(
+        self, query: str, scorer, pre_select_k: int = 50, top_k: int = 10
+    ) -> list[tuple[int, float]]:
+        """``exact_search(..., ltr_enabled=True)`` (``sea/engine.pyx:
+        584-607``): BM25 top-``pre_select_k``, MLP re-rank, top-k by
+        (ltr_score desc, doc_id asc)."""
+        nq = self._query_token_count(query)
+        top = self.search(query, pre_select_k)
+        rows = []
+        for doc_id, _ in top:
+            entries = [
+                (t, self.doc_terms[doc_id][t])
+                for t in self._matched_terms(query, doc_id)
+            ]
+            rows.append((doc_id, self._feature_row(doc_id, entries, 0.0, nq)))
+        if not rows:
+            return []
+        scores = scorer(np.array([r[1] for r in rows], dtype=np.float64))
+        ranked = sorted(
+            zip((r[0] for r in rows), scores), key=lambda x: (-x[1], x[0])
+        )
+        return [(d, float(s)) for d, s in ranked[:top_k]]
+
+    def _matched_terms(self, query: str, doc_id: int) -> list[str]:
+        """Distinct query leaf terms present in ``doc_id`` (= the token
+        entries an exact OR/AND traversal accumulates for the doc, and
+        the entries ``simulate_search_result`` builds for semantic hits)."""
+        ast = parse_query(query, analyzer=self.analyzer)
+        leaves: list[str] = []
+
+        def walk(node):
+            if not node:
+                return
+            if node["type"] == "token":
+                if node["value"] not in leaves:
+                    leaves.append(node["value"])
+            elif node["type"] == "phrase":
+                for v in node["values"]:
+                    if v not in leaves:
+                        leaves.append(v)
+            else:
+                walk(node.get("left"))
+                walk(node.get("right"))
+
+        walk(ast)
+        return [t for t in leaves if t in self.doc_terms.get(doc_id, {})]
+
+    def combined_search(
+        self,
+        query: str,
+        sims: dict[int, float],
+        scorer,
+        exact_k: int = 50,
+        sem_k: int = 50,
+        top_k: int = 10,
+    ) -> list[tuple[int, float, str]]:
+        """Reference hybrid: exact top-``exact_k`` ∪ semantic
+        top-``sem_k`` (``sims``: doc_id -> cosine over the WHOLE corpus),
+        features with the both-docs double-count, MLP re-rank of the
+        union, top-k by (ltr_score desc, doc_id asc). Returns
+        (doc_id, ltr_score, provenance)."""
+        nq = self._query_token_count(query)
+        exact_ids = [d for d, _ in self.search(query, exact_k)]
+        sem_ids = [
+            d
+            for d, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :sem_k
+            ]
+        ]
+        union = sorted(set(exact_ids) | set(sem_ids))
+        rows = []
+        for doc_id in union:
+            in_e, in_s = doc_id in exact_ids, doc_id in sem_ids
+            prov = "both" if (in_e and in_s) else ("exact" if in_e else "semantic")
+            mult = 2 if prov == "both" else 1
+            entries = [
+                (t, self.doc_terms[doc_id][t])
+                for t in self._matched_terms(query, doc_id)
+            ] * mult
+            sim = float(sims.get(doc_id, 0.0)) if in_s else 0.0
+            rows.append(
+                (doc_id, prov, self._feature_row(doc_id, entries, sim, nq))
+            )
+        if not rows:
+            return []
+        scores = scorer(np.array([r[2] for r in rows], dtype=np.float64))
+        ranked = sorted(
+            zip(rows, scores), key=lambda x: (-x[1], x[0][0])
+        )
+        return [(r[0], float(s), r[1]) for r, s in ranked[:top_k]]

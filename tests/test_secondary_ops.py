@@ -131,7 +131,10 @@ def test_ltr_features_shape_and_values(engine):
         "similarity",
     }
     for row in rows:
-        assert row["coverage_f0"] in (0.5, 1.0)  # 2-term query
+        # "spark and window" = 3 query-mode tokens: operator words count
+        # toward the coverage denominator (sea/tokenizer.pyx:21-23,
+        # feature_mapping.pyx:39,44)
+        assert row["coverage_f0"] in (1.0 / 3.0, 2.0 / 3.0)
         assert row["first_pos"] >= 0
         assert row["similarity"] == 0.0
 
