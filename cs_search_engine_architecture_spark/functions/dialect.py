@@ -197,11 +197,16 @@ def hyperplane_dot(dialect: str, emb: str, plane: int, dims: int) -> str:
     return reduce_double(dialect, terms, "(acc, x) -> acc + x")
 
 
-def lsh_bucket(dialect: str, emb: str, num_planes: int, dims: int) -> str:
+def lsh_bucket(
+    dialect: str, emb: str, num_planes: int, dims: int, offset: int = 0
+) -> str:
     """Random-hyperplane LSH bucket id: sign bits of ``num_planes``
-    hyperplane dot products packed into an integer."""
+    hyperplane dot products packed into an integer. ``offset`` selects a
+    disjoint plane family (band b of banded LSH uses planes
+    ``[b·P, (b+1)·P)``), so multiple independent bucketings can be
+    derived from one deterministic md5 plane source."""
     bits = " + ".join(
-        f"(case when {hyperplane_dot(dialect, emb, p, dims)} > 0 "
+        f"(case when {hyperplane_dot(dialect, emb, offset + p, dims)} > 0 "
         f"then {1 << p} else 0 end)"
         for p in range(num_planes)
     )

@@ -420,21 +420,71 @@ FROM cand JOIN shl x ON x.doc_id = cand.doc_a
 WHERE jaccard >= {JACCARD_MIN}
 """
 
-EMB_DUP_MIN_COS = 0.5
+EMB_DUP_MIN_COS = 0.4  # 24 bucketed pairs at sf0.01 (0.5 collides none)
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the SCALE path: banded-LSH candidates →
+    exact-cosine verify (the crossJoin baseline is test-only). The
+    oracle mirrors the banded candidate generation from the same
+    dialect fragments, so the gate checks the operator's defined
+    semantics exactly; recall vs the exhaustive baseline is covered by
+    ``tests/test_pipeline_ops.py``."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return DD.embedding_dup_pairs(emb, min_cosine=EMB_DUP_MIN_COS)
+    return DD.embedding_dup_pairs_bucketed(emb, min_cosine=EMB_DUP_MIN_COS)
 
 
-SQL_DEDUP_EMBEDDING_PAIRS = f"""
+def _sql_dedup_embedding_pairs() -> str:
+    p = DD.EMB_PLANES_PER_BAND
+    bucket_cols = ", ".join(
+        f"{D.lsh_bucket(D.DUCKDB, 'embedding', p, DD.EMB_DIMS, offset=b * p)}"
+        f" AS b{b}"
+        for b in range(DD.EMB_NUM_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, b{b} AS bucket FROM w"
+        for b in range(DD.EMB_NUM_BANDS)
+    )
+    return f"""
 WITH w AS (SELECT vec_id AS id, embedding AS v,
-           {D.l2_norm(D.DUCKDB, "embedding")} AS nrm FROM embeddings)
-SELECT a.id id_a, b.id id_b,
-  CAST(CAST({D.dot_product(D.DUCKDB, "a.v", "b.v")} / (a.nrm * b.nrm)
+           {D.l2_norm(D.DUCKDB, "embedding")} AS nrm,
+           {bucket_cols}
+           FROM embeddings),
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+  CAST(CAST({D.dot_product(D.DUCKDB, "x.v", "y.v")} / (x.nrm * y.nrm)
        AS REAL) AS DOUBLE) AS cos
-FROM w a, w b WHERE a.id < b.id AND cos >= {EMB_DUP_MIN_COS}
+FROM cand JOIN w x ON x.id = cand.id_a JOIN w y ON y.id = cand.id_b
+WHERE cos >= {EMB_DUP_MIN_COS}
+"""
+
+
+SQL_DEDUP_EMBEDDING_PAIRS = _sql_dedup_embedding_pairs()
+
+SIMHASH_NEAR_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (Hamming ≤ 3) via the banded-byte join; the
+    oracle is a BRUTE-FORCE Hamming scan, so this gate row proves the
+    banding's pigeonhole recall claim, not just self-consistency."""
+    return DD.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_NEAR_MAX_HAMMING
+    )
+
+
+SQL_DEDUP_SIMHASH_NEAR = f"""
+WITH occ AS (SELECT doc_id, unnest({D.tokens(D.DUCKDB)}) AS term
+             FROM documents),
+s AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM occ GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_DUCK_SIMHASH_PACK} AS BIGINT) AS simhash FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_NEAR_MAX_HAMMING}
 """
 
 
@@ -1037,6 +1087,7 @@ def queries():
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1070,6 +1121,7 @@ def oracle_sql():
         "dedup_minhash_sigs": SQL_DEDUP_MINHASH_SIGS,
         "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_simhash_near": SQL_DEDUP_SIMHASH_NEAR,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,

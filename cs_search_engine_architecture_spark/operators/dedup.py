@@ -11,13 +11,16 @@ no dedup). Shapes chosen for 100 TB operation:
   key is the banded bucket hash, so candidate generation touches only
   colliding rows instead of the O(n²) cross product; band buckets are
   near-uniform (md5), so the shuffle is skew-free by construction.
-* **SimHash** — 32-bit sign-of-weighted-sum fingerprint; near-dup pairs
-  join on the exact fingerprint (or banded substrings for Hamming>0).
+* **SimHash** — 32-bit sign-of-weighted-sum fingerprint; exact pairs
+  join on the fingerprint, near pairs (Hamming ≤ 3) via the banded-byte
+  join in ``simhash_near_pairs`` (pigeonhole-complete, then
+  ``bit_count(xor)`` verify).
 * **n-gram Jaccard** — verification stage over LSH candidates only
   (never all pairs): candidates × shingle-set intersection/union.
-* **embedding cosine** — thresholded pair detection; the scale path
-  pre-buckets by random-hyperplane LSH (see ``similarity.py``) and only
-  scores within buckets.
+* **embedding cosine** — ``embedding_dup_pairs_bucketed``: banded
+  random-hyperplane LSH candidates (same fragments as
+  ``similarity.py``) → exact-cosine verify; the cross-join variant is
+  the test-only exactness baseline.
 
 Everything is built from ``functions.dialect`` fragments so the DuckDB
 oracles in ``gate.py`` are bit-identical; Spark expressions are
@@ -133,7 +136,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_a, doc_b) pairs with identical SimHash (Hamming distance 0;
-    banded-substring join generalizes to distance>0)."""
+    ``simhash_near_pairs`` generalizes to distance > 0)."""
     sh = simhash(df, text_col)
     a, b = sh.alias("a"), sh.alias("b")
     return (
@@ -145,6 +148,71 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("simhash"),
         )
     )
+
+
+SIMHASH_BANDS = 4  # 4 bytes of the 32-bit fingerprint
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with SimHash Hamming distance ≤
+    ``max_hamming`` — the actual point of SimHash near-dup detection.
+
+    Banded-substring join: the 32-bit fingerprint splits into 4 byte
+    bands; by pigeonhole, Hamming ≤ 3 implies at least one UNTOUCHED
+    band, so an equi-join per (band, byte) has 100% recall for distance
+    ≤ 3 (exhaustiveness is provable, not probabilistic — the DuckDB gate
+    oracle cross-checks it against a brute-force Hamming scan). The
+    verify stage then computes the exact distance with
+    ``bit_count(xor)`` on candidates only.
+
+    100 TB shape: explode ×4 then an equi-join on near-uniform byte
+    keys — same skew-free bucketed-join plan as the MinHash LSH path;
+    never an all-pairs product. Requires ``max_hamming < SIMHASH_BANDS``
+    (guaranteed ≥1 clean band)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banded join guarantees recall only for max_hamming < "
+            f"{SIMHASH_BANDS}"
+        )
+    sh = simhash(df, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned("simhash", 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "byte"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        .cast("int")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -185,24 +253,133 @@ def ngram_jaccard_pairs(
     )
 
 
+EMB_NUM_BANDS = 4
+EMB_PLANES_PER_BAND = 4
+EMB_DIMS = 64
+
+
+def _emb_with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(D.l2_norm(D.SPARK, vec_col)).alias("nrm"),
+    )
+
+
+def embedding_cosine_verify(
+    candidates: DataFrame,
+    emb: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verify stage over (id_a, id_b) candidate pairs —
+    the embedding analog of ``ngram_jaccard_pairs``' verification: at
+    100 TB only candidates are scored, never the cross product. Cosine
+    is the shared double-precision left fold, float32-cast (gate
+    policy)."""
+    withn = _emb_with_norm(emb, id_col, vec_col)
+    a = withn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = withn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "va", "vb"))
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cos.cast("float").cast("double").alias("cos"),
+        )
+        .where(F.col("cos") >= min_cosine)
+    )
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    num_bands: int = EMB_NUM_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    dims: int = EMB_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 random-hyperplane LSH
+    bucket across ``num_bands`` independent plane families (band b uses
+    planes [b·P, (b+1)·P) of the deterministic md5 plane source — the
+    same fragments as ``similarity.lsh_buckets``).
+
+    This is the MinHash-LSH shape applied to vectors: explode to
+    (band, bucket), self-join per band. Bucket keys are sign-bit
+    patterns (near-uniform on centered data), so the shuffle is
+    skew-free; recall for cosine ≥ c is 1-(1-((1-θ/π)^P))^B per the
+    hyperplane-LSH collision bound, tunable via bands."""
+    bands = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            D.lsh_bucket(
+                                D.SPARK, vec_col, planes_per_band, dims,
+                                offset=b * planes_per_band,
+                            )
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_dup_pairs_bucketed(
+    emb: DataFrame,
+    min_cosine: float = 0.95,
+    num_bands: int = EMB_NUM_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    dims: int = EMB_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) near-dup pairs, LSH-bucketed candidates →
+    exact-cosine verify. THE scale path: candidate generation is a
+    banded bucket self-join (O(collisions), not O(n²)); the verifier
+    scores candidates only — the same two-stage shape as
+    MinHash-LSH → Jaccard for text."""
+    cand = embedding_lsh_candidates(
+        emb, num_bands, planes_per_band, dims, id_col, vec_col
+    )
+    return embedding_cosine_verify(cand, emb, min_cosine, id_col, vec_col)
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
-
-    This is the exact verifier. At scale, feed it candidate pairs from
-    ``similarity.lsh_buckets`` (same-bucket join) instead of the cross
-    join used here for small inputs; cosine is computed with the same
-    double-precision fold either way, then cast through float32 (the
-    gate's float policy)."""
-    withn = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(D.l2_norm(D.SPARK, vec_col)).alias("nrm"),
-    )
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold via an exhaustive
+    cross join. TEST/SMALL-INPUT ONLY — the O(n²) exactness baseline for
+    measuring ``embedding_dup_pairs_bucketed``'s recall; every
+    production path uses the bucketed variant."""
+    withn = _emb_with_norm(emb, id_col, vec_col)
     a = withn.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

@@ -105,6 +105,60 @@ def test_embedding_dup_pairs(spark):
     assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
 
 
+def test_simhash_near_pairs_matches_bruteforce(docs):
+    """Banded-byte join recall is provably total for Hamming ≤ 3
+    (pigeonhole over 4 byte bands) — cross-check against brute force."""
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert any(h == 0 for _, _, h in got)  # the exact dup (0, 2)
+    with pytest.raises(ValueError):
+        DD.simhash_near_pairs(docs, max_hamming=4)
+
+
+def test_embedding_bucketed_dedup(spark):
+    """Bucketed LSH candidates find planted near-dups while generating
+    far fewer than n² candidate pairs."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)]
+    # plant near-dups: 200+i is a tiny perturbation of i (i < 5)
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((200 + i, [x + rng.gauss(0, 0.01) for x in base]))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    n = len(rows)
+    cand = DD.embedding_lsh_candidates(emb)
+    n_cand = cand.count()
+    assert n_cand < n * (n - 1) // 2 / 4, (
+        f"{n_cand} candidates is not sub-quadratic"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs_bucketed(emb, min_cosine=0.99).collect()
+    }
+    assert {(i, 200 + i) for i in range(5)} <= pairs
+    # verify stage agrees with the exhaustive baseline on the planted set
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_dup_pairs(emb, min_cosine=0.99).collect()
+    }
+    assert pairs <= exact
+
+
 # ------------------------------------------------------- similarity
 
 def test_brute_force_vs_lsh_topk(spark):
