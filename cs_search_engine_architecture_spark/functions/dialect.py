@@ -172,6 +172,26 @@ def dot_product(dialect: str, a: str, b: str) -> str:
     )
 
 
+def l2_dist_sq(dialect: str, a: str, b: str) -> str:
+    """Σ (a[i]-b[i])² in double precision, STRICT LEFT FOLD — the IVF
+    assignment metric. The Spark-side numpy kernel (``similarity.
+    ivf_assign``) accumulates dimensions in the same order, so cell
+    assignments agree bitwise with the DuckDB oracle."""
+    if _d(dialect):
+        sq = (
+            f"list_transform(list_zip({a}, {b}), p -> "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return reduce_double(dialect, sq, "(acc, v) -> acc + v")
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def l2_norm(dialect: str, a: str) -> str:
     sq = transform(dialect, a, "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")
     return f"sqrt({reduce_double(dialect, sq, '(acc, v) -> acc + v')})"

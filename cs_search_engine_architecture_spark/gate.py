@@ -520,6 +520,53 @@ ORDER BY cos DESC, id ASC LIMIT 10
 
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
+IVF_NUM_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF probe: cells written ``partitionBy(cell)`` once
+    per sf (cached in /tmp), query = partition-pruned scan of the 4
+    nearest cells + exact cosine. Centroids are the embeddings of
+    vec_ids 1..16 (deterministic + SQL-expressible; production swaps in
+    ``kmeans_centroids`` with identical machinery)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = f"{abs(hash(sf_dir)) % 10**8}_ivf_{GATE_VERSION}"
+    path = os.path.join("/tmp/spark_sea_gate", tag)
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        cents = SIM.fixed_vec_centroids(emb, IVF_NUM_CENTROIDS)
+        SIM.build_ivf_index(emb.where("vec_id != 0"), path, cents)
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return SIM.ivf_search(spark, path, qvec, k=10, n_probe=IVF_N_PROBE)
+
+
+def _sql_ann_ivf_topk() -> str:
+    qdot = D.dot_product(D.DUCKDB, "w.v", "(SELECT v FROM q)")
+    d2_assign = D.l2_dist_sq(D.DUCKDB, "e.embedding", "c.cv")
+    d2_probe = D.l2_dist_sq(D.DUCKDB, "(SELECT v FROM q)", "c.cv")
+    return f"""
+WITH cents AS (SELECT vec_id - 1 AS cell, embedding AS cv FROM embeddings
+               WHERE vec_id BETWEEN 1 AND {IVF_NUM_CENTROIDS}),
+q AS (SELECT embedding AS v, {D.l2_norm(D.DUCKDB, "embedding")} AS nrm
+      FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cell, {d2_assign} AS d2
+  FROM embeddings e, cents c WHERE e.vec_id != 0
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY d2 ASC, c.cell ASC) = 1
+),
+probe AS (SELECT c.cell FROM cents c
+          ORDER BY {d2_probe} ASC, c.cell ASC LIMIT {IVF_N_PROBE}),
+w AS (SELECT id, v, {D.l2_norm(D.DUCKDB, "v")} AS nrm FROM assign
+      WHERE cell IN (SELECT cell FROM probe))
+SELECT id, CAST(CAST({qdot} / (w.nrm * (SELECT nrm FROM q)) AS REAL)
+                AS DOUBLE) AS cos
+FROM w ORDER BY cos DESC, id ASC LIMIT 10
+"""
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf_topk()
+
 
 def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.to_blob_table(_docs(spark, sf_dir)).select(
@@ -1091,6 +1138,7 @@ def queries():
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "blob_metadata": q_blob_metadata,
         "blob_decode": q_blob_decode,
         "bm25_two_field_topk": q_bm25_two_field_topk,
@@ -1125,6 +1173,7 @@ def oracle_sql():
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
         "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "blob_metadata": SQL_BLOB_METADATA,
         "blob_decode": SQL_BLOB_DECODE,
         "bm25_two_field_topk": SQL_BM25_TWO_FIELD_TOPK,

@@ -185,6 +185,27 @@ def kmeans_centroids(
     return cents
 
 
+def _l2_d2_leftfold(x, cents):
+    """(rows, C) squared distances with STRICT LEFT-FOLD accumulation
+    over dimensions — the same IEEE addition order as the
+    ``dialect.l2_dist_sq`` SQL fragment, so cell assignments agree
+    bitwise with the DuckDB gate oracle (the expanded
+    ``|x|²-2x·c+|c|²`` form differs in the last ulps and can flip
+    argmin on near-equidistant centroids). C·dims vectorized ops over
+    the batch — still Arrow-batched numpy, negligible next to I/O."""
+    import numpy as np
+
+    n, c = len(x), len(cents)
+    d2 = np.zeros((n, c), dtype=np.float64)
+    for ci in range(c):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(cents.shape[1]):
+            diff = x[:, d] - cents[ci, d]
+            acc = acc + diff * diff
+        d2[:, ci] = acc
+    return d2
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids,
@@ -192,12 +213,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, v, cell) — nearest-centroid assignment via an Arrow-batched
-    numpy kernel (the centroid matrix broadcasts in the task closure)."""
+    numpy kernel (the centroid matrix broadcasts in the task closure).
+    Ties break to the LOWEST cell index (np.argmin first-match = the
+    oracle's ORDER BY d2, cell)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    cents = centroids.copy()
+    cents = np.asarray(centroids, dtype=np.float64).copy()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,11 +228,7 @@ def ivf_assign(
             if len(x) == 0:
                 yield pd.DataFrame({"id": [], "v": [], "cell": []})
                 continue
-            d2 = (
-                (x**2).sum(axis=1, keepdims=True)
-                - 2.0 * x @ cents.T
-                + (cents**2).sum(axis=1)[None, :]
-            )
+            d2 = _l2_d2_leftfold(x, cents)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -223,6 +242,105 @@ def ivf_assign(
     )
 
 
+def fixed_vec_centroids(emb: DataFrame, num_centroids: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse quantizer: the embeddings of ids
+    1..num_centroids as centroids (cell c = vector of id c+1). Crude
+    next to k-means but fully data-derived, reproducible, and
+    SQL-expressible — what the DuckDB correctness oracle needs.
+    Production builds pass ``kmeans_centroids`` output instead; the
+    index/search machinery is identical."""
+    import numpy as np
+
+    rows = (
+        emb.where(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= num_centroids)
+        )
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: row→cell assignment written
+    ``partitionBy("cell")`` (one directory per inverted list, so a
+    probe's ``cell IN (...)`` predicate is pure partition pruning — the
+    scan reads n_probe/C of the table) + the centroid matrix as JSON.
+    The write-time mirror of ``build_ann_index`` for the quantized
+    path; fixes the anti-pattern of re-assigning the full table per
+    query (``ivf_topk`` is now test/ad-hoc only)."""
+    import json
+    import os
+
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    assigned.withColumnRenamed("id", id_col).withColumnRenamed(
+        "v", vec_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_path, "cells")
+    )
+    with open(os.path.join(out_path, "centroids.json"), "w") as fh:
+        json.dump(cents.tolist(), fh)
+
+
+def probe_cells(centroids, qvec, n_probe: int) -> list[int]:
+    """The n_probe cells nearest the query (d2 asc, cell asc — same
+    left-fold metric and tie-break as assignment)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(qvec), dtype=np.float64).reshape(1, -1)
+    d2 = _l2_d2_leftfold(q, cents)[0]
+    order = np.lexsort((np.arange(len(cents)), d2))
+    return [int(c) for c in order[:n_probe]]
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: partition-pruned scan of the
+    ``n_probe`` nearest cells + exact cosine over the candidates
+    (recall→1 as n_probe→C). No full-table work at query time."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    probe = probe_cells(centroids, qvec, n_probe)
+    qn = sum(float(x) * float(x) for x in qvec) ** 0.5
+    cand = (
+        spark.read.parquet(os.path.join(index_path, "cells"))
+        .where(F.col("cell").isin(probe))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("q", _qvec_lit(qvec))
+    )
+    cos = (
+        F.expr(D.dot_product(D.SPARK, "v", "q"))
+        / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
+    )
+    return (
+        cand.select("id", cos.cast("float").cast("double").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: Sequence[float],
@@ -232,10 +350,10 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe: score only rows in the ``n_probe`` cells nearest the
-    query. Like the LSH path, persisting the assignment partitioned by
-    ``cell`` turns the probe into partition pruning; recall grows with
-    n_probe (n_probe = num_centroids degrades to exact brute force)."""
+    """AD-HOC/TEST-ONLY IVF probe over an unpersisted frame: re-assigns
+    the whole table per query. Production queries use
+    ``build_ivf_index`` + ``ivf_search`` (partition-pruned persisted
+    cells — no full-table work at query time)."""
     import numpy as np
 
     q = np.asarray(list(qvec), dtype=np.float64)

@@ -188,6 +188,35 @@ def test_brute_force_vs_lsh_topk(spark):
         assert abs(exact_all[r["id"]] - r["cos"]) < 1e-9
 
 
+def test_persisted_ivf_index(spark, tmp_path):
+    """build_ivf_index + ivf_search: the probe must be pure partition
+    pruning (no full-table assignment at query time), agree with the
+    ad-hoc ivf_topk, and converge to exact brute force as n_probe→C."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, num_centroids=8, sample=300)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, cents)
+
+    qvec = rows[1][1]
+    got = SIM.ivf_search(spark, path, qvec, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    adhoc = SIM.ivf_topk(emb, qvec, cents, k=5, n_probe=2).collect()
+    assert [(r["id"], r["cos"]) for r in got.collect()] == [
+        (r["id"], r["cos"]) for r in adhoc
+    ]
+    # full probe == exact brute force
+    full = SIM.ivf_search(spark, path, qvec, k=5, n_probe=len(cents)).collect()
+    exact = SIM.brute_force_topk(emb, qvec, k=5).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [
+        (r["id"], r["cos"]) for r in exact
+    ]
+
+
 def test_bucket_of_matches_spark(spark):
     emb = spark.createDataFrame(
         [(0, [float(i % 7) - 3.0 for i in range(64)])],
