@@ -27,7 +27,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (
     tokenize_postings,
 )
 
-GATE_VERSION = "r2a"  # bump to invalidate /tmp gate-index caches on layout changes
+GATE_VERSION = "r2b"  # bump to invalidate /tmp gate-index caches on layout changes
 
 # shared DuckDB CTE: simple-analyzer tokenization of the documents table
 TOKS_CTE = (

@@ -158,6 +158,73 @@ def packed_postings_schema(num_fields: int) -> str:
     )
 
 
+def _vectorized_field_scan(texts, analyzer: str):
+    """Batch-vectorized scan of ONE field column: all docs of the batch
+    are joined into a single buffer (NUL separators — never alnum, so
+    run boundaries are preserved) and scanned with ONE regex pass;
+    quirk filters, stemming, and stopwords run once per UNIQUE raw
+    token (vocab-level, not per occurrence). Returns
+    ``(doc_idx, term_code, terms, pos)`` arrays over kept occurrences.
+
+    Reference quirks preserved occurrence-exactly
+    (``sea/tokenizer.pyx:81-161``): mixed-alnum drop, alpha≤50 /
+    num≤4 caps, END-OF-TEXT filter bypass (an occurrence property —
+    ``ends == doc_end`` — not a vocab property), stem-length
+    truncation, post-stem stopword removal."""
+    from cs_search_engine_architecture_spark.functions import tokenizer as TK
+
+    parts = [t if isinstance(t, str) else "" for t in texts]
+    n = len(parts)
+    lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=doc_starts[1:])
+    low = TK.ascii_lower("\x00".join(parts))
+    # token STRINGS via findall (C loop, no Match objects); token
+    # POSITIONS via a vectorized codepoint mask — UTF-32 gives one
+    # uint32 per CHAR, so offsets are char offsets even past non-ASCII
+    tok_list: list[str] = TK._RUN.findall(low)
+    if not tok_list:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, [], e
+    cp = np.frombuffer(low.encode("utf-32-le"), dtype=np.uint32)
+    mask = ((cp >= 97) & (cp <= 122)) | ((cp >= 48) & (cp <= 57))
+    edges = np.diff(
+        np.concatenate([[False], mask, [False]]).astype(np.int8)
+    )
+    starts = np.flatnonzero(edges == 1).astype(np.int64)
+    ends = np.flatnonzero(edges == -1).astype(np.int64)
+    assert len(starts) == len(tok_list)  # same [a-z0-9]+ run definition
+    codes, uniq = pd.factorize(pd.array(tok_list, dtype=object))
+    codes = codes.astype(np.int64)
+    doc_idx = np.searchsorted(doc_starts, starts, side="right") - 1
+    pos = starts - doc_starts[doc_idx]
+    uniq = list(uniq)
+    if analyzer == "reference":
+        keep_class = np.fromiter(
+            (
+                (TK._ALPHA.match(u) is not None and len(u) <= 50)
+                or (TK._NUM.match(u) is not None and len(u) <= 4)
+                for u in uniq
+            ),
+            dtype=bool,
+            count=len(uniq),
+        )
+        doc_ends = doc_starts[doc_idx] + lens[doc_idx]
+        keep = keep_class[codes] | (ends == doc_ends)
+        stemmed = [TK._stem_truncate_cached(u) for u in uniq]
+        is_stop = np.fromiter(
+            (s in TK.STOPWORDS for s in stemmed), dtype=bool, count=len(uniq)
+        )
+        keep &= ~is_stop[codes]
+        codes, doc_idx, pos = codes[keep], doc_idx[keep], pos[keep]
+        final_per_uniq = stemmed
+    else:
+        final_per_uniq = uniq
+    # re-code onto the post-stem vocabulary (distinct raws can share a stem)
+    f_codes, f_uniq = pd.factorize(pd.array(final_per_uniq, dtype=object))
+    return doc_idx, f_codes.astype(np.int64)[codes], list(f_uniq), pos
+
+
 def tokenize_postings_packed(
     corpus: DataFrame,
     fields: Sequence[str],
@@ -175,57 +242,98 @@ def tokenize_postings_packed(
     small binaries cross as flat numpy/bytes, and the varint positions
     also shrink the build's one wide shuffle. Per-value varint encoding
     means block assembly is plain byte concatenation, so the final
-    block bytes are identical to the array path's."""
+    block bytes are identical to the array path's.
+
+    The hot loop is BATCH-VECTORIZED (input_hint: "vectorized
+    pandas/Arrow UDFs (no per-row Python)"): one regex pass per
+    (batch, field) over a NUL-joined buffer, vocab-level quirk
+    filters/stemming, and numpy group-by — per-token Python is gone.
+    ``tokenize_postings`` (the per-doc scalar path sharing
+    ``tokenize()`` with the oracle) doubles as the differential test
+    target: ``tests/test_index_build.py`` pins both to identical
+    postings and byte-identical blocks."""
     nf = len(fields)
     schema = packed_postings_schema(nf)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_doc: list[int] = []
-            out_term: list[str] = []
-            out_ff: list[list[int]] = [[] for _ in range(nf)]
-            out_fl: list[list[int]] = [[] for _ in range(nf)]
-            pos_flat: list[int] = []
-            pos_counts: list[int] = []
             doc_ids = pdf[doc_id_col].to_numpy()
-            field_cols = [pdf[f].to_numpy() for f in fields]
-            for i in range(len(pdf)):
-                per_doc: dict[str, list] = {}
-                field_lens = [0] * nf
+            nb = len(pdf)
+            vocab: dict[str, int] = {}
+            occ_doc, occ_code, occ_field, occ_pos = [], [], [], []
+            lens_mat = np.zeros((nb, nf), dtype=np.int32)
+            for f_idx in range(nf):
+                di, co, terms, po = _vectorized_field_scan(
+                    pdf[fields[f_idx]].to_numpy(), analyzer
+                )
+                if len(terms):
+                    remap = np.fromiter(
+                        (vocab.setdefault(t, len(vocab)) for t in terms),
+                        dtype=np.int64,
+                        count=len(terms),
+                    )
+                    co = remap[co]
+                # post-filter field length = kept occurrences per doc
+                lens_mat[:, f_idx] = np.bincount(di, minlength=nb).astype(
+                    np.int32
+                )
+                occ_doc.append(di)
+                occ_code.append(co)
+                occ_field.append(np.full(len(di), f_idx, dtype=np.int64))
+                occ_pos.append(po)
+            o_doc = np.concatenate(occ_doc)
+            o_code = np.concatenate(occ_code)
+            o_field = np.concatenate(occ_field)
+            o_pos = np.concatenate(occ_pos)
+            n_occ = len(o_doc)
+            if n_occ == 0:
+                data = {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                }
                 for f_idx in range(nf):
-                    text = field_cols[f_idx][i]
-                    if text is None:
-                        continue
-                    toks, poss = tokenize(text, is_query=False, analyzer=analyzer)
-                    field_lens[f_idx] = len(toks)
-                    for tok, pos in zip(toks, poss):
-                        e = per_doc.get(tok)
-                        if e is None:
-                            per_doc[tok] = e = [[0] * nf, []]
-                        e[0][f_idx] += 1
-                        e[1].append(pos)
-                did = int(doc_ids[i])
-                for tok, (ff, positions) in per_doc.items():
-                    out_doc.append(did)
-                    out_term.append(tok)
-                    for f_idx in range(nf):
-                        out_ff[f_idx].append(ff[f_idx])
-                        out_fl[f_idx].append(field_lens[f_idx])
-                    pos_counts.append(len(positions))
-                    pos_flat.extend(positions)
-            counts = np.asarray(pos_counts, dtype=np.int64)
-            flat = np.asarray(pos_flat, dtype=np.uint64)
-            # one vectorized delta+varint pass for the whole batch
-            pos_bins = varint_encode_ragged(
-                grouped_delta_encode(flat, counts), counts
+                    data[f"ff_{f_idx}"] = pd.Series([], dtype="int32")
+                    data[f"fl_{f_idx}"] = pd.Series([], dtype="int32")
+                data["pos_count"] = pd.Series([], dtype="int32")
+                data["pos_bin"] = pd.Series([], dtype="object")
+                yield pd.DataFrame(data)
+                continue
+            t_sz = len(vocab)
+            key = o_doc * t_sz + o_code
+            # stable sort: within a (doc, term) group occurrences stay in
+            # field-major scan order — the field-concatenated positions
+            # contract (sea/corpus.pyx:117-197)
+            perm = np.argsort(key, kind="stable")
+            k_sorted = key[perm]
+            group_starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(k_sorted)) + 1]
             )
+            n_groups = len(group_starts)
+            group_keys = k_sorted[group_starts]
+            g_doc_idx = group_keys // t_sz
+            g_code = group_keys % t_sz
+            counts = np.diff(np.append(group_starts, n_occ)).astype(np.int64)
+            gid = np.searchsorted(
+                group_starts, np.arange(n_occ), side="right"
+            ) - 1
+            ff = np.zeros((n_groups, nf), dtype=np.int32)
+            np.add.at(ff, (gid, o_field[perm]), 1)
+            pos_sorted = o_pos[perm].astype(np.uint64)
+            pos_bins = varint_encode_ragged(
+                grouped_delta_encode(pos_sorted, counts), counts
+            )
+            vocab_arr = np.empty(t_sz, dtype=object)
+            for t, c in vocab.items():
+                vocab_arr[c] = t
             data = {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "term": out_term,
+                "doc_id": pd.Series(doc_ids[g_doc_idx], dtype="int64"),
+                "term": pd.Series(vocab_arr[g_code], dtype="object"),
             }
             for f_idx in range(nf):
-                data[f"ff_{f_idx}"] = pd.Series(out_ff[f_idx], dtype="int32")
-                data[f"fl_{f_idx}"] = pd.Series(out_fl[f_idx], dtype="int32")
+                data[f"ff_{f_idx}"] = pd.Series(ff[:, f_idx], dtype="int32")
+                data[f"fl_{f_idx}"] = pd.Series(
+                    lens_mat[g_doc_idx, f_idx], dtype="int32"
+                )
             data["pos_count"] = pd.Series(counts, dtype="int32")
             data["pos_bin"] = pd.Series(pos_bins, dtype="object")
             yield pd.DataFrame(data)
@@ -276,14 +384,31 @@ def bm25_score_col_packed(
     return F.col("idf") * (tf * F.lit(k + 1.0)) / (tf + F.lit(k))
 
 
-def _make_block_encoder_packed(block_size: int, num_fields: int):
-    """Block encoder over the packed posting schema: all ragged data
-    arrives as flat numpy / per-posting bytes, so assembly is slicing
-    plus byte concatenation — no per-posting Python object churn. The
-    emitted block bytes are identical to the array-path encoder's."""
+BLOCKS_ID_SCHEMA = (
+    "term_id long, block_no long, first_doc long, last_doc long, count int, "
+    "max_score float, min_score float, doc_ids_bin binary, scores_bin binary, "
+    "freqs_bin binary, lens_bin binary, pos_counts_bin binary, "
+    "positions_bin binary"
+)
+
+
+def _make_block_encoder_id(block_size: int, num_fields: int):
+    """Block encoder keyed by dense ``term_id`` (long) instead of the
+    term string: the build's one wide shuffle and its Arrow->pandas
+    crossing carry NO per-posting Python strings (25M postings would
+    materialize 25M str objects — measured ~1/3 of the encode stage).
+    Term strings re-attach by joining the ~block_size-times smaller
+    BLOCKS frame with term_stats. Emitted block bytes are identical to
+    the scalar array path's (pinned by ``tests/test_index_build.py``).
+
+    Transport note: an ``applyInArrow`` variant with buffer-level
+    position gathering was measured 1.8-2.2x SLOWER than this
+    ``applyInPandas`` kernel on 25.8M postings / 6k groups (Spark
+    4.1 local[32]) — pandas' block-level binary conversion beats
+    per-group pa.Table slicing here, so the pandas transport stays."""
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
+        term = int(pdf["term_id"].iloc[0])
         order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
         doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
         scores = pdf["score"].to_numpy()[order].astype(np.float32)
@@ -323,7 +448,7 @@ def _make_block_encoder_packed(block_size: int, num_fields: int):
             col_pos.append(b"".join(pos_bins[start:end]))
         return pd.DataFrame(
             {
-                "term": pd.Series([term] * nb, dtype="object"),
+                "term_id": pd.Series([term] * nb, dtype="int64"),
                 "block_no": pd.Series(
                     np.arange(nb, dtype=np.int64) + base_block
                 ),
@@ -429,15 +554,36 @@ def _finalize_index(
         for f in range(nf)
     ]
 
-    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    term_stats = term_stats.withColumn(
-        "idf",
-        F.log(
-            (F.lit(float(num_documents)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ),
+    # term stats are written FIRST (with a dense term_id from
+    # monotonically_increasing_id, which is only stable once pinned to
+    # parquet) and read back: the wide shuffle + Arrow crossing below
+    # then carry term_id longs instead of per-posting strings
+    _t = time.time()
+    term_stats_plan = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(num_documents)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn("term_id", F.monotonically_increasing_id())
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
     )
+    term_stats_plan.repartition(max(1, num_buckets // 8)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_path, "term_stats"))
+    term_stats = load_term_stats(spark, out_path)
+    _PHASES["term_stats_write"] = time.time() - _t
 
-    scored = postings.join(term_stats, "term").withColumn(
+    scored = postings.join(
+        term_stats.select("term", "term_id", "df", "idf"), "term"
+    ).withColumn(
         "score",
         bm25_score_col_packed(nf, avg_field_lengths, boosts, bs, k),
     )
@@ -458,29 +604,28 @@ def _finalize_index(
         ).otherwise(F.lit(0)),
     )
 
-    blocks = scored.groupBy("term", "doc_group").applyInPandas(
-        _make_block_encoder_packed(block_size, nf), BLOCKS_SCHEMA
+    drop_cols = ["term", "df", "idf"]
+    blocks_id = (
+        scored.drop(*drop_cols)
+        .groupBy("term_id", "doc_group")
+        .applyInPandas(_make_block_encoder_id(block_size, nf), BLOCKS_ID_SCHEMA)
     )
-    blocks = blocks.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    )
+    # re-attach the term string + bucket at BLOCK granularity (~1/128 of
+    # the posting count; AQE broadcasts term_stats for small vocabs,
+    # SMJ on term_id otherwise — both scale)
+    blocks = blocks_id.join(
+        term_stats.select("term_id", "term", "term_bucket"), "term_id"
+    ).drop("term_id")
     _t = time.time()
     (
         blocks.repartition(num_buckets, "term_bucket")
         .sortWithinPartitions("term", "first_doc")
+        .select(*[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")], "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_path, "blocks"))
     )
     _PHASES["score_encode_write"] = time.time() - _t
-
-    _t = time.time()
-    term_stats.withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
-        os.path.join(out_path, "term_stats")
-    )
-    _PHASES["term_stats_write"] = time.time() - _t
 
     # per-doc field lengths (one row per doc): the LTR feature path needs
     # lengths for docs that match NO query term (the reference re-tokenizes
@@ -673,7 +818,7 @@ def load_blocks(spark: SparkSession, index_path: str) -> DataFrame:
 
 def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.schema(
-        "term string, df long, idf double, term_bucket int"
+        "term string, df long, idf double, term_id long, term_bucket int"
     ).parquet(os.path.join(index_path, "term_stats"))
 
 

@@ -98,6 +98,60 @@ def test_block_metadata(built):
         )
 
 
+QUIRK_DOCS = [
+    # exercises every scan quirk the vectorized batch path must preserve
+    (0, ["Mixed123 dropped", "ends with mixed123"]),       # EOT bypass
+    (1, ["a" * 51 + " kept", "x " + "b" * 51]),            # len cap + EOT
+    (2, ["12345 drop 1234 keep", "trailing 99999"]),       # num cap + EOT
+    (3, ["The AND of stopwords", "running runs RUNNER"]),  # stop + stem
+    (4, ["", None]),                                       # empty / null
+    (5, ["alpha beta alpha", "beta alpha beta gamma"]),    # cross-field tf
+    (6, ["word", "word"]),                                 # 1-token fields
+]
+
+
+@pytest.mark.parametrize("analyzer", ["reference", "simple"])
+def test_packed_matches_array_path(spark, analyzer):
+    """The vectorized packed tokenizer must emit EXACTLY the postings of
+    the per-doc scalar path (which shares ``tokenize()`` with the
+    oracle/goldens) — same (doc, term) rows, freqs, lens, and positions
+    (decoded from the packed varint bytes)."""
+    from cs_search_engine_architecture_spark.operators.compression import (
+        grouped_delta_decode,
+        varint_decode,
+    )
+
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in QUIRK_DOCS],
+        "doc_id long, title string, body string",
+    )
+    arr = {
+        (r["doc_id"], r["term"]): (
+            list(r["field_freqs"]),
+            list(r["field_lens"]),
+            list(r["positions"]),
+        )
+        for r in indexer.tokenize_postings(
+            corpus, ["title", "body"], analyzer=analyzer
+        ).collect()
+    }
+    packed = {}
+    for r in indexer.tokenize_postings_packed(
+        corpus, ["title", "body"], analyzer=analyzer
+    ).collect():
+        import numpy as np
+
+        pos = grouped_delta_decode(
+            varint_decode(r["pos_bin"]), np.array([r["pos_count"]])
+        ).astype(int)
+        packed[(r["doc_id"], r["term"])] = (
+            [r["ff_0"], r["ff_1"]],
+            [r["fl_0"], r["fl_1"]],
+            list(pos),
+        )
+    assert arr == packed
+
+
 def test_missing_term_empty(built):
     spark, out, meta, _ = built
     blocks = indexer.load_blocks(spark, out)
