@@ -51,16 +51,20 @@ class SearchEngine:
         # join path's single job is cheaper (same scale gate as the
         # single-term block-max path — at cluster scale WAND always wins).
         if self.meta.get("num_postings", 0) >= 1_000_000:
+            from cs_search_engine_architecture_spark.operators import wand
+
+            span = self.meta.get("wand_shard_span")
             flat_or = self._flat_op_terms(ast, "or")
             if flat_or:
                 # scored disjunctions: partition-parallel block-max WAND
-                # (one shuffle-free scan + shard kernels) instead of a
-                # chain of full-outer joins
-                from cs_search_engine_architecture_spark.operators.wand import (
-                    wand_or_topk,
-                )
-
-                return wand_or_topk(
+                # instead of a chain of full-outer joins; shard-aligned
+                # indexes serve from the cached pre-sharded layout with
+                # NO per-query exchange
+                if span:
+                    return wand.wand_or_topk_sharded(
+                        self._wand_sharded(), flat_or, top_k, span
+                    )
+                return wand.wand_or_topk(
                     self.spark, self.blocks, self.num_buckets, flat_or, top_k
                 )
             flat_and = self._flat_op_terms(ast, "and")
@@ -74,11 +78,11 @@ class SearchEngine:
                 if min(dfs.values(), default=0) <= max(
                     10_000, self.meta["num_postings"] // 200
                 ):
-                    from cs_search_engine_architecture_spark.operators.wand import (
-                        wand_and_topk,
-                    )
-
-                    return wand_and_topk(
+                    if span:
+                        return wand.wand_and_topk_sharded(
+                            self._wand_sharded(), flat_and, top_k, span
+                        )
+                    return wand.wand_and_topk(
                         self.spark, self.blocks, self.num_buckets, flat_and,
                         top_k,
                     )
@@ -87,6 +91,24 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
+
+    def _wand_sharded(self) -> DataFrame:
+        """Cached shard-partitioned blocks frame (one exchange at first
+        use, then every WAND query is exchange-free — the persisted
+        HashPartitioning(shard) satisfies the kernel's required
+        distribution)."""
+        if not hasattr(self, "_wand_sharded_df"):
+            from cs_search_engine_architecture_spark.operators.wand import (
+                preshard_blocks,
+            )
+
+            n_parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            self._wand_sharded_df = preshard_blocks(
+                self.blocks, self.meta["wand_shard_span"], n_parts
+            ).persist()
+        return self._wand_sharded_df
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Per-term document frequency, cached (one tiny broadcast-able

@@ -82,6 +82,14 @@ DEFAULT_NUM_BUCKETS = 64
 DEFAULT_GROUP_TARGET = 1 << 13  # target postings per hot-term salt group
 DEFAULT_GROUP_SPAN = DEFAULT_GROUP_TARGET  # back-compat alias (target)
 DEFAULT_HOT_DF = 1 << 13  # salt terms with more postings than this
+# WAND write-time layout: blocks never cross a doc-shard boundary
+# (shard = first_doc // span), so every block belongs to exactly ONE
+# shard and the engine can serve multi-term WAND from a shard-
+# partitioned cached frame with NO per-query exchange (wand.py). Cost:
+# sparse terms split into more, smaller blocks — bounded by one extra
+# block per (term, overlapped shard); metadata stays O(num_postings /
+# min(block_size, postings-per-term-per-shard)). None disables.
+DEFAULT_WAND_SHARD_SPAN = 1 << 14
 
 # reference BM25 constants (sea/indexer.pyx:22-24)
 REF_BOOSTS = (1.0, 0.5)
@@ -392,7 +400,9 @@ BLOCKS_ID_SCHEMA = (
 )
 
 
-def _make_block_encoder_id(block_size: int, num_fields: int):
+def _make_block_encoder_id(
+    block_size: int, num_fields: int, shard_span: int | None = None
+):
     """Block encoder keyed by dense ``term_id`` (long) instead of the
     term string: the build's one wide shuffle and its Arrow->pandas
     crossing carry NO per-posting Python strings (25M postings would
@@ -426,13 +436,28 @@ def _make_block_encoder_id(block_size: int, num_fields: int):
         nf = num_fields
 
         base_block = int(pdf["doc_group"].iloc[0]) << 32
-        starts = list(range(0, n, block_size))
+        if shard_span:
+            # never let a block cross a doc-shard boundary: blocks are
+            # split at shard edges, so shard(first_doc) == shard(last_doc)
+            # and the WAND layout needs no block replication
+            sh = (doc_ids // np.uint64(shard_span)).astype(np.int64)
+            run_starts = np.concatenate(
+                [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+            )
+            starts, ends = [], []
+            for i, rs in enumerate(run_starts):
+                run_end = int(run_starts[i + 1]) if i + 1 < len(run_starts) else n
+                for s0 in range(int(rs), run_end, block_size):
+                    starts.append(s0)
+                    ends.append(min(s0 + block_size, run_end))
+        else:
+            starts = list(range(0, n, block_size))
+            ends = [min(s0 + block_size, n) for s0 in starts]
         nb = len(starts)
         col_first, col_last, col_count, col_max, col_min = [], [], [], [], []
         col_docs, col_scores, col_freqs, col_lens = [], [], [], []
         col_pcnt, col_pos = [], []
-        for start in starts:
-            end = min(start + block_size, n)
+        for start, end in zip(starts, ends):
             d = doc_ids[start:end]
             s = scores[start:end]
             col_first.append(int(d[0]))
@@ -484,6 +509,7 @@ def build_index(
     bs: Sequence[float] | None = None,
     k: float = REF_K,
     corpus_path: str | None = None,
+    shard_span: int | None = DEFAULT_WAND_SHARD_SPAN,
 ) -> dict:
     """Build the full index at ``out_path``; returns the meta dict.
 
@@ -512,6 +538,7 @@ def build_index(
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
         num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
         boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
+        shard_span=shard_span,
     )
 
 
@@ -533,6 +560,7 @@ def _finalize_index(
     corpus_path: str | None,
     t0: float,
     extra_meta: dict | None = None,
+    shard_span: int | None = DEFAULT_WAND_SHARD_SPAN,
 ) -> dict:
     """Stats + score + block-encode + sink from a postings frame
     (shared by the one-shot and the checkpoint-resumable builds)."""
@@ -608,7 +636,10 @@ def _finalize_index(
     blocks_id = (
         scored.drop(*drop_cols)
         .groupBy("term_id", "doc_group")
-        .applyInPandas(_make_block_encoder_id(block_size, nf), BLOCKS_ID_SCHEMA)
+        .applyInPandas(
+            _make_block_encoder_id(block_size, nf, shard_span),
+            BLOCKS_ID_SCHEMA,
+        )
     )
     # re-attach the term string + bucket at BLOCK granularity (~1/128 of
     # the posting count; AQE broadcasts term_stats for small vocabs,
@@ -656,6 +687,7 @@ def _finalize_index(
         "num_buckets": num_buckets,
         "group_span": group_span,
         "hot_df": hot_df,
+        "wand_shard_span": shard_span,
         "doc_id_col": doc_id_col,
         "corpus_path": corpus_path,
         "build_wall_sec": wall,
@@ -719,6 +751,7 @@ def build_index_resumable(
     bs: Sequence[float] | None = None,
     k: float = REF_K,
     corpus_path: str | None = None,
+    shard_span: int | None = DEFAULT_WAND_SHARD_SPAN,
 ) -> dict | None:
     """Checkpoint-resumable build (north rule; the distributed analog of
     the reference's byte-offset resume, ``sea/corpus.pyx:224-227``).
@@ -796,6 +829,7 @@ def build_index_resumable(
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
         num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
         boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
+        shard_span=shard_span,
         extra_meta={
             "resumable": True,
             "num_slices": num_slices,

@@ -310,6 +310,73 @@ def term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> lis
     return sorted({r["b"] for r in rows})
 
 
+# ---------------------------------------------------- pre-sharded layout
+#
+# When the index was built with a ``wand_shard_span`` (blocks never
+# cross a doc-shard boundary), the engine keeps ONE cached copy of the
+# blocks repartitioned by ``shard`` (one build-time exchange). Every
+# WAND query then runs filter -> sort -> kernel over the cached
+# partitioning — NO per-query ShuffleExchange, so a hot term's
+# compressed payload never re-ships per query (the round-1 scale flag).
+# At cluster scale this cached frame is the serving layout; the
+# explode-based variants below remain for indexes without the layout.
+
+
+def preshard_blocks(
+    blocks: DataFrame, shard_span: int, num_partitions: int
+) -> DataFrame:
+    """(blocks + shard column) hash-partitioned by shard; caller
+    persists. Valid ONLY for shard-aligned indexes (every block's doc
+    range lies in one shard, so ``shard = first_doc // span`` covers
+    all its postings)."""
+    return blocks.withColumn(
+        "shard", (F.col("first_doc") / shard_span).cast("long")
+    ).repartition(num_partitions, "shard")
+
+
+def wand_or_topk_sharded(
+    sharded: DataFrame, terms: list[str], k: int, shard_span: int
+) -> DataFrame:
+    """Exact OR-sum top-k over a pre-sharded cached blocks frame —
+    exchange-free: the persisted HashPartitioning(shard) satisfies the
+    kernel's ClusteredDistribution, so the plan is
+    InMemoryTableScan -> Filter -> Sort -> FlatMapGroupsInPandas."""
+    sel = sharded.where(F.col("term").isin(list(terms))).select(
+        "term", "first_doc", "last_doc", "count", "max_score", "min_score",
+        "doc_ids_bin", "scores_bin", "shard",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        return shard_wand_topk(
+            pdf, k, lo=shard * shard_span, hi=(shard + 1) * shard_span
+        )
+
+    local = sel.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_and_topk_sharded(
+    sharded: DataFrame, terms: list[str], k: int, shard_span: int
+) -> DataFrame:
+    """Exact AND-intersection top-k over a pre-sharded cached frame
+    (see ``wand_or_topk_sharded``)."""
+    sel = sharded.where(F.col("term").isin(list(terms))).select(
+        "term", "first_doc", "last_doc", "doc_ids_bin", "scores_bin",
+        "shard",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        return shard_and_topk(
+            pdf, list(terms), k, lo=shard * shard_span,
+            hi=(shard + 1) * shard_span,
+        )
+
+    local = sel.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def wand_or_topk(
     spark: SparkSession,
     blocks: DataFrame,

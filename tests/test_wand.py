@@ -26,6 +26,7 @@ def engine(spark):
         analyzer="reference", num_buckets=8, block_size=32,
         hot_df=128, group_span=128,  # many small salted blocks
         corpus_path="synth:4000",
+        shard_span=512,  # 8 real shards over 4000 docs
     )
     return SearchEngine(spark, IDX)
 
@@ -149,6 +150,62 @@ def test_wand_and_span_invariance(engine, span):
     terms = ["index", "spark", "data"]
     want = _wand_and(engine, terms, 25)
     assert _wand_and(engine, terms, 25, span=span) == want
+
+
+def test_blocks_respect_shard_boundaries(engine):
+    """shard_span-aligned build: no block's doc range crosses a shard."""
+    span = engine.meta["wand_shard_span"]
+    assert span == 512
+    rows = engine.blocks.select("first_doc", "last_doc").collect()
+    assert rows
+    for r in rows:
+        assert r["first_doc"] // span == r["last_doc"] // span, r
+
+
+@pytest.mark.parametrize("terms", [["index", "spark"], ["merg", "batch", "row"]])
+def test_sharded_wand_rank_identity(engine, terms):
+    span = engine.meta["wand_shard_span"]
+    sharded = engine._wand_sharded()
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_or_topk_sharded(sharded, terms, 10, span).collect()
+    ]
+    want = [(d, round(s, 9)) for d, s in _or_join_topk(engine, terms, 10)]
+    assert got == want
+
+
+def test_sharded_wand_plan_has_no_exchange(engine):
+    """The whole point of the layout: the per-query plan must reuse the
+    cached HashPartitioning(shard) — filter + sort + kernel, no
+    ShuffleExchange above the InMemoryTableScan."""
+    span = engine.meta["wand_shard_span"]
+    out = wand.wand_or_topk_sharded(
+        engine._wand_sharded(), ["index", "spark"], 10, span
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    kernel_part = plan.split("InMemoryTableScan")[0]
+    # TakeOrderedAndProject sits above the kernel; the segment between
+    # the kernel input scan and the top must contain no exchange
+    assert "FlatMapGroupsInPandas" in kernel_part
+    assert "Exchange" not in kernel_part, kernel_part
+
+
+def test_sharded_and_rank_identity(engine):
+    span = engine.meta["wand_shard_span"]
+    terms = ["index", "2024"]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_and_topk_sharded(
+            engine._wand_sharded(), terms, 10, span
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_and_topk(
+            engine.spark, engine.blocks, engine.num_buckets, terms, 10
+        ).collect()
+    ]
+    assert got == want
 
 
 def test_wand_and_range_skip_actually_skips(spark, engine):
