@@ -18,6 +18,12 @@ from cs_search_engine_architecture_spark.plans.query_parser import parse_query
 
 
 class SearchEngine:
+    # max block-metadata rows the single-term block-max path collects to
+    # the driver (phase-1 bound only needs the top-max_score prefix;
+    # exactness never depends on the prefix size — a looser s-tilde just
+    # decodes more blocks distributively in phase 2)
+    META_COLLECT_CAP = 65536
+
     def __init__(self, spark: SparkSession, index_path: str, cache: bool = True):
         self.spark = spark
         self.index_path = index_path
@@ -184,26 +190,40 @@ class SearchEngine:
             & (F.col("term") == term)
         )
         if not hasattr(self, "_block_meta_cache"):
-            self._block_meta_cache: dict[str, list] = {}
-        meta = self._block_meta_cache.get(term)
-        if meta is None:
+            self._block_meta_cache: dict[str, tuple] = {}
+        cached = self._block_meta_cache.get(term)
+        if cached is None:
             # one tiny row per block_size postings; cached per term like
             # the reference's postings cache (sea/engine.pyx:314-324) —
-            # but holding only metadata, never decoded payloads
-            meta = term_blocks.select("block_no", "count", "max_score").collect()
-            self._block_meta_cache[term] = meta
-        if not meta:
-            return self.compiler.empty()
-        total = sum(r["count"] for r in meta)
-        if total <= max(4 * k, 2048):
-            # short list: the two-phase bound costs more driver round-
-            # trips than the full decode it would save — decode directly
-            return (
-                term_postings(term_blocks, term, self.num_buckets)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
+            # but holding only metadata, never decoded payloads. The
+            # collect is BOUNDED: TakeOrderedAndProject ships at most
+            # META_COLLECT_CAP+1 rows (a 10^9-posting hot term has ~8M
+            # block-metadata rows — the driver never holds them all;
+            # phase 1 only needs the highest-max_score prefix, and
+            # phase 2 is a distributed filter on the full block set).
+            cap = self.META_COLLECT_CAP
+            rows = (
+                term_blocks.select("block_no", "count", "max_score")
+                .orderBy(F.desc("max_score"))
+                .limit(cap + 1)
+                .collect()
             )
-        by_max = sorted(meta, key=lambda r: -r["max_score"])
+            capped = len(rows) > cap
+            cached = (rows[:cap], capped)
+            self._block_meta_cache[term] = cached
+        by_max, capped = cached
+        if not by_max:
+            return self.compiler.empty()
+        if not capped:
+            total = sum(r["count"] for r in by_max)
+            if total <= max(4 * k, 2048):
+                # short list: the two-phase bound costs more driver
+                # round-trips than the full decode it would save
+                return (
+                    term_postings(term_blocks, term, self.num_buckets)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                )
         cum, cand_cut = 0, by_max[-1]["max_score"]
         for r in by_max:
             cum += r["count"]

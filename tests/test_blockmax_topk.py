@@ -117,3 +117,25 @@ def test_blockmax_prunes_blocks(spark, engine):
             break
     cand_blocks = tb.where(F.col("max_score") >= cut).count()
     assert cand_blocks < total  # candidate phase reads a strict subset
+
+
+def test_bounded_meta_collect_identical(spark):
+    """With META_COLLECT_CAP forced below the hot term's block count,
+    the driver holds at most cap metadata rows and the top-k is still
+    exact (phase 2 filters the FULL block set distributively)."""
+    ref = SearchEngine(spark, IDX)
+    want = _blockmax_topk(ref, "index", 10)
+
+    capped = SearchEngine(spark, IDX)
+    capped.META_COLLECT_CAP = 4
+    got = _blockmax_topk(capped, "index", 10)
+    assert got == want
+    rows, was_capped = capped._block_meta_cache[
+        list(capped._block_meta_cache)[0]
+    ]
+    assert was_capped and len(rows) <= 4
+    # uncapped engine has far more blocks for the same term
+    n_blocks = ref.blocks.where(F.col("term") == list(
+        capped._block_meta_cache
+    )[0]).count()
+    assert n_blocks > 4
