@@ -143,6 +143,40 @@ def main() -> None:
     similarity.lsh_topk(emb, qvec, 10).collect()
     timings["ann_lsh"] = round(time.time() - t0, 3)
 
+    # persisted-IVF probe (build outside the timed region — it is a
+    # write-time cost like the index build)
+    ivf_path = os.path.join(work, "ivf_idx")
+    cents = similarity.fixed_vec_centroids(emb, 16)
+    similarity.build_ivf_index(emb, ivf_path, cents)
+    t0 = time.time()
+    similarity.ivf_search(spark, ivf_path, qvec, k=10, n_probe=4).collect()
+    timings["ann_ivf_probe"] = round(time.time() - t0, 3)
+
+    # embedding near-dup via banded-LSH candidates + cosine verify
+    t0 = time.time()
+    dedup.embedding_dup_pairs_bucketed(emb, min_cosine=0.4).count()
+    timings["dedup_embedding_lsh"] = round(time.time() - t0, 3)
+
+    # reference-parity hybrid with ListNet rerank (end to end)
+    import numpy as np
+
+    from cs_search_engine_architecture_spark import gate as _gate
+
+    wpath = os.path.join(work, "mlp.npz")
+    np.savez(
+        wpath,
+        **{
+            k_: np.array(v, dtype=np.float64)
+            for k_, v in _gate.GATE_MLP_WEIGHTS.items()
+        },
+    )
+    t0 = time.time()
+    eng.combined_search(
+        "spark or data", emb, qvec, top_k=15, pre_select_k=10,
+        ltr_weights=wpath,
+    ).collect()
+    timings["q_hybrid_ltr"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
