@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--embeddings", default=None,
                     help="embeddings parquet -> hybrid exact+semantic search "
                     "(query vector = centroid of exact top-k hits)")
+    ap.add_argument("--ltr-weights", default=None,
+                    help=".npz ListNet weights -> rerank the results "
+                    "(exact_search ltr_enabled / combined_search parity)")
+    ap.add_argument("--pre-select-k", type=int, default=50)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -54,7 +58,8 @@ def main() -> None:
             if seed else [0.0] * 64
         )
         eng.combined_search(
-            args.query, emb, qvec, top_k=args.top_k
+            args.query, emb, qvec, top_k=args.top_k,
+            pre_select_k=args.pre_select_k, ltr_weights=args.ltr_weights,
         ).show(args.top_k, truncate=False)
     elif args.corpus and args.snippets:
         corpus = spark.read.parquet(args.corpus)
@@ -66,6 +71,11 @@ def main() -> None:
         out = eng.materialize(eng.search(args.query, args.top_k), corpus)
         SearchEngine.assert_sha_ok(out)
         out.show(args.top_k, truncate=80)
+    elif args.ltr_weights:
+        eng.search(
+            args.query, args.top_k, ltr_enabled=True,
+            ltr_weights=args.ltr_weights, pre_select_k=args.pre_select_k,
+        ).show(args.top_k, truncate=False)
     else:
         eng.search(args.query, args.top_k).show(args.top_k, truncate=False)
     print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
