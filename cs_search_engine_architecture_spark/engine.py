@@ -529,10 +529,14 @@ class SearchEngine:
         """Exact top-``pre_select_k`` ∪ semantic top-``sem_k`` with
         provenance labels (``sea/engine.pyx:612-641``):
         (doc_id, bm25, similarity, provenance)."""
-        exact = self.search(query, pre_select_k).select(
-            "doc_id", F.col("score").alias("bm25")
+        return self._union_frames(
+            self.search(query, pre_select_k),
+            self.semantic_search(embeddings, qvec, sem_k, id_col),
         )
-        sem = self.semantic_search(embeddings, qvec, sem_k, id_col)
+
+    @staticmethod
+    def _union_frames(exact: DataFrame, sem: DataFrame) -> DataFrame:
+        exact = exact.select("doc_id", F.col("score").alias("bm25"))
         return exact.join(sem, "doc_id", "full_outer").select(
             "doc_id",
             F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
@@ -611,6 +615,38 @@ class SearchEngine:
             weight_col="w",
         )
 
+    def combined_search_ann(
+        self, query: str, ann_index_path: str, qvec,
+        top_k: int = 10, pre_select_k: int = 50,
+        sem_k: int | None = None, ltr_weights: str | None = None,
+        ann_kind: str = "lsh", n_probe: int = 4,
+    ) -> DataFrame:
+        """Hybrid search with the semantic side served from a PERSISTED
+        ANN index (partition-pruned LSH bucket or IVF cells) instead of
+        a full-corpus exact scan — the 100 TB shape of the semantic arm
+        (the reference matmuls the whole embedding matrix per query,
+        ``sea/engine.pyx:555-565``; exact stays available via
+        ``combined_search``). Semantics after candidate generation are
+        identical: cosine scores, (cos desc, id asc) top-k, union +
+        provenance + optional ListNet rerank."""
+        from cs_search_engine_architecture_spark.operators import similarity
+
+        sem_k = sem_k if sem_k is not None else pre_select_k
+        if ann_kind == "lsh":
+            sem = similarity.ann_search(self.spark, ann_index_path, qvec, sem_k)
+        elif ann_kind == "ivf":
+            sem = similarity.ivf_search(
+                self.spark, ann_index_path, qvec, sem_k, n_probe=n_probe
+            )
+        else:
+            raise ValueError(f"unknown ann_kind {ann_kind!r}")
+        sem = sem.select(
+            F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
+        )
+        return self._hybrid_rank(
+            query, self.search(query, pre_select_k), sem, top_k, ltr_weights
+        )
+
     def combined_search(
         self, query: str, embeddings: DataFrame, qvec,
         top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
@@ -630,9 +666,21 @@ class SearchEngine:
         bm25 + similarity. Returns (doc_id, bm25, similarity,
         provenance, score)."""
         sem_k = sem_k if sem_k is not None else pre_select_k
-        joined = self._hybrid_union(
-            query, embeddings, qvec, pre_select_k, sem_k, id_col
+        return self._hybrid_rank(
+            query,
+            self.search(query, pre_select_k),
+            self.semantic_search(embeddings, qvec, sem_k, id_col),
+            top_k,
+            ltr_weights,
         )
+
+    def _hybrid_rank(
+        self, query: str, exact: DataFrame, sem: DataFrame,
+        top_k: int, ltr_weights: str | None,
+    ) -> DataFrame:
+        """Union + provenance + final ranking, shared by the exact-scan
+        and ANN-served hybrid paths."""
+        joined = self._union_frames(exact, sem)
         if ltr_weights is None:
             return (
                 joined.withColumn("score", F.col("bm25") + F.col("similarity"))

@@ -151,6 +151,33 @@ def test_combined_union_double_count(eng_oracle, emb_and_sims, weights_path):
     assert checked > 0, "fixture produced no 'both' docs"
 
 
+def test_combined_search_ann(eng_oracle, emb_and_sims, weights_path, tmp_path):
+    """ANN-served hybrid: the semantic arm comes from a persisted
+    partition-pruned index; union/rerank semantics match the exact-scan
+    hybrid restricted to the ANN candidate set."""
+    from cs_search_engine_architecture_spark.operators import similarity
+
+    engine, _ = eng_oracle
+    emb, _ = emb_and_sims
+    cents = similarity.kmeans_centroids(emb, num_centroids=4, sample=100)
+    ivf_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, ivf_path, cents)
+
+    out = engine.combined_search_ann(
+        "spark or join", ivf_path, QVEC, top_k=6, pre_select_k=4, sem_k=4,
+        ltr_weights=weights_path, ann_kind="ivf", n_probe=len(cents),
+    ).collect()
+    assert {r["provenance"] for r in out} <= {"both", "exact", "semantic"}
+    # full probe == exact semantic arm -> identical to combined_search
+    want = engine.combined_search(
+        "spark or join", emb, QVEC, top_k=6, pre_select_k=4, sem_k=4,
+        ltr_weights=weights_path,
+    ).collect()
+    assert [(r["doc_id"], r["ltr_score"], r["provenance"]) for r in out] == [
+        (r["doc_id"], r["ltr_score"], r["provenance"]) for r in want
+    ]
+
+
 # ------------------------------------------------------- metrics
 
 
