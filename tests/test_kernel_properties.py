@@ -164,3 +164,79 @@ def test_empty_corpus_build_and_query(spark):
     assert eng.search_collect("spark or data", 5) == []
     assert eng.search_collect("spark", 5) == []
     assert eng.search_collect('"a b" and not c', 5) == []
+
+
+# ------------------------------------- vectorized scan == scalar tokenize
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("abcXYZ019 .,()_=\t\n\x00") + ["é", "ß", "中", "🙂"]
+)
+_DOC = st.text(alphabet=_TEXT_ALPHABET, max_size=60)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), _DOC), min_size=1, max_size=12
+    ),
+    analyzer=st.sampled_from(["reference", "simple"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_vectorized_scan_matches_scalar(texts, analyzer):
+    """The batch-vectorized field scan (NUL-joined buffer + UTF-32
+    codepoint-mask positions + vocab-level filters) must produce
+    occurrence-identical (doc, term, position) streams to the scalar
+    ``tokenize()`` loop, for arbitrary text including non-ASCII,
+    embedded NULs, long runs, and None fields."""
+    from cs_search_engine_architecture_spark.functions.tokenizer import (
+        tokenize,
+    )
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        _vectorized_field_scan,
+    )
+
+    want = []
+    for i, t in enumerate(texts):
+        toks, poss = tokenize(
+            t if isinstance(t, str) else "", is_query=False, analyzer=analyzer
+        )
+        want.extend((i, tok, pos) for tok, pos in zip(toks, poss))
+
+    di, co, terms, po = _vectorized_field_scan(
+        np.array(texts, dtype=object), analyzer
+    )
+    got = [
+        (int(d), terms[int(c)], int(p)) for d, c, p in zip(di, co, po)
+    ]
+    # the vectorized path emits in buffer order == (doc, position) order;
+    # the scalar path per doc is position-ordered too
+    assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab1 -", max_size=25), min_size=1, max_size=8)
+)
+@settings(max_examples=60, deadline=None)
+def test_vectorized_scan_long_run_and_eot(texts):
+    """Adversarial quirk inputs: 51+ char alpha runs, 5-digit runs, and
+    end-of-text bypass (append forms that end each doc with a filtered
+    class to exercise the bypass)."""
+    from cs_search_engine_architecture_spark.functions.tokenizer import (
+        tokenize,
+    )
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        _vectorized_field_scan,
+    )
+
+    docs = []
+    for i, t in enumerate(texts):
+        suffix = ["a" * 51, "12345", "mix3d", ""][i % 4]
+        docs.append((t + " " + suffix) if suffix else t)
+    want = []
+    for i, t in enumerate(docs):
+        toks, poss = tokenize(t, is_query=False, analyzer="reference")
+        want.extend((i, tok, pos) for tok, pos in zip(toks, poss))
+    di, co, terms, po = _vectorized_field_scan(
+        np.array(docs, dtype=object), "reference"
+    )
+    got = [(int(d), terms[int(c)], int(p)) for d, c, p in zip(di, co, po)]
+    assert got == want
