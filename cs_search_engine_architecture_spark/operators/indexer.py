@@ -494,6 +494,213 @@ def _make_block_encoder_id(
     return encode_groups
 
 
+def _encode_stream_arrow(block_size: int, num_fields: int, shard_span: int | None):
+    """STREAMING Arrow block encoder (``mapInArrow`` over partitions
+    pre-sorted by (term_id, doc_group, doc_id)); position payloads are
+    sliced straight out of the Arrow binary BUFFERS (offsets + data as
+    numpy) — one bytes object per BLOCK, none per posting; group state
+    carries across RecordBatch boundaries.
+
+    STATUS — kept as the NON-DEFAULT ``encode_mode="stream"``: despite
+    eliminating the per-posting Python objects, it measured ~1.8x
+    SLOWER than the groupBy/applyInPandas encoder at 25.8M postings
+    (17.7-23.3s vs 9.9-12.8s wall on local[32]; the 3-key
+    sortWithinPartitions + per-batch Arrow IPC overheads exceed the
+    pandas-conversion cost saved — second Arrow-native attempt to lose
+    to Spark's tuned pandas group path, see also the applyInArrow note
+    on the default encoder). It stays because (a) it is an independent
+    second implementation pinned byte-identical to the default by
+    ``test_stream_encoder_identical_to_group_encoder`` and (b) its
+    bounded-carry streaming shape is the right starting point if the
+    pandas path ever becomes the bottleneck on a real cluster.
+
+    Emits byte-identical blocks to the applyInPandas encoder (rows
+    reach it in the same doc_id order the kernel's stable argsort
+    produces — doc_ids are unique within a group)."""
+    import pyarrow as pa
+
+    nf = num_fields
+
+    def _np(batch, name):
+        i = batch.schema.get_field_index(name)
+        return batch.column(i).to_numpy(zero_copy_only=False)
+
+    def _bin(batch, name):
+        i = batch.schema.get_field_index(name)
+        ba = batch.column(i)
+        offsets = np.frombuffer(ba.buffers()[1], dtype=np.int32)[
+            ba.offset : ba.offset + len(ba) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(ba.buffers()[2], dtype=np.uint8)
+        lens = offsets[1:] - offsets[:-1]
+        buf = data[offsets[0] : offsets[-1]] if len(ba) else np.empty(
+            0, dtype=np.uint8
+        )
+        return lens, buf
+
+    def _encode_groups(cols, out):
+        """Encode every complete group in ``cols`` (dict of aligned
+        arrays + pos buffer); the caller guarantees rows are
+        (term_id, doc_group, doc_id)-sorted and that the LAST group has
+        been held back as carry."""
+        tid, dg = cols["term_id"], cols["doc_group"]
+        n = len(tid)
+        if n == 0:
+            return
+        bnd = np.flatnonzero((tid[1:] != tid[:-1]) | (dg[1:] != dg[:-1])) + 1
+        g_starts = np.concatenate([[0], bnd])
+        g_ends = np.append(bnd, n)
+        pos_lens = cols["pos_lens"]
+        pos_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=pos_starts[1:])
+        pos_buf = cols["pos_buf"]
+        doc_ids = cols["doc_id"]
+        scores = cols["score"]
+        ff_inter_all = cols["ff_inter"]
+        fl_inter_all = cols["fl_inter"]
+        pos_counts = cols["pos_count"]
+        for gs, ge in zip(g_starts, g_ends):
+            term = int(tid[gs])
+            base_block = int(dg[gs]) << 32
+            d_all = doc_ids[gs:ge]
+            m = ge - gs
+            if shard_span:
+                sh = (d_all.astype(np.uint64) // np.uint64(shard_span))
+                runs = np.concatenate(
+                    [[0], np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+                )
+                starts, ends = [], []
+                for i, rs in enumerate(runs):
+                    rend = int(runs[i + 1]) if i + 1 < len(runs) else m
+                    for s0 in range(int(rs), rend, block_size):
+                        starts.append(s0)
+                        ends.append(min(s0 + block_size, rend))
+            else:
+                starts = list(range(0, m, block_size))
+                ends = [min(s0 + block_size, m) for s0 in starts]
+            for bno, (s0, e0) in enumerate(zip(starts, ends)):
+                a, b = gs + s0, gs + e0
+                d = doc_ids[a:b].astype(np.uint64)
+                s = scores[a:b].astype(np.float32)
+                out["term_id"].append(term)
+                out["block_no"].append(base_block + bno)
+                out["first_doc"].append(int(d[0]))
+                out["last_doc"].append(int(d[-1]))
+                out["count"].append(b - a)
+                out["max_score"].append(float(s.max()))
+                out["min_score"].append(float(s.min()))
+                out["doc_ids_bin"].append(varint_encode(delta_encode(d)))
+                out["scores_bin"].append(encode_scores(s))
+                out["freqs_bin"].append(
+                    varint_encode(ff_inter_all[a * nf : b * nf])
+                )
+                out["lens_bin"].append(
+                    varint_encode(fl_inter_all[a * nf : b * nf])
+                )
+                out["pos_counts_bin"].append(
+                    varint_encode(pos_counts[a:b].astype(np.uint64))
+                )
+                out["pos_bin_"].append(
+                    pos_buf[pos_starts[a] : pos_starts[b]].tobytes()
+                )
+
+    OUT_KEYS = [
+        "term_id", "block_no", "first_doc", "last_doc", "count",
+        "max_score", "min_score", "doc_ids_bin", "scores_bin",
+        "freqs_bin", "lens_bin", "pos_counts_bin", "pos_bin_",
+    ]
+
+    def _emit(out):
+        rb = pa.record_batch(
+            {
+                "term_id": pa.array(out["term_id"], type=pa.int64()),
+                "block_no": pa.array(out["block_no"], type=pa.int64()),
+                "first_doc": pa.array(out["first_doc"], type=pa.int64()),
+                "last_doc": pa.array(out["last_doc"], type=pa.int64()),
+                "count": pa.array(out["count"], type=pa.int32()),
+                "max_score": pa.array(out["max_score"], type=pa.float32()),
+                "min_score": pa.array(out["min_score"], type=pa.float32()),
+                "doc_ids_bin": pa.array(out["doc_ids_bin"], type=pa.binary()),
+                "scores_bin": pa.array(out["scores_bin"], type=pa.binary()),
+                "freqs_bin": pa.array(out["freqs_bin"], type=pa.binary()),
+                "lens_bin": pa.array(out["lens_bin"], type=pa.binary()),
+                "pos_counts_bin": pa.array(
+                    out["pos_counts_bin"], type=pa.binary()
+                ),
+                "positions_bin": pa.array(out["pos_bin_"], type=pa.binary()),
+            }
+        )
+        return rb
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        carry = None  # dict of aligned arrays for the (single) open group
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tid = _np(batch, "term_id").astype(np.int64)
+            dg = _np(batch, "doc_group").astype(np.int64)
+            did = _np(batch, "doc_id").astype(np.int64)
+            sc = _np(batch, "score")
+            ffs = [
+                _np(batch, f"ff_{f}").astype(np.uint64) for f in range(nf)
+            ]
+            fls = [
+                _np(batch, f"fl_{f}").astype(np.uint64) for f in range(nf)
+            ]
+            pc = _np(batch, "pos_count").astype(np.int64)
+            pos_lens, pos_buf = _bin(batch, "pos_bin")
+            ff_inter = np.column_stack(ffs).ravel()
+            fl_inter = np.column_stack(fls).ravel()
+            cols = {
+                "term_id": tid, "doc_group": dg, "doc_id": did, "score": sc,
+                "ff_inter": ff_inter, "fl_inter": fl_inter, "pos_count": pc,
+                "pos_lens": pos_lens, "pos_buf": pos_buf,
+            }
+            if carry is not None:
+                cols = {
+                    k: np.concatenate([carry[k], cols[k]]) for k in cols
+                }
+            # hold back the trailing (possibly continuing) group
+            tid_c, dg_c = cols["term_id"], cols["doc_group"]
+            n = len(tid_c)
+            last_change = np.flatnonzero(
+                (tid_c[1:] != tid_c[:-1]) | (dg_c[1:] != dg_c[:-1])
+            )
+            cut = int(last_change[-1]) + 1 if len(last_change) else 0
+            pos_starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cols["pos_lens"], out=pos_starts[1:])
+
+            def slice_cols(lo, hi):
+                return {
+                    "term_id": cols["term_id"][lo:hi],
+                    "doc_group": cols["doc_group"][lo:hi],
+                    "doc_id": cols["doc_id"][lo:hi],
+                    "score": cols["score"][lo:hi],
+                    "ff_inter": cols["ff_inter"][lo * nf : hi * nf],
+                    "fl_inter": cols["fl_inter"][lo * nf : hi * nf],
+                    "pos_count": cols["pos_count"][lo:hi],
+                    "pos_lens": cols["pos_lens"][lo:hi],
+                    "pos_buf": cols["pos_buf"][
+                        pos_starts[lo] : pos_starts[hi]
+                    ].copy(),
+                }
+
+            complete = slice_cols(0, cut)
+            carry = slice_cols(cut, n)
+            if cut:
+                out = {k_: [] for k_ in OUT_KEYS}
+                _encode_groups(complete, out)
+                if out["term_id"]:
+                    yield _emit(out)
+        if carry is not None and len(carry["term_id"]):
+            out = {k_: [] for k_ in OUT_KEYS}
+            _encode_groups(carry, out)
+            if out["term_id"]:
+                yield _emit(out)
+
+    return fn
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -510,6 +717,7 @@ def build_index(
     k: float = REF_K,
     corpus_path: str | None = None,
     shard_span: int | None = DEFAULT_WAND_SHARD_SPAN,
+    encode_mode: str = "group",
 ) -> dict:
     """Build the full index at ``out_path``; returns the meta dict.
 
@@ -538,7 +746,7 @@ def build_index(
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
         num_buckets=num_buckets, group_span=group_span, hot_df=hot_df,
         boosts=boosts, bs=bs, k=k, corpus_path=corpus_path, t0=t0,
-        shard_span=shard_span,
+        shard_span=shard_span, encode_mode=encode_mode,
     )
 
 
@@ -561,6 +769,7 @@ def _finalize_index(
     t0: float,
     extra_meta: dict | None = None,
     shard_span: int | None = DEFAULT_WAND_SHARD_SPAN,
+    encode_mode: str = "group",
 ) -> dict:
     """Stats + score + block-encode + sink from a postings frame
     (shared by the one-shot and the checkpoint-resumable builds)."""
@@ -633,14 +842,28 @@ def _finalize_index(
     )
 
     drop_cols = ["term", "df", "idf"]
-    blocks_id = (
-        scored.drop(*drop_cols)
-        .groupBy("term_id", "doc_group")
-        .applyInPandas(
+    stripped = scored.drop(*drop_cols)
+    if encode_mode == "stream":
+        # one exchange (repartition on the group keys) + JVM sort, then a
+        # STREAMING Arrow encoder: no per-posting Python objects cross
+        # into the worker (measured: the groupBy/applyInPandas transfer
+        # cost ~12x the encode kernels at 25.8M postings)
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        blocks_id = (
+            stripped.repartition(n_parts, "term_id", "doc_group")
+            .sortWithinPartitions("term_id", "doc_group", "doc_id")
+            .mapInArrow(
+                _encode_stream_arrow(block_size, nf, shard_span),
+                BLOCKS_ID_SCHEMA,
+            )
+        )
+    else:
+        blocks_id = stripped.groupBy("term_id", "doc_group").applyInPandas(
             _make_block_encoder_id(block_size, nf, shard_span),
             BLOCKS_ID_SCHEMA,
         )
-    )
     # re-attach the term string + bucket at BLOCK granularity (~1/128 of
     # the posting count; AQE broadcasts term_stats for small vocabs,
     # SMJ on term_id otherwise — both scale)
@@ -688,6 +911,7 @@ def _finalize_index(
         "group_span": group_span,
         "hot_df": hot_df,
         "wand_shard_span": shard_span,
+        "encode_mode": encode_mode,
         "doc_id_col": doc_id_col,
         "corpus_path": corpus_path,
         "build_wall_sec": wall,

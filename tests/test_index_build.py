@@ -152,6 +152,46 @@ def test_packed_matches_array_path(spark, analyzer):
     assert arr == packed
 
 
+def test_stream_encoder_identical_to_group_encoder(spark, tmp_path):
+    """The mapInArrow streaming encoder and the groupBy/applyInPandas
+    encoder must write IDENTICAL block rows (bytes included) for the
+    same corpus — small Arrow batches force groups to span batch
+    boundaries (the carry path)."""
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in DOCS + [(i + 10, QUIRK_DOCS[i % len(QUIRK_DOCS)][1]) for i in range(40)]],
+        "doc_id long, title string, body string",
+    )
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        a = str(tmp_path / "stream")
+        b = str(tmp_path / "group")
+        indexer.build_index(
+            spark, corpus, a, fields=["title", "body"], block_size=3,
+            num_buckets=4, hot_df=4, group_span=8, shard_span=16,
+            encode_mode="stream",
+        )
+        indexer.build_index(
+            spark, corpus, b, fields=["title", "body"], block_size=3,
+            num_buckets=4, hot_df=4, group_span=8, shard_span=16,
+            encode_mode="group",
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    cols = [c.split()[0] for c in indexer.BLOCKS_SCHEMA.split(", ")]
+    ra = sorted(
+        tuple(r[c] for c in cols)
+        for r in indexer.load_blocks(spark, a).collect()
+    )
+    rb = sorted(
+        tuple(r[c] for c in cols)
+        for r in indexer.load_blocks(spark, b).collect()
+    )
+    assert ra == rb and len(ra) > 10
+
+
 def test_missing_term_empty(built):
     spark, out, meta, _ = built
     blocks = indexer.load_blocks(spark, out)
