@@ -420,6 +420,32 @@ FROM cand JOIN shl x ON x.doc_id = cand.doc_a
 WHERE jaccard >= {JACCARD_MIN}
 """
 
+CONTAINMENT_MIN = 0.5
+
+
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_containment_pairs(
+        _docs(spark, sf_dir), min_containment=CONTAINMENT_MIN
+    )
+
+
+# oracle is BRUTE FORCE over all pairs: the Spark side only scores
+# prefix-filter candidates, so a hash match PROVES the prefix filter's
+# completeness claim (like dedup_simhash_near's banding proof)
+SQL_DEDUP_CONTAINMENT_PAIRS = f"""
+WITH shl AS (SELECT doc_id, list_distinct({D.shingles(D.DUCKDB)}) AS sh
+             FROM ({_DUCK_TOKS_CTE}))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CASE WHEN len(a.sh) > 0
+       THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       ELSE 0.0 END AS containment_a,
+  CASE WHEN len(b.sh) > 0
+       THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+       ELSE 0.0 END AS containment_b
+FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+WHERE containment_a >= {CONTAINMENT_MIN} OR containment_b >= {CONTAINMENT_MIN}
+"""
+
 EMB_DUP_MIN_COS = 0.4  # 24 bucketed pairs at sf0.01 (0.5 collides none)
 
 
@@ -1136,6 +1162,7 @@ def queries():
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_containment_pairs": q_dedup_containment_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1171,6 +1198,7 @@ def oracle_sql():
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_simhash_near": SQL_DEDUP_SIMHASH_NEAR,
         "dedup_jaccard_pairs": SQL_DEDUP_JACCARD_PAIRS,
+        "dedup_containment_pairs": SQL_DEDUP_CONTAINMENT_PAIRS,
         "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -266,6 +266,117 @@ def _emb_with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _distinct_shingles(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(D.shingles(D.SPARK))).alias("sh"),
+        )
+    )
+
+
+def containment_candidates(
+    df: DataFrame, text_col: str = "text", tau: float = 0.8
+) -> DataFrame:
+    """PREFIX-FILTER candidate pairs for set-containment ≥ ``tau``
+    (the SSJoin/PPJoin prefix principle): order each doc's distinct
+    shingles by GLOBAL rarity (df asc, shingle asc — canonical, both
+    engines agree); if ``|A∩B| ≥ tau·|A|`` then B misses at most
+    ``(1-tau)·|A|`` of A's shingles, so by pigeonhole B contains at
+    least one of A's first ``floor((1-tau)·|A|) + 1`` shingles.
+    Candidates = (prefix shingle of A) ⋈ (any shingle of B) — COMPLETE
+    by the theorem (the gate oracle is brute force over all pairs,
+    which only matches because no qualifying pair can be missed).
+
+    MinHash-LSH candidates are the WRONG generator here: min-hash
+    collision probability tracks Jaccard, and the whole point of
+    containment is the near-subset pairs whose Jaccard is tiny.
+
+    100 TB shape: the probe side explodes only prefixes, which are the
+    globally RAREST shingles by construction — the join key
+    distribution is anti-skewed; the build side is the linear
+    (doc, shingle) list. One row_number window per doc (shuffle by
+    doc_id) + one equi-join."""
+    from pyspark.sql.window import Window
+
+    sh_pairs = _distinct_shingles(df, text_col).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    freq = sh_pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    sizes = sh_pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("c"), F.asc("shingle"))
+    ranked = sh_pairs.join(freq, "shingle").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    # prefix size = sz - ceil(tau*sz) + 1. The 1e-9 nudge guards float
+    # round-UP of tau*sz (e.g. 0.8*100 -> 80.00000000000001 -> ceil 81
+    # would shrink the prefix and break completeness); rounding DOWN
+    # only enlarges the prefix, which is merely extra candidates.
+    prefix = ranked.join(sizes, "doc_id").where(
+        F.col("rk")
+        <= F.col("sz")
+        - F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    a = prefix.select(F.col("doc_id").alias("pa"), "shingle")
+    b = sh_pairs.select(F.col("doc_id").alias("pb"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("pa") != F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("doc_a"),
+            F.greatest("pa", "pb").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_containment: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, containment_a, containment_b) over distinct
+    word-3-gram shingle sets, where ``containment_x = |A∩B| / |X|``.
+
+    Containment catches NEAR-SUBSET duplication (a document embedded in
+    a longer one) that symmetric Jaccard misses: a 100-shingle doc fully
+    contained in a 10,000-shingle doc has Jaccard ≈ 0.01 but
+    containment_a = 1.0 — the standard supplement to Jaccard in
+    training-data dedup. Verification runs over PREFIX-FILTER
+    candidates (``containment_candidates`` — complete for the
+    threshold, never all pairs); a pair passes if EITHER side's
+    containment clears it."""
+    if candidates is None:
+        candidates = containment_candidates(df, text_col, min_containment)
+    sh = _distinct_shingles(df, text_col)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_a = F.when(F.size("sh_a") > 0, inter / F.size("sh_a")).otherwise(
+        F.lit(0.0)
+    )
+    cont_b = F.when(F.size("sh_b") > 0, inter / F.size("sh_b")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= min_containment)
+            | (F.col("containment_b") >= min_containment)
+        )
+    )
+
+
 def embedding_cosine_verify(
     candidates: DataFrame,
     emb: DataFrame,

@@ -105,6 +105,27 @@ def test_embedding_dup_pairs(spark):
     assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
 
 
+def test_containment_catches_subset_dup(spark):
+    """A short doc fully embedded in a long one: Jaccard is tiny but
+    containment_a = 1.0 — the asymmetric near-subset case."""
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(60))
+    rows = [(0, short), (1, short + " " + filler), (2, filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in DD.ngram_containment_pairs(df, min_containment=0.9).collect()
+    }
+    assert (0, 1) in got
+    ca, cb = got[(0, 1)]
+    assert ca == pytest.approx(1.0) and cb < 0.5
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, min_jaccard=0.0).collect()
+    }
+    assert jac.get((0, 1), 0.0) < 0.5  # jaccard alone would miss it
+
+
 def test_simhash_near_pairs_matches_bruteforce(docs):
     """Banded-byte join recall is provably total for Hamming ≤ 3
     (pigeonhole over 4 byte bands) — cross-check against brute force."""
