@@ -420,6 +420,33 @@ FROM cand JOIN shl x ON x.doc_id = cand.doc_a
 WHERE jaccard >= {JACCARD_MIN}
 """
 
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events table —
+    the BATCH form of the streaming windowed agg (one shared expression;
+    ``tests/test_streaming_analytics.py`` pins stream == batch, this
+    gate pins batch == DuckDB). Decimal sums: exact + associative, so
+    aggregation order can't perturb the hash."""
+    from cs_search_engine_architecture_spark.streaming.analytics import (
+        event_window_counts,
+    )
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return event_window_counts(events, "10 minutes").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("string").alias("sum_value"),
+    )
+
+
+SQL_EVENT_WINDOW_COUNTS = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+            AS VARCHAR) AS sum_value
+FROM events GROUP BY window_start, event_type
+"""
+
 CONTAINMENT_MIN = 0.5
 
 
@@ -1151,6 +1178,7 @@ def queries():
         "bool_precedence": q_bool_precedence,
         "phrase_window": q_phrase_window,
         "dedup_exact": q_dedup_exact,
+        "event_window_counts": q_event_window_counts,
         "doc_token_stats": q_doc_token_stats,
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
@@ -1187,6 +1215,7 @@ def oracle_sql():
         "bool_precedence": SQL_BOOL_PRECEDENCE,
         "phrase_window": SQL_PHRASE_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lang_id": SQL_LANG_ID,
