@@ -657,6 +657,28 @@ FROM documents
 """
 
 
+def q_blob_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads (the video-path
+    plumbing: decode -> posexplode one row per sampled frame)."""
+    blobs = MM.to_blob_table(_docs(spark, sf_dir))
+    return MM.frame_sample(blobs, num_frames=4)
+
+
+# fixture text is ASCII so byte slices == char slices; stride and the
+# <=4 sampled offsets mirror multimodal._fake_decode exactly
+SQL_BLOB_FRAME_SAMPLE = """
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+fr AS (SELECT doc_id, text, n, greatest(1, n // 4) AS stride FROM b)
+SELECT doc_id,
+  CAST(unnest(generate_series(0, least(3, (n - 1) // stride))) AS INT)
+    AS frame_no,
+  unnest(list_transform(generate_series(0, least(3, (n - 1) // stride)),
+         i -> md5(substr(text, i * stride + 1, stride)))) AS frame_hash
+FROM fr
+"""
+
+
 # ------------------------------------------- secondary engine surfaces
 
 SPELL_TOKENS = ["customerr", "windoww", "spak"]  # last one: no acceptable fix
@@ -1196,6 +1218,7 @@ def queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "blob_metadata": q_blob_metadata,
         "blob_decode": q_blob_decode,
+        "blob_frame_sample": q_blob_frame_sample,
         "bm25_two_field_topk": q_bm25_two_field_topk,
         "spell_suggest": q_spell_suggest,
         "hybrid_search": q_hybrid_search,
@@ -1233,6 +1256,7 @@ def oracle_sql():
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "blob_metadata": SQL_BLOB_METADATA,
         "blob_decode": SQL_BLOB_DECODE,
+        "blob_frame_sample": SQL_BLOB_FRAME_SAMPLE,
         "bm25_two_field_topk": SQL_BM25_TWO_FIELD_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "hybrid_search": SQL_HYBRID_SEARCH,
