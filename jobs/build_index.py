@@ -22,6 +22,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (  # noqa: E40
 )
 from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
 from cs_search_engine_architecture_spark.sources.corpus import assign_doc_ids  # noqa: E402
+from cs_search_engine_architecture_spark.sources.table import read_corpus  # noqa: E402
 
 
 def main() -> None:
@@ -46,7 +47,9 @@ def main() -> None:
         app_name="spark-sea-build",
         master=f"local[{args.cores}]" if args.cores else None,
     )
-    corpus = spark.read.parquet(args.input)
+    # parquet path OR catalog table name (Iceberg on a configured
+    # cluster session — see sources/table.py for the submit conf)
+    corpus = read_corpus(spark, args.input)
     if args.order_by:
         corpus = assign_doc_ids(corpus, args.order_by.split(","))
     kwargs = dict(

@@ -58,3 +58,28 @@ def test_assign_doc_ids_dense(spark):
         for r in assign_doc_ids(df, ["repo", "path", "commit"], 4).collect()
     )
     assert ids == list(range(97))
+
+
+def test_read_corpus_path_and_table(spark, tmp_path):
+    """Table-reference resolver: parquet paths and catalog-resolved
+    table names both yield the same frame (the Iceberg entry point at
+    cluster scale — a configured catalog table resolves through the
+    identical spark.read.table call exercised here via a temp view)."""
+    from cs_search_engine_architecture_spark.sources.table import (
+        is_path_ref,
+        read_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "r", "p", "c", "py", "print(1)")],
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    p = str(tmp_path / "corpus.parquet")
+    df.write.parquet(p)
+    assert is_path_ref(p) and is_path_ref("/x/y") and is_path_ref("s3://b/k")
+    assert not is_path_ref("lake.db.code_files")
+    got_path = read_corpus(spark, p).collect()
+    df.createOrReplaceTempView("corpus_view")
+    got_table = read_corpus(spark, "corpus_view").collect()
+    assert got_path == got_table == df.collect()
