@@ -129,8 +129,11 @@ def shingles(dialect: str, toks: str = "toks", n: int = 3) -> str:
         int_range(dialect, "1", f"{array_size(dialect, toks)} - {n - 1}"),
         f"i -> concat_ws(' ', {parts})",
     )
+    # whole-doc fallback: DuckDB's array_to_string([]) is NULL where
+    # Spark's array_join([]) is '' — coalesce pins both to [''] for
+    # empty token lists
     whole = f"array({array_join(dialect, toks)})" if dialect == SPARK else (
-        f"[{array_join(dialect, toks)}]"
+        f"[coalesce({array_join(dialect, toks)}, '')]"
     )
     return (
         f"(case when {array_size(dialect, toks)} >= {n} then {grams} "

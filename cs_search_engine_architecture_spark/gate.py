@@ -324,6 +324,17 @@ SQL_QUALITY_SCORES = (
 )
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.repetition_scores(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_SCORES = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) SELECT doc_id, "
+    + ", ".join(f"{e} AS {k}" for k, e in TA.repetition_sql(D.DUCKDB).items())
+    + " FROM t"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.token_counts(_docs(spark, sf_dir))
 
@@ -1205,6 +1216,7 @@ def queries():
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -1243,6 +1255,7 @@ def oracle_sql():
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lang_id": SQL_LANG_ID,
         "quality_scores": SQL_QUALITY_SCORES,
+        "repetition_scores": SQL_REPETITION_SCORES,
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "dedup_minhash_sigs": SQL_DEDUP_MINHASH_SIGS,

@@ -128,6 +128,44 @@ def token_counts_sql(dialect: str, text: str = "text", toks: str = "toks") -> di
     }
 
 
+def repetition_sql(dialect: str, text: str = "text", toks: str = "toks") -> dict[str, str]:
+    """Gopher-style repetition signals (Rae et al. 2021 'Scaling
+    Language Models', §A1.1 repetition filters — public): duplicate
+    fraction over lines, words, and word n-grams. High values flag the
+    boilerplate/templated/spammy docs a pretraining pipeline drops.
+
+    ``dup_X_frac = 1 - |distinct X| / |X|`` — pure row-local array
+    arithmetic; no per-doc O(n²) (the top-fraction variant needs a mode
+    computation, which neither engine's fold supports without struct
+    accumulators — the duplicate-fraction family is the row-local-safe
+    subset)."""
+    if dialect == D.DUCKDB:
+        lines = f"string_split({text}, chr(10))"
+
+        def dupfrac(arr: str) -> str:
+            return (
+                f"(case when len({arr}) = 0 then 0.0 else "
+                f"1.0 - CAST(len(list_distinct({arr})) AS DOUBLE) "
+                f"/ len({arr}) end)"
+            )
+    else:
+        lines = f"split({text}, '\\n')"
+
+        def dupfrac(arr: str) -> str:
+            return (
+                f"(case when size({arr}) = 0 then 0.0 else "
+                f"1.0 - CAST(size(array_distinct({arr})) AS DOUBLE) "
+                f"/ size({arr}) end)"
+            )
+
+    return {
+        "dup_line_frac": dupfrac(lines),
+        "dup_word_frac": dupfrac(toks),
+        "dup_bigram_frac": dupfrac(D.shingles(dialect, toks, n=2)),
+        "dup_trigram_frac": dupfrac(D.shingles(dialect, toks, n=3)),
+    }
+
+
 # ------------------------------------------------------------ operators
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -153,6 +191,15 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, bpe_pieces, distinct_terms)."""
     exprs = token_counts_sql(D.SPARK, text_col)
+    return with_tokens(df, text_col).select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_frac, dup_word_frac, dup_bigram_frac,
+    dup_trigram_frac) — Gopher repetition filters, row-local."""
+    exprs = repetition_sql(D.SPARK, text_col)
     return with_tokens(df, text_col).select(
         "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
     )

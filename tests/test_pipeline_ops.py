@@ -444,3 +444,28 @@ def test_ivf_assignment_is_nearest_centroid(spark):
     cents = np.array([[0.0] * 64, [10.0] * 64])
     got = {r["id"]: r["cell"] for r in SIM.ivf_assign(emb, cents).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_repetition_scores(spark, duck):
+    rows = [
+        (0, "unique line one\nunique line two\nunique line three"),
+        (1, "same line\nsame line\nsame line"),
+        (2, "a b a b a b a b"),  # heavy bigram repetition
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TA.repetition_scores(df).collect()}
+    assert got[0]["dup_line_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == pytest.approx(2 / 3)
+    # "a b" x4 + "b a" x3 = 7 bigrams, 2 distinct
+    assert got[2]["dup_bigram_frac"] == pytest.approx(1 - 2 / 7)
+    assert got[3]["dup_word_frac"] == 0.0
+    # Spark-vs-DuckDB parity on the dup-heavy module corpus
+    from cs_search_engine_architecture_spark.gate import (
+        SQL_REPETITION_SCORES,
+    )
+
+    sdf = TA.repetition_scores(
+        spark.createDataFrame(DOCS, "doc_id long, text string")
+    )
+    _parity(sdf, duck, SQL_REPETITION_SCORES)
