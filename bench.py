@@ -118,6 +118,13 @@ def main() -> None:
         eng.search_collect(q, 10)
         timings[name] = round(time.time() - t0, 3)
 
+    # batched multi-query: the whole QUERIES list in ONE job (shared
+    # postings scan + one shuffle) — compare against the sum of the
+    # individual latencies above
+    t0 = time.time()
+    eng.msearch({name: q for name, q in QUERIES}, top_k=10).collect()
+    timings["q_msearch_batch"] = round(time.time() - t0, 3)
+
     # -- 3. training-pipeline ops over the documents + embeddings fixtures
     from cs_search_engine_architecture_spark.operators import (  # noqa: E402
         dedup,

@@ -253,6 +253,57 @@ class SearchEngine:
             .limit(k)
         )
 
+    def msearch(
+        self, queries: dict[str, str], top_k: int = 10
+    ) -> DataFrame:
+        """Batched multi-query search: every query in ``queries``
+        (query_id -> query string) answered in ONE Spark job.
+
+        Join-batchable queries (single token / flat OR / flat AND — see
+        ``operators/msearch.py``) share a single partition-pruned postings
+        scan; phrases, NOT, and mixed-precedence queries fall back to
+        their individual compiled plans, tagged and unioned in. Returns
+        ``(query_id, doc_id, score)``, at most ``top_k`` rows per query,
+        with the standard (score desc, doc_id asc) per-query order. Scores
+        are identical to per-query ``search`` — only the execution is
+        batched (the reference has no batch API; this is the cluster-scale
+        serving shape for LTR training sweeps and offline eval)."""
+        from cs_search_engine_architecture_spark.operators import msearch as ms
+
+        analyzer = self.meta.get("analyzer", "reference")
+        batchable: list[tuple[str, str, list[str]]] = []
+        fallback: list[DataFrame] = []
+        for qid, qstr in queries.items():
+            ast = parse_query(qstr, analyzer=analyzer)
+            plan = ms.classify_query(ast)
+            if plan is not None:
+                batchable.append((qid, plan[0], plan[1]))
+            else:
+                fallback.append(
+                    self.compiler.compile(ast)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(top_k)
+                    .select(
+                        F.lit(qid).alias("query_id"), "doc_id", "score"
+                    )
+                )
+        parts: list[DataFrame] = []
+        if batchable:
+            parts.append(
+                ms.batched_topk(
+                    self.spark, self.blocks, self.num_buckets, batchable, top_k
+                )
+            )
+        parts.extend(fallback)
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def search_collect(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
         import numpy as np
 

@@ -1202,6 +1202,72 @@ SELECT doc_id, score, substr(text, st2 + 1, en2 - st2) AS snippet FROM g6
 """
 
 
+def q_msearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query search: four queries (single token, flat OR,
+    flat AND, and a NOT fallback) answered in ONE Spark job via the
+    shared-scan batch operator (``operators/msearch.py``). Scores are
+    per-query identical to ``search`` — the oracle replays the same BM25
+    algebra per query_id and ranks with the same tie-break. Batched gate
+    queries keep ≤2 distinct terms so the double-precision sum is
+    order-insensitive (a+b exact-rounded) on both sides."""
+    eng = gate_engine(spark, sf_dir)
+    res = eng.msearch(
+        {
+            "m1": "spark",
+            "m2": "spark or data",
+            "m3": "data and slow",
+            "m4": "data and not slow",
+        },
+        top_k=10,
+    )
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+SQL_MSEARCH_TOPK = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'data', 'slow') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+q AS (SELECT * FROM (VALUES
+  ('m1', 'spark', 0), ('m2', 'spark', 0), ('m2', 'data', 0),
+  ('m3', 'data', 2), ('m3', 'slow', 2)) v(query_id, term, required)),
+batched AS (
+  SELECT q.query_id, s.doc_id, SUM(CAST(s.score AS DOUBLE)) AS score_d,
+         count(*) AS matched, max(q.required) AS required
+  FROM sc s JOIN q ON q.term = s.term
+  GROUP BY q.query_id, s.doc_id
+),
+flt AS (SELECT query_id, doc_id, score_d FROM batched
+        WHERE required = 0 OR matched = required),
+m4 AS (SELECT 'm4' AS query_id, s.doc_id, CAST(s.score AS DOUBLE) AS score_d
+       FROM sc s WHERE s.term = 'data'
+         AND s.doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'slow')),
+allq AS (SELECT * FROM flt UNION ALL SELECT * FROM m4),
+rk AS (SELECT query_id, doc_id, score_d,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_d DESC, doc_id ASC) AS rn
+       FROM allq)
+SELECT query_id, doc_id, CAST(CAST(score_d AS REAL) AS DOUBLE) AS score
+FROM rk WHERE rn <= 10
+"""
+
+
 def queries():
     return {
         "postings_tf": q_postings_tf,
@@ -1238,6 +1304,7 @@ def queries():
         "exact_ltr": q_exact_ltr,
         "ltr_features": q_ltr_features,
         "search_snippets": q_search_snippets,
+        "msearch_topk": q_msearch_topk,
     }
 
 
@@ -1277,4 +1344,5 @@ def oracle_sql():
         "exact_ltr": SQL_EXACT_LTR,
         "ltr_features": SQL_LTR_FEATURES,
         "search_snippets": SQL_SEARCH_SNIPPETS,
+        "msearch_topk": SQL_MSEARCH_TOPK,
     }

@@ -75,6 +75,43 @@ def test_rank_identical(eng_oracle, query):
         assert gs == pytest.approx(ws, abs=1e-4), f"{query!r} doc {gd}"
 
 
+def test_msearch_matches_per_query(eng_oracle):
+    """Batched multi-query execution is a pure execution-strategy change:
+    every query's (doc_id, score) top-k must equal its individual
+    ``search`` result — covering the join-batched modes (single token,
+    flat OR, flat AND, repeated terms, unknown terms) AND the compiled
+    fallbacks (phrase, NOT, mixed precedence) in one batch."""
+    import numpy as np
+
+    engine, _ = eng_oracle
+    batch = {
+        "q_tok": "spark",
+        "q_or": "spark or planner",
+        "q_and": "spark and shuffle",
+        "q_and3": "(spark and planner) and join",
+        "q_rep": "spark or spark",
+        "q_missing_or": "spark or nonexistentterm",
+        "q_missing_and": "spark and nonexistentterm",
+        "q_phrase": '"hash join"',
+        "q_not": "join and not merge",
+        "q_prec": "spark or planner and shuffle",
+    }
+    rows = engine.msearch(batch, top_k=5).collect()
+    by_qid: dict[str, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, qstr in batch.items():
+        got = sorted(
+            ((r["doc_id"], r["score"]) for r in by_qid.get(qid, [])),
+            key=lambda t: (-np.float32(t[1]), t[0]),
+        )
+        want = engine.search_collect(qstr, top_k=5)
+        assert [d for d, _ in got] == [d for d, _ in want], f"{qid}: {got} != {want}"
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert float(np.float32(gs)) == pytest.approx(ws, abs=1e-5), f"{qid}/{gd}"
+    assert len(rows) <= 5 * len(batch)
+
+
 def test_topk_limits(eng_oracle):
     engine, oracle = eng_oracle
     got = engine.search_collect("spark or join or shuffle", top_k=3)
