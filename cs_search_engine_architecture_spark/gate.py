@@ -431,6 +431,34 @@ FROM cand JOIN shl x ON x.doc_id = cand.doc_a
 WHERE jaccard >= {JACCARD_MIN}
 """
 
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: every doc
+    in a dup cluster labeled with the cluster's min doc_id (iterative
+    min-label propagation in Spark; the oracle computes the transitive
+    closure with a recursive CTE — genuinely different algorithms that
+    must agree exactly)."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_MIN)
+    return DD.dup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE prs AS (
+  SELECT doc_a, doc_b FROM ({SQL_DEDUP_JACCARD_PAIRS}) jp
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM prs
+),
+reach (node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.r FROM edges e JOIN reach r ON r.node = e.d
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
 def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation over the events table —
     the BATCH form of the streaming windowed agg (one shared expression;
@@ -1305,6 +1333,7 @@ def queries():
         "ltr_features": q_ltr_features,
         "search_snippets": q_search_snippets,
         "msearch_topk": q_msearch_topk,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1345,4 +1374,5 @@ def oracle_sql():
         "ltr_features": SQL_LTR_FEATURES,
         "search_snippets": SQL_SEARCH_SNIPPETS,
         "msearch_topk": SQL_MSEARCH_TOPK,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
     }

@@ -511,3 +511,67 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= min_cosine)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) connected components over near-dup ``pairs``;
+    ``cluster_id`` is the smallest doc_id in the component — the
+    canonical "keep one representative per duplicate cluster" step that
+    follows pair generation in every training-data dedup pipeline.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label in its closed neighborhood, converging in O(graph
+    diameter) rounds. Near-dup clusters are near-cliques (diameter 2-3
+    in practice), so 3-4 rounds settle real corpora; ``max_iters`` only
+    bounds adversarial path graphs. Each round is one broadcast-free
+    shuffle on the edge key; ``localCheckpoint`` truncates the plan
+    lineage so round N's DAG does not replay rounds 1..N-1 (the classic
+    iterative-DataFrame trap). Convergence is detected distributively
+    (a one-row count of changed labels, not a data collect)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("slabel")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("slabel").alias("nlabel"))
+        )
+        nxt = (
+            labels.join(neigh, labels["node"] == neigh["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.where(F.col("chg")).limit(1).count()
+        labels = nxt.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

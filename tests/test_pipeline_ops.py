@@ -469,3 +469,22 @@ def test_repetition_scores(spark, duck):
         spark.createDataFrame(DOCS, "doc_id long, text string")
     )
     _parity(sdf, duck, SQL_REPETITION_SCORES)
+
+
+def test_dup_clusters_components(spark):
+    """Min-label propagation finds exact connected components: a path
+    graph (worst-case diameter, forces multiple rounds), a triangle
+    with a pendant, and singleton-free output (docs not in any pair
+    don't appear)."""
+    from cs_search_engine_architecture_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5-6, clique {20,21,22} + pendant 23, pair {30,31}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (20, 21), (21, 22), (20, 22), (22, 23), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+            20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
+    assert got == want
