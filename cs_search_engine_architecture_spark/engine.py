@@ -34,11 +34,24 @@ class SearchEngine:
             self.blocks = self.blocks.persist()
         self.num_buckets = self.meta["num_buckets"]
         self.compiler = QueryCompiler(spark, self.blocks, self.num_buckets)
+        # deleted-docs mask (None on tombstone-free indexes — the common
+        # case pays zero cost); see indexer.delete_docs/compact_index
+        self.tombstones = indexer.load_tombstones(spark, index_path)
 
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
-        return self.compiler.compile(ast)
+        return self._mask(self.compiler.compile(ast))
+
+    def _mask(self, scored: DataFrame) -> DataFrame:
+        """Anti-join the tombstone mask (broadcast — bytes, not a
+        shuffle). Per-doc scores are unaffected by other docs\' deletion
+        (IDF/avgdl are baked at build time — Lucene\'s deleted-docs
+        semantics), so masking the scored frame before top-k selection
+        is exact."""
+        if self.tombstones is None:
+            return scored
+        return scored.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
 
     def search(
         self,
@@ -51,6 +64,15 @@ class SearchEngine:
         if ltr_enabled:
             return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        if self.tombstones is not None:
+            # tombstoned indexes route around the block-max/WAND fast
+            # paths (their kernels skip by block bounds that may now be
+            # dominated by deleted docs); compact_index restores them
+            return (
+                self._mask(self.compiler.compile(ast))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(top_k)
+            )
         if ast and ast["type"] == "token":
             return self._topk_single_term(ast["value"], top_k)
         # WAND pays 2 extra driver round-trips; below ~1M postings the
@@ -280,7 +302,7 @@ class SearchEngine:
                 batchable.append((qid, plan[0], plan[1]))
             else:
                 fallback.append(
-                    self.compiler.compile(ast)
+                    self._mask(self.compiler.compile(ast))
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(top_k)
                     .select(
@@ -291,7 +313,8 @@ class SearchEngine:
         if batchable:
             parts.append(
                 ms.batched_topk(
-                    self.spark, self.blocks, self.num_buckets, batchable, top_k
+                    self.spark, self.blocks, self.num_buckets, batchable,
+                    top_k, exclude=self.tombstones,
                 )
             )
         parts.extend(fallback)

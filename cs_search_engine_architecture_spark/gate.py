@@ -1296,6 +1296,62 @@ FROM rk WHERE rn <= 10
 """
 
 
+def q_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete semantics: the top-3 docs of ``spark or data``
+    are deleted (on a copy of the gate index), then the query re-runs.
+    Survivors must keep their build-time scores (stale IDF/avgdl —
+    Lucene's deleted-docs contract until compaction) and simply close
+    ranks; the oracle replays full-corpus BM25 and excludes the same
+    top-3 via a subquery, so both sides derive the victim set
+    independently."""
+    import shutil
+
+    eng = gate_engine(spark, sf_dir)  # ensures the base index exists
+    del_path = eng.index_path + "_del"
+    if not os.path.exists(os.path.join(del_path, "meta.json")):
+        shutil.copytree(eng.index_path, del_path)
+        victims = [
+            r["doc_id"] for r in eng.search("spark or data", top_k=3).collect()
+        ]
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            delete_docs,
+        )
+
+        delete_docs(spark, del_path, victims)
+    deng = SearchEngine(spark, del_path, cache=False)
+    return deng.search("spark or data", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+SQL_SEARCH_AFTER_DELETE = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+scores AS (SELECT doc_id, SUM(CAST(score AS DOUBLE)) AS score_d
+           FROM sc GROUP BY doc_id),
+victims AS (SELECT doc_id FROM scores
+            ORDER BY score_d DESC, doc_id ASC LIMIT 3)
+SELECT doc_id, CAST(CAST(score_d AS REAL) AS DOUBLE) AS score
+FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+ORDER BY score_d DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def queries():
     return {
         "postings_tf": q_postings_tf,
@@ -1334,6 +1390,7 @@ def queries():
         "search_snippets": q_search_snippets,
         "msearch_topk": q_msearch_topk,
         "dedup_clusters": q_dedup_clusters,
+        "search_after_delete": q_search_after_delete,
     }
 
 
@@ -1375,4 +1432,5 @@ def oracle_sql():
         "search_snippets": SQL_SEARCH_SNIPPETS,
         "msearch_topk": SQL_MSEARCH_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "search_after_delete": SQL_SEARCH_AFTER_DELETE,
     }

@@ -1093,3 +1093,87 @@ def load_doc_lens(spark: SparkSession, index_path: str, num_fields: int) -> Data
     return spark.read.schema(f"doc_id long, {cols}").parquet(
         os.path.join(index_path, "doc_lens")
     )
+
+
+# ------------------------------------------------------------- maintenance
+#
+# The reference index is immutable once built (sea/indexer.pyx has no
+# delete path). Real corpora churn, so the repo adds the standard
+# log-structured maintenance pair: tombstone deletes that mask docs at
+# query time without touching the posting blocks (scores keep the
+# build-time IDF/avgdl — exactly Lucene's deleted-docs semantics until a
+# merge), and a compaction that rebuilds fresh statistics from the
+# surviving corpus. Tombstones are a tiny parquet table under the index
+# dir; at cluster scale they broadcast into an anti-join (bytes, not a
+# shuffle).
+
+
+def delete_docs(spark: SparkSession, index_path: str, doc_ids) -> int:
+    """Tombstone ``doc_ids`` (iterable of ints or a 1-column DataFrame).
+    Append-only and idempotent at read time (readers dedupe); returns
+    the number of ids written."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = [(int(d),) for d in doc_ids]
+        df = spark.createDataFrame(ids, "doc_id long")
+    n = df.count()
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "tombstones")
+    )
+    return n
+
+
+def load_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Deduped tombstones, or None when the index has none."""
+    path = os.path.join(index_path, "tombstones")
+    if not os.path.exists(path):
+        return None
+    return spark.read.schema("doc_id long").parquet(path).distinct()
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    corpus: DataFrame | None = None,
+    **build_kwargs,
+) -> dict:
+    """Rebuild ``index_path`` minus its tombstones into ``out_path`` with
+    FRESH corpus statistics (df/idf/avgdl recomputed over the survivors —
+    the semantic difference from the tombstone mask, which keeps stale
+    stats). ``corpus`` defaults to re-reading the manifest's source
+    parquet; build parameters default to the old index's meta."""
+    meta = load_meta(index_path)
+    if corpus is None:
+        src = meta.get("corpus_path")
+        if not src or not os.path.exists(src):
+            raise ValueError(
+                "compact_index needs `corpus` (manifest has no readable "
+                f"corpus_path: {src!r})"
+            )
+        corpus = spark.read.parquet(src)
+    tomb = load_tombstones(spark, index_path)
+    if tomb is not None:
+        id_col = meta.get("doc_id_col", "doc_id")
+        corpus = corpus.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left_anti",
+        )
+    kwargs = dict(
+        fields=meta["fields"],
+        analyzer=meta.get("analyzer", "reference"),
+        block_size=meta.get("block_size", DEFAULT_BLOCK_SIZE),
+        num_buckets=meta.get("num_buckets", DEFAULT_NUM_BUCKETS),
+        doc_id_col=meta.get("doc_id_col", "doc_id"),
+        corpus_path=meta.get("corpus_path"),
+    )
+    if meta.get("field_boosts"):
+        kwargs["boosts"] = meta["field_boosts"]
+    if meta.get("bm25_bs"):
+        kwargs["bs"] = meta["bm25_bs"]
+    if meta.get("bm25_k") is not None:
+        kwargs["k"] = meta["bm25_k"]
+    kwargs.update(build_kwargs)
+    return build_index(spark, corpus, out_path, **kwargs)

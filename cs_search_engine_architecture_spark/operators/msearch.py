@@ -138,11 +138,14 @@ def batched_topk(
     num_buckets: int,
     plans: list[tuple[str, str, list[str]]],
     top_k: int,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Answer every ``(query_id, mode, terms)`` plan from one shared scan.
 
     Returns ``(query_id, doc_id, score)`` with at most ``top_k`` rows per
     query, ordered within each query by (score desc, doc_id asc).
+    ``exclude`` (a 1-column doc_id frame, e.g. the index's tombstones) is
+    anti-joined before per-query ranking.
     """
     rows = []
     for query_id, mode, terms in plans:
@@ -166,6 +169,8 @@ def batched_topk(
     hits = agg.where(
         (F.col("required") == 0) | (F.col("matched") == F.col("required"))
     )
+    if exclude is not None:
+        hits = hits.join(F.broadcast(exclude), "doc_id", "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         hits.withColumn("rank", F.row_number().over(w))

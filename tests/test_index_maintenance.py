@@ -1,0 +1,103 @@
+"""Tombstone deletes + compaction: deleted docs vanish from every query
+surface with Lucene-style stale-stats semantics (scores of survivors are
+unchanged until compaction), and compact_index rebuilds fresh statistics
+equal to a from-scratch build over the surviving corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import indexer
+
+DOCS = [
+    (0, "spark shuffle makes wide plans fast"),
+    (1, "hash join beats merge join on small tables"),
+    (2, "sorted merge join shines for big runs"),
+    (3, "the planner picks hash join or merge join"),
+    (4, "spark planner prefers broadcast hash join"),
+    (5, "a shuffle heavy query with skewed keys"),
+    (6, "spark spark spark repeated for frequency"),
+    (7, "delta gap varint blocks compress postings"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("maint") / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path_factory.mktemp("maint_src") / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    return out, corpus
+
+
+def _ranked(eng, query, k=10):
+    return [(r["doc_id"], round(r["score"], 6)) for r in eng.search(query, k).collect()]
+
+
+def test_delete_masks_all_query_surfaces(spark, built):
+    out, _ = built
+    before = SearchEngine(spark, out, cache=False)
+    full = _ranked(before, "spark or join")
+    victims = [full[0][0], full[2][0]]
+    assert indexer.delete_docs(spark, out, victims) == 2
+
+    after = SearchEngine(spark, out, cache=False)
+    got = _ranked(after, "spark or join")
+    # stale-stats semantics: survivors keep their scores and order
+    want = [(d, s) for d, s in full if d not in victims]
+    assert got == want
+
+    # single-term path (would otherwise use block-max) is masked too
+    single = [r["doc_id"] for r in after.search("spark", 10).collect()]
+    assert set(single).isdisjoint(victims)
+    assert set(single) == {
+        r["doc_id"] for r in before.search("spark", 10).collect()
+    } - set(victims)
+
+    # batched path: both the shared-scan branch and the fallback branch
+    rows = after.msearch(
+        {"a": "spark or join", "b": "join and not merge"}, top_k=10
+    ).collect()
+    assert all(r["doc_id"] not in victims for r in rows)
+    got_a = sorted(
+        ((r["doc_id"], round(r["score"], 6)) for r in rows if r["query_id"] == "a"),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got_a == sorted(want, key=lambda t: (-t[1], t[0]))
+
+
+def test_delete_accumulates_and_dedupes(spark, built):
+    out, _ = built
+    indexer.delete_docs(spark, out, [7])
+    indexer.delete_docs(spark, out, [7])  # idempotent at read time
+    tomb = indexer.load_tombstones(spark, out)
+    ids = sorted(r["doc_id"] for r in tomb.collect())
+    assert ids == sorted(set(ids)), "tombstones must dedupe"
+    assert 7 in ids
+    eng = SearchEngine(spark, out, cache=False)
+    assert all(r["doc_id"] != 7 for r in eng.search("delta or varint", 10).collect())
+
+
+def test_compact_rebuilds_fresh_stats(spark, built, tmp_path):
+    out, corpus = built
+    compacted = str(tmp_path / "compacted")
+    meta = indexer.compact_index(spark, out, compacted)
+
+    tomb = {r["doc_id"] for r in indexer.load_tombstones(spark, out).collect()}
+    survivors = corpus.where(~F.col("doc_id").isin(list(tomb)))
+    fresh = str(tmp_path / "fresh")
+    fresh_meta = indexer.build_index(
+        spark, survivors, fresh, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    assert meta["num_documents"] == fresh_meta["num_documents"]
+    assert meta["num_postings"] == fresh_meta["num_postings"]
+
+    ec = SearchEngine(spark, compacted, cache=False)
+    ef = SearchEngine(spark, fresh, cache=False)
+    assert ec.tombstones is None  # compacted index has no mask
+    for q in ["spark or join", "hash join", "spark and not merge"]:
+        assert _ranked(ec, q) == _ranked(ef, q), q
