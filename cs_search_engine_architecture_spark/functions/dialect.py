@@ -234,3 +234,48 @@ def lsh_bucket(
         for p in range(num_planes)
     )
     return f"({bits})"
+
+
+def to_str(dialect: str, col: str) -> str:
+    """String cast (Spark STRING vs DuckDB VARCHAR)."""
+    return f"CAST({col} AS {'VARCHAR' if _d(dialect) else 'STRING'})"
+
+
+def regexp_replace_all(dialect: str, col: str, pattern: str, rep: str) -> str:
+    """Replace EVERY match (Spark's default; DuckDB needs the 'g' flag).
+    Patterns must stay in the Java-regex ∩ RE2 common subset — character
+    classes, bounded repetition, alternation; no backrefs/lookarounds.
+    Spark SQL string literals consume one level of backslash escaping
+    (Hive-style), DuckDB's are SQL-standard-literal — so the pattern is
+    doubled for Spark only."""
+    if _d(dialect):
+        return f"regexp_replace({col}, '{pattern}', '{rep}', 'g')"
+    spark_pat = pattern.replace("\\", "\\\\")
+    return f"regexp_replace({col}, '{spark_pat}', '{rep}')"
+
+
+# conservative PII-shaped patterns (Java-regex ∩ RE2; applied in order)
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\d{3}[- .]\d{3}[- .]\d{4}", "<PHONE>"),
+]
+
+
+def redact(dialect: str, col: str = "text") -> str:
+    """Chained whole-string PII redaction over ``col``."""
+    out = col
+    for pattern, rep in REDACT_PATTERNS:
+        out = regexp_replace_all(dialect, out, pattern, rep)
+    return out
+
+
+SPLIT_BUCKETS = 1000
+
+
+def split_bucket(dialect: str, id_col: str = "doc_id", seed: str = "s1") -> str:
+    """Deterministic, seed-keyed bucket in [0, SPLIT_BUCKETS) from the
+    row id — the content-independent train/val/test assignment hash.
+    Same md5-based token hash both engines compute identically."""
+    keyed = f"concat('split-{seed}:', {to_str(dialect, id_col)})"
+    return f"({token_hash(dialect, keyed)} % {SPLIT_BUCKETS})"

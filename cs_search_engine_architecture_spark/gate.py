@@ -1352,6 +1352,29 @@ LIMIT 10
 """
 
 
+def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.redact_text(_docs(spark, sf_dir))
+
+
+SQL_REDACT_TEXT = (
+    f"SELECT doc_id, {D.redact(D.DUCKDB, 'text')} AS redacted FROM documents"
+)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.split_assign(_docs(spark, sf_dir), seed="gate")
+
+
+_SPLIT_BUCKET_DUCK = D.split_bucket(D.DUCKDB, "doc_id", "gate")
+SQL_CORPUS_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN {_SPLIT_BUCKET_DUCK} < 800 THEN 'train'
+       WHEN {_SPLIT_BUCKET_DUCK} < 900 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def queries():
     return {
         "postings_tf": q_postings_tf,
@@ -1391,6 +1414,8 @@ def queries():
         "msearch_topk": q_msearch_topk,
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
+        "redact_text": q_redact_text,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1433,4 +1458,6 @@ def oracle_sql():
         "msearch_topk": SQL_MSEARCH_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
+        "redact_text": SQL_REDACT_TEXT,
+        "corpus_split": SQL_CORPUS_SPLIT,
     }

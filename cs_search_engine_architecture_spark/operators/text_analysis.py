@@ -224,3 +224,38 @@ def quality_score_col(exprs: dict[str, Column] | None = None) -> Column:
         + F.col("alpha_ratio") * F.lit(0.3)
         + F.least(F.lit(1.0), F.col("stopword_ratio") * F.lit(5.0)) * F.lit(0.3)
     ).alias("quality_score")
+
+
+def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted) — PII-shaped spans (emails, IPv4s, phone-like
+    numbers) replaced with typed placeholder tokens. Pure row-local
+    ``regexp_replace`` chain (whole-stage codegen; the 100 TB cost is
+    the scan itself)."""
+    return df.select(
+        "doc_id", F.expr(D.redact(D.SPARK, text_col)).alias("redacted")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """(doc_id, split) — deterministic, content-independent train/val/
+    test assignment from a seeded hash of the row id. Properties that
+    matter at 100 TB: reproducible across runs and engines (md5-based,
+    no RNG state), stable under repartitioning (keyed on the id, not
+    the row position — ``randomSplit`` is neither), and re-seedable for
+    fresh folds. Row-local; no shuffle."""
+    bucket = F.expr(D.split_bucket(D.SPARK, id_col, seed))
+    t_hi = int(train * D.SPLIT_BUCKETS)
+    v_hi = t_hi + int(val * D.SPLIT_BUCKETS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

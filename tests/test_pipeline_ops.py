@@ -488,3 +488,48 @@ def test_dup_clusters_components(spark):
     want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
             20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30}
     assert got == want
+
+
+def test_redact_text_planted_pii(spark):
+    """Planted emails/IPs/phone-shaped spans are replaced with typed
+    placeholders on BOTH engines (dialect parity incl. the Spark
+    backslash-literal doubling), and clean text passes through."""
+    rows = [
+        (0, "reach me at alice.smith+x@example.co.uk today"),
+        (1, "server 192.168.0.1 and 10.0.0.255 are up"),
+        (2, "call 555-123-4567 or 555 987 6543 now"),
+        (3, "no pii here, just words and 42 numbers"),
+        (4, "mixed: bob@x.io on 172.16.254.3 tel 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["redacted"] for r in TA.redact_text(df).collect()}
+    assert got[0] == "reach me at <EMAIL> today"
+    assert got[1] == "server <IP> and <IP> are up"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == rows[3][1]
+    assert got[4] == "mixed: <EMAIL> on <IP> tel <PHONE>"
+    con = duckdb.connect()
+    con.register("docs_py", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    duck = dict(con.execute(
+        f"SELECT doc_id, {D.redact(D.DUCKDB, 'text')} FROM docs_py"
+    ).fetchall())
+    assert duck == got
+
+
+def test_split_assign_deterministic_proportions(spark):
+    """Hash split: deterministic across invocations, disjoint and
+    exhaustive, ~80/10/10 at 10k rows, reshuffles under a new seed, and
+    content-independent (same id -> same split regardless of text)."""
+    ids = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in TA.split_assign(ids).collect()}
+    b = {r["doc_id"]: r["split"] for r in TA.split_assign(ids).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 10_000 - 0.8) < 0.02
+    assert abs(c["val"] / 10_000 - 0.1) < 0.01
+    assert abs(c["test"] / 10_000 - 0.1) < 0.01
+    other = {r["doc_id"]: r["split"]
+             for r in TA.split_assign(ids, seed="s2").collect()}
+    assert other != a  # re-seed produces a different fold
