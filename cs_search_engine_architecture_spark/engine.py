@@ -37,6 +37,13 @@ class SearchEngine:
         # deleted-docs mask (None on tombstone-free indexes — the common
         # case pays zero cost); see indexer.delete_docs/compact_index
         self.tombstones = indexer.load_tombstones(spark, index_path)
+        # delta segments (add_docs) contribute postings to the WAND/
+        # block-max routing threshold; world stats stay frozen (see
+        # indexer.add_docs)
+        for dm in indexer.load_delta_metas(index_path):
+            self.meta["num_postings"] = (
+                self.meta.get("num_postings", 0) + dm["num_postings"]
+            )
 
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""

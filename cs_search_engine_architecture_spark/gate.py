@@ -1352,6 +1352,85 @@ LIMIT 10
 """
 
 
+# delta docs for the incremental-add gate — ONE literal list renders
+# into both the Spark add_docs call and the oracle's VALUES clause
+GATE_ADD_DOCS = [
+    (1_000_001, "spark data pipelines make data flow with spark"),
+    (1_000_002, "spark spark spark benchmark corpus growth"),
+    # long doc with a single query-term occurrence: with the fixture's
+    # negative idf the length normalization makes this the LEAST
+    # negative score, so a delta doc provably lands at rank 1 — the
+    # gate fails loudly if delta postings stop being scored/served
+    (1_000_003, " ".join(["filler"] * 400 + ["data"])),
+]
+
+
+def q_search_after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental adds with frozen-stats scoring: three docs are
+    appended as a delta segment (on a copy of the gate index), then
+    ``spark or data`` re-runs over base+delta. Old docs must keep their
+    exact scores (idf/avgdl frozen at the base build — symmetric with
+    tombstone semantics) and the new docs score with the FROZEN base
+    stats; the oracle computes df/idf/avgdl over the base corpus only
+    but term frequencies and lengths over the union."""
+    import shutil
+
+    eng = gate_engine(spark, sf_dir)
+    add_path = eng.index_path + "_add"
+    if not os.path.exists(os.path.join(add_path, "meta.json")):
+        shutil.copytree(eng.index_path, add_path)
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            add_docs,
+        )
+
+        add_docs(
+            spark,
+            add_path,
+            spark.createDataFrame(GATE_ADD_DOCS, "doc_id long, text string"),
+        )
+    aeng = SearchEngine(spark, add_path, cache=False)
+    return aeng.search("spark or data", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+_ADD_VALUES = ", ".join(
+    f"({d}, '{t}')" for d, t in GATE_ADD_DOCS
+)
+SQL_SEARCH_AFTER_ADD = f"""
+WITH base_toks AS ({TOKS_CTE}),
+newdocs (doc_id, text) AS (SELECT * FROM (VALUES {_ADD_VALUES})),
+new_toks AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM newdocs),
+all_toks AS (SELECT * FROM base_toks UNION ALL SELECT * FROM new_toks),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM base_toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM all_toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM all_toks
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+qterms (term) AS (SELECT * FROM (VALUES ('spark'), ('data'))),
+dfs AS (SELECT q.term, coalesce(b.df, 0) AS df FROM qterms q
+        LEFT JOIN (SELECT term, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, term FROM base_toks) GROUP BY term) b
+        USING (term)),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.redact_text(_docs(spark, sf_dir))
 
@@ -1414,6 +1493,7 @@ def queries():
         "msearch_topk": q_msearch_topk,
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
+        "search_after_add": q_search_after_add,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
     }
@@ -1458,6 +1538,7 @@ def oracle_sql():
         "msearch_topk": SQL_MSEARCH_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
+        "search_after_add": SQL_SEARCH_AFTER_ADD,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
     }

@@ -1073,10 +1073,16 @@ def load_meta(index_path: str) -> dict:
 
 
 def load_blocks(spark: SparkSession, index_path: str) -> DataFrame:
-    # explicit schema so indexes over empty corpora stay queryable
-    return spark.read.schema(BLOCKS_SCHEMA + ", term_bucket int").parquet(
-        os.path.join(index_path, "blocks")
-    )
+    # explicit schema so indexes over empty corpora stay queryable;
+    # delta segments (add_docs) union in as homogeneous block tables —
+    # per-branch scans keep their own bucket/term pushdown
+    schema = BLOCKS_SCHEMA + ", term_bucket int"
+    out = spark.read.schema(schema).parquet(os.path.join(index_path, "blocks"))
+    for d in _delta_dirs(index_path):
+        out = out.unionByName(
+            spark.read.schema(schema).parquet(os.path.join(d, "blocks"))
+        )
+    return out
 
 
 def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
@@ -1090,9 +1096,13 @@ def load_doc_lens(spark: SparkSession, index_path: str, num_fields: int) -> Data
     with zero postings (all-empty fields) have no row — readers coalesce
     missing lengths to 0, matching the tokenizer's empty-field length."""
     cols = ", ".join(f"fl_{f} int" for f in range(num_fields))
-    return spark.read.schema(f"doc_id long, {cols}").parquet(
-        os.path.join(index_path, "doc_lens")
-    )
+    schema = f"doc_id long, {cols}"
+    out = spark.read.schema(schema).parquet(os.path.join(index_path, "doc_lens"))
+    for d in _delta_dirs(index_path):
+        out = out.unionByName(
+            spark.read.schema(schema).parquet(os.path.join(d, "doc_lens"))
+        )
+    return out
 
 
 # ------------------------------------------------------------- maintenance
@@ -1153,6 +1163,13 @@ def compact_index(
                 f"corpus_path: {src!r})"
             )
         corpus = spark.read.parquet(src)
+    # delta segments staged their raw rows at add time — fold them in so
+    # compaction covers adds as well as deletes
+    for d in _delta_dirs(index_path):
+        corpus = corpus.unionByName(
+            spark.read.parquet(os.path.join(d, "corpus")),
+            allowMissingColumns=True,
+        )
     tomb = load_tombstones(spark, index_path)
     if tomb is not None:
         id_col = meta.get("doc_id_col", "doc_id")
@@ -1177,3 +1194,166 @@ def compact_index(
         kwargs["k"] = meta["bm25_k"]
     kwargs.update(build_kwargs)
     return build_index(spark, corpus, out_path, **kwargs)
+
+
+def _delta_dirs(index_path: str) -> list[str]:
+    """Ordered delta-segment dirs under the index (empty when none)."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(index_path, "delta_[0-9]*")))
+
+
+# new delta-local term ids live far above any base term_stats id
+# (monotonically_increasing_id = partition_id * 2^33 + row stays far
+# below 2^61 at any realistic partition count)
+_DELTA_TERM_ID_OFFSET = 1 << 61
+
+
+def add_docs(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    check_ids: bool = True,
+) -> dict:
+    """Append ``new_docs`` as a delta segment with FROZEN-STATS scoring.
+
+    Lucene-style incremental adds adapted to baked per-posting scores:
+    the world statistics (N, avgdl, per-term idf) stay frozen at the
+    last full build/compaction — delta postings of known terms reuse the
+    base idf, unseen terms score with the df=0 idf ln((N+0.5)/0.5), and
+    survivors' scores never move. Symmetric with ``delete_docs``
+    (whose survivors also keep stale stats); ``compact_index`` folds all
+    deltas + tombstones into a fresh-stats rebuild. The delta reuses the
+    base build's exact kernels (packed tokenizer, term_id block encoder,
+    shard-aligned blocks), so query paths see one homogeneous block
+    table — the union of base + delta scans with the same pushdown.
+
+    ``check_ids`` rejects doc_ids that already exist (adds are inserts;
+    express updates as delete + compact). Returns the delta's meta."""
+    meta = load_meta(index_path)
+    fields = meta["fields"]
+    nf = len(fields)
+    id_col = meta.get("doc_id_col", "doc_id")
+    deltas = _delta_dirs(index_path)
+    out = os.path.join(index_path, f"delta_{len(deltas):05d}")
+
+    if check_ids:
+        existing = load_doc_lens(spark, index_path, nf).select("doc_id")
+        dup = (
+            new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(existing, "doc_id", "inner")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "add_docs: some doc_ids already exist in the index; "
+                "updates are delete_docs + compact_index"
+            )
+
+    # stage the raw rows (compaction re-reads them; also pins the input)
+    new_docs.write.mode("overwrite").parquet(os.path.join(out, "corpus"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+
+    work = os.path.join(out, "work", "postings")
+    tokenize_postings_packed(
+        corpus, fields, id_col, meta.get("analyzer", "reference")
+    ).write.mode("overwrite").option("compression", "lz4").parquet(work)
+    postings = spark.read.schema(packed_postings_schema(nf)).parquet(work)
+
+    # frozen-stats term map, PINNED to parquet before reuse (new term_ids
+    # come from monotonically_increasing_id, only stable once written)
+    import math as _math
+
+    n_base = meta["num_documents"]
+    idf0 = _math.log((n_base + 0.5) / 0.5)
+    base_stats = load_term_stats(spark, index_path)
+    tmap_plan = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_local"))
+        .join(base_stats.select("term", "idf", "term_id"), "term", "left")
+        .select(
+            "term",
+            "df_local",
+            F.coalesce("idf", F.lit(idf0)).alias("idf"),
+            F.coalesce(
+                "term_id",
+                F.monotonically_increasing_id() + F.lit(_DELTA_TERM_ID_OFFSET),
+            ).alias("term_id"),
+        )
+    )
+    tmap_plan.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out, "term_stats")
+    )
+    tmap = spark.read.schema(
+        "term string, df_local long, idf double, term_id long"
+    ).parquet(os.path.join(out, "term_stats"))
+
+    boosts = meta["field_boosts"]
+    bs = meta["bm25_bs"]
+    scored = postings.join(tmap, "term").withColumn(
+        "score",
+        bm25_score_col_packed(
+            nf, meta["avg_field_lengths"], boosts, bs, meta["bm25_k"]
+        ),
+    )
+    group_span = meta.get("group_span", DEFAULT_GROUP_SPAN)
+    hot_df = meta.get("hot_df", DEFAULT_HOT_DF)
+    ngroups = F.ceil(F.col("df_local") / F.lit(float(group_span)))
+    span = F.ceil(F.lit(float(max(n_base, 1))) / ngroups)
+    scored = scored.withColumn(
+        "doc_group",
+        F.when(
+            F.col("df_local") > F.lit(hot_df),
+            F.floor(F.col("doc_id") / span).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    blocks_id = scored.drop("term", "df_local", "idf").groupBy(
+        "term_id", "doc_group"
+    ).applyInPandas(
+        _make_block_encoder_id(
+            meta.get("block_size", DEFAULT_BLOCK_SIZE),
+            nf,
+            meta.get("wand_shard_span"),
+        ),
+        BLOCKS_ID_SCHEMA,
+    )
+    num_buckets = meta["num_buckets"]
+    blocks = (
+        blocks_id.join(tmap.select("term_id", "term"), "term_id")
+        .drop("term_id")
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
+    )
+    (
+        blocks.repartition(max(1, num_buckets // 8), "term_bucket")
+        .sortWithinPartitions("term", "first_doc")
+        .select(*[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")], "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(out, "blocks"))
+    )
+    postings.groupBy("doc_id").agg(
+        *[F.first(f"fl_{f}").alias(f"fl_{f}") for f in range(nf)]
+    ).repartition(1).write.mode("overwrite").parquet(
+        os.path.join(out, "doc_lens")
+    )
+    delta_meta = {
+        "segment": len(deltas),
+        "num_documents": int(corpus.count()),
+        "num_postings": int(postings.count()),
+        "base_num_documents": n_base,
+    }
+    with open(os.path.join(out, "meta.json"), "w") as fh:
+        json.dump(delta_meta, fh, indent=2)
+    return delta_meta
+
+
+def load_delta_metas(index_path: str) -> list[dict]:
+    out = []
+    for d in _delta_dirs(index_path):
+        with open(os.path.join(d, "meta.json")) as fh:
+            out.append(json.load(fh))
+    return out

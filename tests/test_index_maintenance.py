@@ -101,3 +101,75 @@ def test_compact_rebuilds_fresh_stats(spark, built, tmp_path):
     assert ec.tombstones is None  # compacted index has no mask
     for q in ["spark or join", "hash join", "spark and not merge"]:
         assert _ranked(ec, q) == _ranked(ef, q), q
+
+
+def test_add_docs_frozen_stats(spark, tmp_path):
+    import math
+
+    import numpy as np
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng0 = SearchEngine(spark, out, cache=False)
+    before = _ranked(eng0, "spark or join")
+    meta = indexer.load_meta(out)
+
+    new_rows = [
+        (100, "spark joins the new spark world of spark"),
+        (101, "entirely novel zzzterm content here"),
+    ]
+    dmeta = indexer.add_docs(
+        spark, out, spark.createDataFrame(new_rows, "doc_id long, text string")
+    )
+    assert dmeta["num_documents"] == 2
+
+    eng1 = SearchEngine(spark, out, cache=False)
+    after = _ranked(eng1, "spark or join")
+    # frozen stats: every pre-existing doc keeps its exact score
+    assert {d: s for d, s in after if d < 100} == dict(before)
+
+    # the new doc scores with the FROZEN base idf/avgdl
+    stats = {
+        r["term"]: r["idf"]
+        for r in indexer.load_term_stats(spark, out).collect()
+    }
+    got100 = dict(after)[100]
+    fl = 8  # tokens in doc 100
+    tf_part = 3.0 / (1.75 + 0.25 * fl / meta["avg_field_lengths"][0])
+    want = np.float32(stats["spark"] * (tf_part * 2.5) / (tf_part + 1.5))
+    assert got100 == pytest.approx(float(want), rel=1e-5)
+
+    # a term unseen at base-build time gets the df=0 frozen idf
+    z = eng1.search("zzzterm", 10).collect()
+    assert [r["doc_id"] for r in z] == [101]
+    idf0 = math.log((meta["num_documents"] + 0.5) / 0.5)
+    zfl = 5
+    ztf = 1.0 / (1.75 + 0.25 * zfl / meta["avg_field_lengths"][0])
+    assert z[0]["score"] == pytest.approx(
+        float(np.float32(idf0 * (ztf * 2.5) / (ztf + 1.5))), rel=1e-5
+    )
+
+    # inserts only: re-adding an existing doc_id is rejected
+    with pytest.raises(ValueError):
+        indexer.add_docs(
+            spark, out,
+            spark.createDataFrame([(100, "dup")], "doc_id long, text string"),
+        )
+
+    # deletes compose with adds (mask applies across segments)
+    indexer.delete_docs(spark, out, [100])
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert all(r["doc_id"] != 100 for r in eng2.search("spark", 10).collect())
+
+    # compaction folds base + delta - tombstones into fresh stats
+    compacted = str(tmp_path / "compacted")
+    cmeta = indexer.compact_index(spark, out, compacted)
+    assert cmeta["num_documents"] == len(DOCS) + 1  # +101, -100
+    ec = SearchEngine(spark, compacted, cache=False)
+    assert [r["doc_id"] for r in ec.search("zzzterm", 10).collect()] == [101]
