@@ -71,17 +71,34 @@ class SearchEngine:
         if ltr_enabled:
             return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        # Tombstones + fast paths: deleting T docs can promote at most T
+        # docs into the top-k, so the top-(k+T) of the UNMASKED ranking
+        # contains the masked top-k — fast paths over-fetch by T, then
+        # mask and re-limit (exact). A pathological tombstone count
+        # (> _TOMB_FASTPATH_CAP) falls back to the masked join path;
+        # compact_index resets T to 0.
+        k_fetch = top_k
         if self.tombstones is not None:
-            # tombstoned indexes route around the block-max/WAND fast
-            # paths (their kernels skip by block bounds that may now be
-            # dominated by deleted docs); compact_index restores them
+            t_count = self._num_tombstones()
+            if t_count > self._TOMB_FASTPATH_CAP:
+                return (
+                    self._mask(self.compiler.compile(ast))
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(top_k)
+                )
+            k_fetch = top_k + t_count
+
+        def _finish(raw: DataFrame) -> DataFrame:
+            if self.tombstones is None:
+                return raw
             return (
-                self._mask(self.compiler.compile(ast))
+                self._mask(raw)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(top_k)
             )
+
         if ast and ast["type"] == "token":
-            return self._topk_single_term(ast["value"], top_k)
+            return _finish(self._topk_single_term(ast["value"], k_fetch))
         # WAND pays 2 extra driver round-trips; below ~1M postings the
         # join path's single job is cheaper (same scale gate as the
         # single-term block-max path — at cluster scale WAND always wins).
@@ -96,12 +113,13 @@ class SearchEngine:
                 # indexes serve from the cached pre-sharded layout with
                 # NO per-query exchange
                 if span:
-                    return wand.wand_or_topk_sharded(
-                        self._wand_sharded(), flat_or, top_k, span
-                    )
-                return wand.wand_or_topk(
-                    self.spark, self.blocks, self.num_buckets, flat_or, top_k
-                )
+                    return _finish(wand.wand_or_topk_sharded(
+                        self._wand_sharded(), flat_or, k_fetch, span
+                    ))
+                return _finish(wand.wand_or_topk(
+                    self.spark, self.blocks, self.num_buckets, flat_or,
+                    k_fetch,
+                ))
             flat_and = self._flat_op_terms(ast, "and")
             if flat_and:
                 # conjunctions: metadata range-skip intersection — blocks
@@ -114,18 +132,29 @@ class SearchEngine:
                     10_000, self.meta["num_postings"] // 200
                 ):
                     if span:
-                        return wand.wand_and_topk_sharded(
-                            self._wand_sharded(), flat_and, top_k, span
-                        )
-                    return wand.wand_and_topk(
+                        return _finish(wand.wand_and_topk_sharded(
+                            self._wand_sharded(), flat_and, k_fetch, span
+                        ))
+                    return _finish(wand.wand_and_topk(
                         self.spark, self.blocks, self.num_buckets, flat_and,
-                        top_k,
-                    )
+                        k_fetch,
+                    ))
         return (
-            self.compiler.compile(ast)
+            self._mask(self.compiler.compile(ast))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
+
+    # beyond this many tombstones the over-fetch trick costs more than
+    # the masked join path (and the broadcast mask itself gets heavy)
+    _TOMB_FASTPATH_CAP = 10_000
+
+    def _num_tombstones(self) -> int:
+        if not hasattr(self, "_tomb_count"):
+            self._tomb_count = (
+                0 if self.tombstones is None else self.tombstones.count()
+            )
+        return self._tomb_count
 
     def _wand_sharded(self) -> DataFrame:
         """Cached shard-partitioned blocks frame (one exchange at first

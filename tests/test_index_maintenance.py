@@ -173,3 +173,23 @@ def test_add_docs_frozen_stats(spark, tmp_path):
     assert cmeta["num_documents"] == len(DOCS) + 1  # +101, -100
     ec = SearchEngine(spark, compacted, cache=False)
     assert [r["doc_id"] for r in ec.search("zzzterm", 10).collect()] == [101]
+
+
+def test_fastpath_overfetch_boundary(spark, tmp_path):
+    """Small top_k with the rank-1 doc deleted: the single-term fast
+    path over-fetches k+T, masks, and must return exactly the original
+    ranks 2..k+1 (the exactness argument: T deletions promote at most T
+    docs into the top-k)."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    base = SearchEngine(spark, out, cache=False)
+    full = _ranked(base, "spark", k=10)
+    assert len(full) >= 3
+    indexer.delete_docs(spark, out, [full[0][0]])
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng._num_tombstones() == 1
+    got = _ranked(eng, "spark", k=2)
+    assert got == full[1:3]
