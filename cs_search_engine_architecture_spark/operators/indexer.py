@@ -1214,6 +1214,7 @@ def add_docs(
     index_path: str,
     new_docs: DataFrame,
     check_ids: bool = True,
+    segment: int | None = None,
 ) -> dict:
     """Append ``new_docs`` as a delta segment with FROZEN-STATS scoring.
 
@@ -1235,7 +1236,12 @@ def add_docs(
     nf = len(fields)
     id_col = meta.get("doc_id_col", "doc_id")
     deltas = _delta_dirs(index_path)
-    out = os.path.join(index_path, f"delta_{len(deltas):05d}")
+    # explicit segment ids make replays IDEMPOTENT (a re-run of the same
+    # streaming micro-batch overwrites its own delta instead of
+    # appending a duplicate) — the live-ingest path keys this on the
+    # Structured Streaming batch_id
+    seg = len(deltas) if segment is None else int(segment)
+    out = os.path.join(index_path, f"delta_{seg:05d}")
 
     if check_ids:
         existing = load_doc_lens(spark, index_path, nf).select("doc_id")
@@ -1341,7 +1347,7 @@ def add_docs(
         os.path.join(out, "doc_lens")
     )
     delta_meta = {
-        "segment": len(deltas),
+        "segment": seg,
         "num_documents": int(corpus.count()),
         "num_postings": int(postings.count()),
         "base_num_documents": n_base,

@@ -153,3 +153,84 @@ class StreamingIndexer:
                 "batch_checkpoints": batches,
             },
         )
+
+
+# live-ingest delta segments live far above any manual add_docs slot
+# (manual naming counts existing dirs; it never reaches this base)
+LIVE_SEGMENT_BASE = 10_000
+
+
+class LiveStreamingIndexer:
+    """Near-real-time ingest: every micro-batch becomes a QUERYABLE
+    delta segment (``indexer.add_docs``), so the index serves between
+    compactions — the Lucene NRT shape on Spark.
+
+    Contrast with ``StreamingIndexer``: that one stages raw postings
+    and the index only exists after ``compact()``; this one pays a
+    small per-batch encode (frozen-stats scoring against the base
+    index — see ``add_docs``) and is continuously searchable. The base
+    index must exist first (build it over the initial corpus, or over
+    an empty frame to start cold — note a cold start freezes N=0 stats,
+    flattening scores until the first ``compact``). Replayed batches
+    overwrite their own delta (segment id = LIVE_SEGMENT_BASE +
+    streaming batch_id, a namespace manual ``add_docs`` slot counting
+    never reaches), so ingest is idempotent under Structured
+    Streaming's retry semantics; doc_id uniqueness across batches is
+    the producer's contract (``check_ids`` costs a join per batch if
+    wanted)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        check_ids: bool = False,
+    ):
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            load_meta,
+        )
+
+        load_meta(index_path)  # fail fast when no base index exists
+        self.spark = spark
+        self.index_path = index_path
+        self.check_ids = check_ids
+        self.checkpoint_dir = os.path.join(index_path, "stream_live", "checkpoint")
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            add_docs,
+        )
+
+        if not batch_df.take(1):
+            return
+        add_docs(
+            self.spark,
+            self.index_path,
+            batch_df,
+            check_ids=self.check_ids,
+            segment=LIVE_SEGMENT_BASE + batch_id,
+        )
+
+    def start(
+        self, stream_df: DataFrame, available_now: bool = False
+    ) -> StreamingQuery:
+        writer = (
+            stream_df.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def ingest_available(self, stream_df: DataFrame) -> None:
+        q = self.start(stream_df, available_now=True)
+        q.awaitTermination()
+
+    def compact(self, out_path: str, **kwargs) -> dict:
+        """Fold base + all live deltas (- tombstones) into a
+        fresh-stats index at ``out_path``."""
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            compact_index,
+        )
+
+        return compact_index(self.spark, self.index_path, out_path, **kwargs)

@@ -94,3 +94,65 @@ def test_compact_is_rerunnable(spark):
     assert meta["num_documents"] == 500
     eng = SearchEngine(spark, idx, cache=False)
     assert len(eng.search_collect("spark", 5)) == 5
+
+
+def test_live_ingest_queryable_between_batches(spark, docs):
+    """NRT live ingest: every micro-batch lands as a queryable delta
+    segment — searches reflect wave 1 before wave 2 arrives, wave 2
+    after, with frozen base stats throughout; compaction then matches a
+    one-shot build over base + both waves."""
+    from cs_search_engine_architecture_spark.streaming.ingest import (
+        LiveStreamingIndexer,
+    )
+
+    base = "/tmp/spark_sea_test_live"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    idx = os.path.join(base, "idx")
+
+    # base index over the first 200 docs (frozen-stats anchor)
+    base_docs = docs.where("doc_id < 200")
+    build_index(
+        spark, base_docs, idx, fields=["text"], analyzer="simple", num_buckets=8
+    )
+    live = LiveStreamingIndexer(spark, idx)
+
+    def _arrive(frame, tag):
+        tmp = os.path.join(base, f"stage_{tag}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                os.rename(os.path.join(tmp, part), os.path.join(src, f"{tag}_{part}"))
+        shutil.rmtree(tmp)
+
+    stream = lambda: stream_corpus(spark, src, SCHEMA)  # noqa: E731
+    _arrive(docs.where("doc_id >= 200 AND doc_id < 350"), "w1")
+    live.ingest_available(stream())
+    eng1 = SearchEngine(spark, idx, cache=False)
+    ids1 = {r["doc_id"] for r in eng1.search_df("data or code").collect()}
+    assert any(200 <= d < 350 for d in ids1), "wave-1 docs must be live"
+    assert not any(d >= 350 for d in ids1)
+
+    _arrive(docs.where("doc_id >= 350"), "w2")
+    live.ingest_available(stream())  # resumes from checkpoint: only w2
+    eng2 = SearchEngine(spark, idx, cache=False)
+    ids2 = {r["doc_id"] for r in eng2.search_df("data or code").collect()}
+    assert ids1 <= ids2 and any(d >= 350 for d in ids2)
+
+    # compaction folds everything into fresh stats == one-shot build
+    compacted = os.path.join(base, "compacted")
+    # base build had no corpus_path: pass the corpus explicitly
+    cmeta = live.compact(compacted, corpus=base_docs)
+    fresh = os.path.join(base, "fresh")
+    fmeta = build_index(
+        spark, docs, fresh, fields=["text"], analyzer="simple", num_buckets=8
+    )
+    assert cmeta["num_documents"] == fmeta["num_documents"]
+    assert cmeta["num_postings"] == fmeta["num_postings"]
+    ec = SearchEngine(spark, compacted, cache=False)
+    ef = SearchEngine(spark, fresh, cache=False)
+    got = [(r["doc_id"], r["score"]) for r in ec.search("data or code", 10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in ef.search("data or code", 10).collect()]
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
