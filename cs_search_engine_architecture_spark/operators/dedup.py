@@ -73,7 +73,14 @@ def lsh_candidate_pairs(
     ``explode`` to (band, bucket) then self-join on (band, bucket):
     the shuffle key is the banded md5, uniform even under Zipfian text
     duplication, and AQE's skew-join split covers pathological buckets
-    (e.g. the empty-document bucket)."""
+    (e.g. the empty-document bucket).
+
+    The join is pinned SHUFFLE_HASH: Catalyst's size estimate of the
+    exploded bands frame undershoots (text column dropped, 8x explode),
+    so it picks a broadcast self-join — which collects the ENTIRE bands
+    frame to the driver and computes the signature subplan twice
+    (measured 6.8s vs 2.3s at sf0.1; at 100 TB a full-corpus broadcast
+    is fatal, while hash-shuffling on the uniform bucket key scales)."""
     num_bands = num_hashes // band_size
     bands = sigs.select(
         "doc_id",
@@ -97,8 +104,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -138,7 +145,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_a, doc_b) pairs with identical SimHash (Hamming distance 0;
     ``simhash_near_pairs`` generalizes to distance > 0)."""
     sh = simhash(df, text_col)
-    a, b = sh.alias("a"), sh.alias("b")
+    a = sh.alias("a").hint("shuffle_hash")
+    b = sh.alias("b").hint("shuffle_hash")
     return (
         a.join(b, "simhash")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -451,7 +459,8 @@ def embedding_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
