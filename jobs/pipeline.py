@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--transitive", action="store_true",
+                    help="keep ONE doc per connected dup-cluster "
+                    "(dedup.dup_clusters) instead of per-pair pruning")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -69,9 +72,17 @@ def main() -> None:
     )
 
     # keep-set: drop the higher doc_id of every near-dup pair and every
-    # non-minimal member of a fingerprint class
+    # non-minimal member of a fingerprint class; --transitive instead
+    # collapses whole connected dup-clusters to their min doc_id (a
+    # chain a~b~c keeps only a, even when a~c was never paired)
     pairs_df = spark.read.parquet(os.path.join(args.output, "dup_pairs"))
-    drop_near = pairs_df.select(F.col("doc_b").alias("doc_id")).distinct()
+    if args.transitive:
+        clusters = dedup.dup_clusters(pairs_df)
+        drop_near = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        drop_near = pairs_df.select(F.col("doc_b").alias("doc_id")).distinct()
     fp = spark.read.parquet(os.path.join(args.output, "stats")).select(
         "doc_id", "fingerprint"
     )
