@@ -433,6 +433,49 @@ class SearchEngine:
         walk(ast)
         return terms
 
+    def prefix_search(
+        self, prefix: str, top_k: int = 10, max_expansion: int = 128
+    ) -> DataFrame:
+        """Wildcard-style ``prefix*`` search by dictionary expansion:
+        matching terms come from the term dictionary (a metadata-only
+        scan — ``term_stats`` is ~vocabulary-sized, with a pushed-down
+        range predicate on ``term``), then the expansion runs as ONE
+        shared-scan disjunction through the batch operator (score = sum
+        of the matched terms' BM25, the compiler's OR semantics).
+
+        ``max_expansion`` caps the disjunction Lucene-style, keeping the
+        RAREST terms first (min df): a short prefix over a web-scale
+        vocabulary would otherwise expand to millions of terms; the cap
+        bounds both the driver list and the scan's OR-chain. Extension
+        beyond the reference (its parser has no wildcard syntax).
+
+        Staleness note: expansion reads the BASE term dictionary, so
+        terms that first appear in delta segments (add_docs) expand only
+        after compaction — same frozen-dictionary family as suggest()."""
+        from cs_search_engine_architecture_spark.operators import msearch as ms
+
+        pref = prefix.rstrip("*")
+        matched = (
+            self.term_stats()
+            .where(F.col("term").startswith(pref))
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        terms = [r["term"] for r in matched]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        out = ms.batched_topk(
+            self.spark,
+            self.blocks,
+            self.num_buckets,
+            [("q", "or", terms)],
+            top_k,
+            exclude=self.tombstones,
+        )
+        return out.select("doc_id", "score")
+
     def term_stats(self) -> DataFrame:
         if not hasattr(self, "_term_stats"):
             self._term_stats = indexer.load_term_stats(

@@ -1431,6 +1431,43 @@ LIMIT 10
 """
 
 
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard ``b*`` search: dictionary expansion over term_stats,
+    served as one shared-scan disjunction (sum-of-BM25 OR semantics).
+    The oracle expands with ``LIKE 'b%'`` and replays the same algebra;
+    the fixture prefix matches exactly two terms (batch, big) so the
+    double-precision sum stays order-insensitive on both sides."""
+    eng = gate_engine(spark, sf_dir)
+    return eng.prefix_search("b", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term LIKE 'b%' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.redact_text(_docs(spark, sf_dir))
 
@@ -1494,6 +1531,7 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
         "search_after_add": q_search_after_add,
+        "prefix_search": q_prefix_search,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
     }
@@ -1539,6 +1577,7 @@ def oracle_sql():
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
         "search_after_add": SQL_SEARCH_AFTER_ADD,
+        "prefix_search": SQL_PREFIX_SEARCH,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
     }

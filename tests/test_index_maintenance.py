@@ -193,3 +193,39 @@ def test_fastpath_overfetch_boundary(spark, tmp_path):
     assert eng._num_tombstones() == 1
     got = _ranked(eng, "spark", k=2)
     assert got == full[1:3]
+
+
+def test_prefix_search_equals_or_expansion(spark, tmp_path):
+    """prefix_search('s') must equal the explicit OR over the matched
+    dictionary terms (same scores), respect max_expansion (rarest-df
+    terms kept), and return empty on a no-match prefix."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    terms = sorted(
+        r["term"]
+        for r in eng.term_stats().where("term LIKE 's%'").collect()
+    )
+    assert len(terms) >= 3  # shuffle, sorted, spark, small, skewed, shines...
+    want = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.search(" or ".join(terms), 10).collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.prefix_search("s", 10).collect()
+    }
+    assert got == want
+
+    capped = eng.prefix_search("s*", 10, max_expansion=1).collect()
+    # cap keeps the rarest term; every hit must contain it
+    rare = (
+        eng.term_stats().where("term LIKE 's%'")
+        .orderBy("df", "term").limit(1).collect()[0]["term"]
+    )
+    rare_docs = {d for d, t in DOCS if rare in t.split()}
+    assert {r["doc_id"] for r in capped} <= rare_docs
+    assert eng.prefix_search("zzz", 10).count() == 0
