@@ -476,6 +476,53 @@ class SearchEngine:
         )
         return out.select("doc_id", "score")
 
+    def fuzzy_search(
+        self,
+        token: str,
+        top_k: int = 10,
+        min_similarity: float = 0.3,
+        max_expansion: int = 8,
+        exclude_threshold: int | None = None,
+    ) -> DataFrame:
+        """Typo-tolerant single-token search (Lucene fuzzy-query shape):
+        the k-gram spelling index expands ``token`` to its
+        ``max_expansion`` most-similar vocabulary terms (multiset-Jaccard
+        ≥ ``min_similarity``; the exact term scores 1.0), then ONE
+        shared scan serves the similarity-WEIGHTED disjunction —
+        score(doc) = Σ_t sim(token, t) · bm25_t(doc). Expansion probes
+        the vocabulary-sized k-gram table (cost independent of corpus
+        size); the weighted sum is the batch operator's aggregation with
+        similarity as the weight column. Extension beyond the reference
+        (its spelling module only rewrites the whole query to the single
+        best correction)."""
+        from cs_search_engine_architecture_spark.operators import (
+            msearch as ms,
+            spelling,
+        )
+
+        cands = spelling.fuzzy_candidates(
+            self.spark, self.kgram_index(exclude_threshold), token,
+            min_similarity, max_expansion,
+        )
+        if not cands:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = self.spark.createDataFrame(
+            [(t, s) for t, s in cands], "term string, weight double"
+        )
+        postings = ms.multi_term_postings(
+            self.blocks, [t for t, _ in cands], self.num_buckets
+        )
+        agg = (
+            postings.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("score") * F.col("weight")).alias("score"))
+        )
+        return (
+            self._mask(agg)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
     def term_stats(self) -> DataFrame:
         if not hasattr(self, "_term_stats"):
             self._term_stats = indexer.load_term_stats(
@@ -488,16 +535,18 @@ class SearchEngine:
         startup — ``sea/engine.pyx:135``)."""
         from cs_search_engine_architecture_spark.operators import spelling
 
+        thr = (
+            exclude_threshold
+            if exclude_threshold is not None
+            else spelling.DEFAULT_EXCLUDE_THRESHOLD
+        )
         if not hasattr(self, "_kgram"):
-            thr = (
-                exclude_threshold
-                if exclude_threshold is not None
-                else spelling.DEFAULT_EXCLUDE_THRESHOLD
-            )
-            self._kgram = spelling.build_kgram_index(
+            self._kgram: dict[int, DataFrame] = {}
+        if thr not in self._kgram:
+            self._kgram[thr] = spelling.build_kgram_index(
                 self.term_stats(), thr
             ).persist()
-        return self._kgram
+        return self._kgram[thr]
 
     def suggest(
         self, query: str, min_similarity: float = 0.75,

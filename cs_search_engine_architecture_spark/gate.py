@@ -1468,6 +1468,86 @@ LIMIT 10
 """
 
 
+FUZZY_TOKEN = "spak"
+FUZZY_MIN_SIM = 0.1
+FUZZY_MAX_EXP = 2
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search: 'spak' expands via the k-gram index to its
+    2 most-similar vocabulary terms (spark 0.571, part 0.111 on the
+    fixture) and scores the similarity-WEIGHTED disjunction. The oracle
+    recomputes the expansion (multiset Jaccard over bigram bags, same
+    tie-break) and the weighted BM25 sum from scratch."""
+    eng = gate_engine(spark, sf_dir)
+    return eng.fuzzy_search(
+        FUZZY_TOKEN,
+        top_k=10,
+        min_similarity=FUZZY_MIN_SIM,
+        max_expansion=FUZZY_MAX_EXP,
+        exclude_threshold=SPELL_THRESHOLD,
+    ).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+def _sql_fuzzy_search() -> str:
+    from collections import Counter
+
+    from cs_search_engine_architecture_spark.operators.spelling import bigrams
+
+    qs = len(FUZZY_TOKEN) + 1
+    vals = ", ".join(
+        f"('{bg}', {c})"
+        for bg, c in sorted(Counter(bigrams(FUZZY_TOKEN)).items())
+    )
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+per AS (SELECT DISTINCT doc_id, term FROM toks),
+vocab AS (SELECT term FROM per GROUP BY term
+          HAVING count(*) >= {SPELL_THRESHOLD}),
+cand AS (SELECT term, length(term) + 1 AS term_len,
+         unnest(list_transform(generate_series(1, length(term) + 1),
+                i -> substr('$' || term || '$', i, 2))) AS bigram
+         FROM vocab),
+ccnt AS (SELECT term, term_len, bigram, count(*) AS c
+         FROM cand GROUP BY term, term_len, bigram),
+q AS (SELECT * FROM (VALUES {vals}) t(bigram, q_count)),
+inter AS (SELECT term, term_len, sum(least(q_count, c)) AS i
+          FROM q JOIN ccnt USING (bigram) GROUP BY term, term_len),
+sims AS (SELECT term, CAST(i AS DOUBLE) / ({qs} + term_len - i) AS sim
+         FROM inter
+         WHERE CAST(i AS DOUBLE) / ({qs} + term_len - i) >= {FUZZY_MIN_SIM}),
+top AS (SELECT term, sim FROM sims
+        ORDER BY sim DESC, term ASC LIMIT {FUZZY_MAX_EXP}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM top) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id, t.term,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT s.doc_id,
+       CAST(CAST(SUM(CAST(s.score AS DOUBLE) * t.sim) AS REAL) AS DOUBLE)
+         AS score
+FROM sc s JOIN top t USING (term)
+GROUP BY s.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+SQL_FUZZY_SEARCH = _sql_fuzzy_search()
+
+
 def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.redact_text(_docs(spark, sf_dir))
 
@@ -1532,6 +1612,7 @@ def queries():
         "search_after_delete": q_search_after_delete,
         "search_after_add": q_search_after_add,
         "prefix_search": q_prefix_search,
+        "fuzzy_search": q_fuzzy_search,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
     }
@@ -1578,6 +1659,7 @@ def oracle_sql():
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
         "search_after_add": SQL_SEARCH_AFTER_ADD,
         "prefix_search": SQL_PREFIX_SEARCH,
+        "fuzzy_search": SQL_FUZZY_SEARCH,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
     }

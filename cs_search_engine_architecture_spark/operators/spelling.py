@@ -125,3 +125,49 @@ def correct_query_tokens(
     }
     corrected = [best.get(t, t) for t in tokens]
     return corrected, sum(1 for t in tokens if t in best)
+
+
+def fuzzy_candidates(
+    spark: SparkSession,
+    kgram: DataFrame,
+    token: str,
+    min_similarity: float = 0.3,
+    max_expansion: int = 8,
+) -> list[tuple[str, float]]:
+    """Top ``max_expansion`` vocabulary terms by k-gram multiset Jaccard
+    against ``token`` (the token itself qualifies with similarity 1.0 —
+    the formula yields it naturally). The fuzzy-search expansion stage:
+    unlike ``suggest_df`` this keeps N candidates with their scores
+    instead of the single best correction. Probe cost is bounded by
+    vocabulary size, never corpus size; ties break (sim desc, term)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (token, bg, c, len(token) + 1)
+        for bg, c in Counter(bigrams(token)).items()
+    ]
+    q = spark.createDataFrame(
+        rows, "token string, bigram string, q_count int, q_size int"
+    )
+    cand_counts = kgram.groupBy("term", "term_len", "bigram").agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    inter = (
+        F.broadcast(q)
+        .join(cand_counts, "bigram")
+        .groupBy("token", "q_size", "term", "term_len")
+        .agg(F.sum(F.least("q_count", "c_count")).alias("inter"))
+    )
+    sim = inter.withColumn(
+        "similarity",
+        F.col("inter").cast("double")
+        / (F.col("q_size") + F.col("term_len") - F.col("inter")),
+    ).where(F.col("similarity") >= min_similarity)
+    w = Window.partitionBy("token").orderBy(F.desc("similarity"), F.asc("term"))
+    top = (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_expansion)
+        .select("term", "similarity")
+        .collect()
+    )
+    return [(r["term"], float(r["similarity"])) for r in top]

@@ -229,3 +229,33 @@ def test_prefix_search_equals_or_expansion(spark, tmp_path):
     rare_docs = {d for d, t in DOCS if rare in t.split()}
     assert {r["doc_id"] for r in capped} <= rare_docs
     assert eng.prefix_search("zzz", 10).count() == 0
+
+
+def test_fuzzy_search_expansion_and_exact_identity(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    # exact token at a high threshold expands to itself (sim 1.0) only:
+    # fuzzy == plain search, scores included
+    want = _ranked(eng, "spark")
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.fuzzy_search("spark", 10, min_similarity=0.9,
+                                  exclude_threshold=1).collect()
+    ]
+    assert got == want
+
+    # a typo reaches the intended term's docs, weighted by similarity
+    hits = eng.fuzzy_search(
+        "sprk", 10, min_similarity=0.2, exclude_threshold=1
+    ).collect()
+    spark_docs = {d for d, t in DOCS if "spark" in t.split()}
+    assert spark_docs <= {r["doc_id"] for r in hits}
+
+    # nothing similar -> empty
+    assert eng.fuzzy_search("qqqq", 10, min_similarity=0.5,
+                            exclude_threshold=1).count() == 0
