@@ -81,6 +81,7 @@ class SearchEngine:
         if self.tombstones is not None:
             t_count = self._num_tombstones()
             if t_count > self._TOMB_FASTPATH_CAP:
+                self.last_strategy = "join_masked"
                 return (
                     self._mask(self.compiler.compile(ast))
                     .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -98,6 +99,7 @@ class SearchEngine:
             )
 
         if ast and ast["type"] == "token":
+            self.last_strategy = "single_term_blockmax"
             return _finish(self._topk_single_term(ast["value"], k_fetch))
         # WAND pays 2 extra driver round-trips; below ~1M postings the
         # join path's single job is cheaper (same scale gate as the
@@ -112,6 +114,9 @@ class SearchEngine:
                 # instead of a chain of full-outer joins; shard-aligned
                 # indexes serve from the cached pre-sharded layout with
                 # NO per-query exchange
+                self.last_strategy = (
+                    "wand_or_sharded" if span else "wand_or"
+                )
                 if span:
                     return _finish(wand.wand_or_topk_sharded(
                         self._wand_sharded(), flat_or, k_fetch, span
@@ -131,6 +136,9 @@ class SearchEngine:
                 if min(dfs.values(), default=0) <= max(
                     10_000, self.meta["num_postings"] // 200
                 ):
+                    self.last_strategy = (
+                        "wand_and_sharded" if span else "wand_and"
+                    )
                     if span:
                         return _finish(wand.wand_and_topk_sharded(
                             self._wand_sharded(), flat_and, k_fetch, span
@@ -139,11 +147,16 @@ class SearchEngine:
                         self.spark, self.blocks, self.num_buckets, flat_and,
                         k_fetch,
                     ))
+        self.last_strategy = "join"
         return (
             self._mask(self.compiler.compile(ast))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
+
+    # the routing decision of the most recent search() — observability
+    # for plan_info and perf triage; never consulted by the engine
+    last_strategy: str | None = None
 
     # beyond this many tombstones the over-fetch trick costs more than
     # the masked join path (and the broadcast mask itself gets heavy)
@@ -362,6 +375,25 @@ class SearchEngine:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def plan_info(self, query: str, top_k: int = 10) -> dict:
+        """Routing + physical-plan introspection without executing the
+        query: which strategy search() picks (block-max / sharded WAND /
+        join...), the leaf terms, maintenance state, and Spark's
+        formatted physical plan for the resulting frame. The full query
+        never runs; the fast paths do run their driver metadata phases
+        (block-bound collects) while planning."""
+        df = self.search(query, top_k)
+        return {
+            "strategy": self.last_strategy,
+            "terms": self._leaf_terms(query),
+            "num_postings": self.meta.get("num_postings", 0),
+            "tombstones": self._num_tombstones(),
+            "delta_segments": len(indexer.load_delta_metas(self.index_path)),
+            "physical_plan": df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ),
+        }
 
     def search_collect(self, query: str, top_k: int = 10) -> list[tuple[int, float]]:
         import numpy as np

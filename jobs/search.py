@@ -34,6 +34,9 @@ def main() -> None:
                     help=".npz ListNet weights -> rerank the results "
                     "(exact_search ltr_enabled / combined_search parity)")
     ap.add_argument("--pre-select-k", type=int, default=50)
+    ap.add_argument("--explain", action="store_true",
+                    help="print the routing strategy + formatted physical "
+                    "plan instead of executing the query")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -43,6 +46,14 @@ def main() -> None:
     )
     eng = SearchEngine(spark, args.index)
     t0 = time.time()
+    if args.explain:
+        info = eng.plan_info(args.query, args.top_k)
+        print(f"strategy: {info['strategy']}  terms: {info['terms']}  "
+              f"tombstones: {info['tombstones']}  "
+              f"delta_segments: {info['delta_segments']}")
+        print(info["physical_plan"])
+        spark.stop()
+        return
     if args.suggest:
         corrected, n = eng.suggest(args.query, exclude_threshold=10)
         if n:

@@ -259,3 +259,22 @@ def test_fuzzy_search_expansion_and_exact_identity(spark, tmp_path):
     # nothing similar -> empty
     assert eng.fuzzy_search("qqqq", 10, min_similarity=0.5,
                             exclude_threshold=1).count() == 0
+
+
+def test_plan_info_reports_routing(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    one = eng.plan_info("spark")
+    assert one["strategy"] == "single_term_blockmax"
+    assert one["terms"] == ["spark"]
+    assert "TakeOrderedAndProject" in one["physical_plan"] or "Sort" in one["physical_plan"]
+    many = eng.plan_info("spark or join")
+    assert many["strategy"] == "join"  # < 1M postings: join path
+    assert many["tombstones"] == 0 and many["delta_segments"] == 0
+    indexer.delete_docs(spark, out, [0])
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert eng2.plan_info("spark")["tombstones"] == 1
