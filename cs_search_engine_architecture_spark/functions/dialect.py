@@ -279,3 +279,55 @@ def split_bucket(dialect: str, id_col: str = "doc_id", seed: str = "s1") -> str:
     Same md5-based token hash both engines compute identically."""
     keyed = f"concat('split-{seed}:', {to_str(dialect, id_col)})"
     return f"({token_hash(dialect, keyed)} % {SPLIT_BUCKETS})"
+
+
+def array_max_abs(dialect: str, arr: str) -> str:
+    """max(|x|) over a float array, in double."""
+    absd = transform(dialect, arr, "x -> abs(CAST(x AS DOUBLE))")
+    fn = "list_max" if _d(dialect) else "array_max"
+    return f"{fn}({absd})"
+
+
+QUANT_LEVELS = 127  # symmetric int8 range
+QUANT_EPS = "1e-30"  # zero-vector guard
+
+
+def quantize_vec(dialect: str, arr: str) -> str:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i / s) with
+    s = max(greatest(|x|), eps) / 127. round() is half-away-from-zero in
+    BOTH engines; all arithmetic is double, so the int codes agree
+    exactly."""
+    s = quant_scale(dialect, arr)
+    return transform(
+        dialect, arr, f"x -> CAST(round(CAST(x AS DOUBLE) / {s}) AS INT)"
+    )
+
+
+def quant_scale(dialect: str, arr: str) -> str:
+    g = "greatest" if not _d(dialect) else "greatest"
+    return (
+        f"({g}({array_max_abs(dialect, arr)}, {QUANT_EPS}) / {QUANT_LEVELS})"
+    )
+
+
+def int_dot(dialect: str, a: str, b: str) -> str:
+    """Σ a[i]*b[i] over INT arrays, accumulated in BIGINT — exact, so
+    the result is fold-order-independent (unlike float dots): quantized
+    similarity needs no left-fold discipline."""
+    if _d(dialect):
+        prods = (
+            f"list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))"
+        )
+        return reduce_bigint(dialect, prods, "(acc, v) -> acc + v")
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def int_l2_norm(dialect: str, a: str) -> str:
+    """sqrt(Σ a[i]²) of an INT array — exact integer sum, one final
+    IEEE sqrt; deterministic in both engines."""
+    return f"sqrt(CAST({int_dot(dialect, a, a)} AS DOUBLE))"

@@ -1468,6 +1468,42 @@ LIMIT 10
 """
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k: vectors quantize to integer codes
+    (4x smaller at 100 TB), similarity = exact BIGINT dot / int norms —
+    fold-order-free by construction. Query = row 0, quantized
+    driver-side by the python mirror of the SQL formula (the gate
+    therefore also pins python-vs-SQL quantization parity)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qemb = SIM.quantize_embeddings(emb)
+    row0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q, qn = SIM.quantize_query([float(x) for x in row0])
+    return SIM.quantized_cosine_topk(qemb, q, qn, 10).select(
+        "id", F.col("cos").cast("float").cast("double").alias("cos")
+    )
+
+
+def _sql_ann_quantized_topk() -> str:
+    qv = D.quantize_vec(D.DUCKDB, "embedding")
+    qn = D.int_l2_norm(D.DUCKDB, "qv")
+    dot = D.int_dot(D.DUCKDB, "qv", "(SELECT v0 FROM q0)")
+    return f"""
+WITH quant AS (SELECT vec_id AS id, {qv} AS qv FROM embeddings),
+normed AS (SELECT id, qv, {qn} AS qnorm FROM quant),
+q0 AS (SELECT qv AS v0, qnorm AS n0 FROM normed WHERE id = 0),
+scored AS (
+  SELECT id,
+    CASE WHEN qnorm = 0 OR (SELECT n0 FROM q0) = 0 THEN -1.0
+    ELSE CAST({dot} AS DOUBLE) / (qnorm * (SELECT n0 FROM q0)) END AS cos_d
+  FROM normed)
+SELECT id, CAST(CAST(cos_d AS REAL) AS DOUBLE) AS cos
+FROM scored ORDER BY cos_d DESC, id ASC LIMIT 10
+"""
+
+
+SQL_ANN_QUANTIZED_TOPK = _sql_ann_quantized_topk()
+
+
 FUZZY_TOKEN = "spak"
 FUZZY_MIN_SIM = 0.1
 FUZZY_MAX_EXP = 2
@@ -1613,6 +1649,7 @@ def queries():
         "search_after_add": q_search_after_add,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
     }
@@ -1660,6 +1697,7 @@ def oracle_sql():
         "search_after_add": SQL_SEARCH_AFTER_ADD,
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,
+        "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
     }

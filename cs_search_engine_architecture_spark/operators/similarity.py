@@ -403,3 +403,70 @@ def lsh_topk(
         .orderBy(F.desc("cos"), F.asc("id"))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<int>, qnorm double) — symmetric per-vector int8
+    quantization (q_i = round(x_i/s), s = max|x|/127).
+
+    The 100 TB lever for the ANN path: int8 codes cut the embedding
+    table's memory/shuffle/scan footprint ~4x versus float32 while
+    keeping cosine recall high (scales cancel in cosine, so ranking
+    differs from full precision only by rounding). A further parity
+    property: quantized similarity is INTEGER arithmetic — dot products
+    are exact bigint sums, immune to the float fold-order issues every
+    other scored path has to engineer around."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(D.quantize_vec(D.SPARK, vec_col)).alias("qvec"),
+        F.expr(
+            D.int_l2_norm(D.SPARK, D.quantize_vec(D.SPARK, vec_col))
+        ).alias("qnorm"),
+    )
+
+
+def quantized_cosine_topk(
+    qemb: DataFrame,
+    q_qvec: Sequence[int],
+    q_qnorm: float,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k over QUANTIZED codes: cos ≈ int_dot(qa, qb) /
+    (|qa|·|qb|) — the per-vector scales cancel. Zero vectors score -1
+    (below any real cosine) so they never fake a match."""
+    lit = F.array(*[F.lit(int(x)) for x in q_qvec])
+    dot = F.expr(
+        D.int_dot(D.SPARK, "qvec", "__q")
+    )
+    scored = (
+        qemb.withColumn("__q", lit)
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("qnorm") == 0.0) | (F.lit(float(q_qnorm)) == 0.0),
+                F.lit(-1.0),
+            ).otherwise(
+                dot.cast("double") / (F.col("qnorm") * F.lit(float(q_qnorm)))
+            ),
+        )
+        .select("id", "cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("id")).limit(k)
+
+
+def quantize_query(vec: Sequence[float]) -> tuple[list[int], float]:
+    """Driver-side mirror of ``dialect.quantize_vec`` for a query vector:
+    same double arithmetic, same half-AWAY-FROM-ZERO rounding (numpy's
+    ``np.round`` is banker's — do not substitute it)."""
+    import math
+
+    mx = max((abs(float(x)) for x in vec), default=0.0)
+    s = max(mx, 1e-30) / 127
+    q = [
+        int(math.floor(abs(float(x)) / s + 0.5)) * (1 if x >= 0 else -1)
+        for x in vec
+    ]
+    qnorm = math.sqrt(float(sum(v * v for v in q)))
+    return q, qnorm

@@ -533,3 +533,23 @@ def test_split_assign_deterministic_proportions(spark):
     other = {r["doc_id"]: r["split"]
              for r in TA.split_assign(ids, seed="s2").collect()}
     assert other != a  # re-seed produces a different fold
+
+
+def test_quantized_cosine_recall(spark):
+    """int8-quantized cosine: top-10 overlaps the exact float top-10
+    almost entirely on real fixture vectors, python/SQL query
+    quantization agree, and a zero query scores everything -1."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row0 = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    exact = [r["id"] for r in SIM.brute_force_topk(emb, row0, 10).collect()]
+    q, qn = SIM.quantize_query(row0)
+    assert qn > 0 and max(abs(v) for v in q) == 127
+    qemb = SIM.quantize_embeddings(emb)
+    quant = [r["id"] for r in SIM.quantized_cosine_topk(qemb, q, qn, 10).collect()]
+    assert quant[0] == exact[0] == 0  # self-match survives quantization
+    assert len(set(exact) & set(quant)) >= 8  # >=80% top-10 recall
+
+    zq, zn = SIM.quantize_query([0.0] * len(row0))
+    assert zn == 0.0
+    rows = SIM.quantized_cosine_topk(qemb, zq, zn, 5).collect()
+    assert all(r["cos"] == -1.0 for r in rows)
