@@ -168,6 +168,11 @@ def main() -> None:
     t0 = time.time()
     similarity.lsh_topk(emb, qvec, 10).collect()
     timings["ann_lsh"] = round(time.time() - t0, 3)
+    q8, q8n = similarity.quantize_query(qvec)
+    qemb = similarity.quantize_embeddings(emb)
+    t0 = time.time()
+    similarity.quantized_cosine_topk(qemb, q8, q8n, 10).collect()
+    timings["ann_quantized"] = round(time.time() - t0, 3)
 
     # persisted-IVF probe (build outside the timed region — it is a
     # write-time cost like the index build)

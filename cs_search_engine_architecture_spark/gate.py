@@ -1593,6 +1593,27 @@ SQL_REDACT_TEXT = (
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en 50%, zh 20%, rest
+    10%) — the rebalance-the-mix pipeline step, hash-keyed so the oracle
+    reproduces the exact kept set."""
+    return TA.stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.5, "zh": 0.2},
+        default=0.1,
+        seed="mix",
+    ).select("doc_id", "lang")
+
+
+_STRAT_BUCKET = D.split_bucket(D.DUCKDB, "doc_id", "mix")
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_STRAT_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200
+                        ELSE 100 END
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.split_assign(_docs(spark, sf_dir), seed="gate")
 
@@ -1652,6 +1673,7 @@ def queries():
         "ann_quantized_topk": q_ann_quantized_topk,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1700,4 +1722,5 @@ def oracle_sql():
         "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
     }

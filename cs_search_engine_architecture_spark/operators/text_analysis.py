@@ -259,3 +259,29 @@ def split_assign(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    id_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its seeded
+    hash bucket falls under its stratum's fraction — the standard
+    "rebalance the language/source mix" step in pretraining pipelines.
+    Same properties as ``split_assign`` (reproducible, repartition-
+    stable, re-seedable) and row-local: the 100 TB cost is the scan, and
+    the filter sits directly on it. Spark's ``sampleBy`` is neither
+    deterministic across runs nor expressible in the oracle."""
+    bucket = F.expr(D.split_bucket(D.SPARK, id_col, seed))
+    thr = None
+    for key, frac in sorted(fractions.items()):
+        lim = F.lit(int(frac * D.SPLIT_BUCKETS))
+        cond = F.col(stratum_col) == key
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    default_lim = F.lit(int(default * D.SPLIT_BUCKETS))
+    thr = default_lim if thr is None else thr.otherwise(default_lim)
+    return df.where(bucket < thr)

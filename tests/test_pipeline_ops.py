@@ -553,3 +553,22 @@ def test_quantized_cosine_recall(spark):
     assert zn == 0.0
     rows = SIM.quantized_cosine_topk(qemb, zq, zn, 5).collect()
     assert all(r["cos"] == -1.0 for r in rows)
+
+
+def test_stratified_sample_proportions(spark):
+    from collections import Counter
+
+    rows = [(i, "en" if i % 2 == 0 else ("zh" if i % 4 == 1 else "de"))
+            for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = TA.stratified_sample(
+        df, "lang", {"en": 0.5, "zh": 0.25}, default=0.0
+    ).collect()
+    c = Counter(r["lang"] for r in kept)
+    assert c["de"] == 0  # default 0 drops unlisted strata
+    assert abs(c["en"] / 4000 - 0.5) < 0.05
+    assert abs(c["zh"] / 2000 - 0.25) < 0.05
+    again = TA.stratified_sample(
+        df, "lang", {"en": 0.5, "zh": 0.25}, default=0.0
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
