@@ -1614,6 +1614,48 @@ WHERE {_STRAT_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup. The fixture's docs are single-line
+    and unique, so BOTH sides derive the same multi-line corpus: every
+    doc gets a second line — a shared boilerplate footer on doc_id % 3
+    == 0 (appears in ~n/3 docs → removed), a doc-unique line otherwise
+    (kept). The op must strip exactly the planted boilerplate and
+    reassemble the rest in order."""
+    docs2 = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("shared boilerplate footer")
+            ).otherwise(
+                F.concat(F.lit("unique-"), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return TA.line_dedup(docs2, min_doc_count=3)
+
+
+SQL_LINE_DEDUP = """
+WITH docs2 AS (
+  SELECT doc_id,
+    text || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'shared boilerplate footer'
+         ELSE 'unique-' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+          unnest(generate_series(1, len(ls))) AS pos FROM l),
+hot AS (SELECT md5(line) AS h FROM lines
+        GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT * FROM lines WHERE md5(line) NOT IN (SELECT h FROM hot)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+FROM docs2 d LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.split_assign(_docs(spark, sf_dir), seed="gate")
 
@@ -1674,6 +1716,7 @@ def queries():
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1723,4 +1766,5 @@ def oracle_sql():
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "line_dedup": SQL_LINE_DEDUP,
     }

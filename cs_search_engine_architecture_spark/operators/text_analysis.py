@@ -285,3 +285,51 @@ def stratified_sample(
     default_lim = F.lit(int(default * D.SPLIT_BUCKETS))
     thr = default_lim if thr is None else thr.otherwise(default_lim)
     return df.where(bucket < thr)
+
+
+def line_dedup(
+    df: DataFrame,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style global line deduplication: drop every line that occurs
+    in ≥ ``min_doc_count`` DISTINCT documents (boilerplate — headers,
+    nav text, license banners) and reassemble the survivors in order.
+    Returns (doc_id, cleaned).
+
+    Distributed shape: posexplode lines → count distinct docs per line
+    hash (one map-side-combined shuffle on the near-uniform md5 key) →
+    anti-join the boilerplate hashes back (AQE broadcasts when the hot
+    set is small — the common case — and falls back to a shuffle join
+    on the uniform md5 key when web-scale boilerplate grows past the
+    broadcast threshold; never forced) → re-aggregate per doc with an
+    order-restoring sort_array. Empty docs and docs whose every line is
+    boilerplate still emit a row (empty string), so the op is
+    row-preserving."""
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy(F.md5("line").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_doc_count)
+        .select("h")
+    )
+    kept = lines.join(
+        hot, F.md5(F.col("line")) == F.col("h"), "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned")
+    )
+    return (
+        df.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("cleaned", F.lit("")).alias("cleaned"))
+    )

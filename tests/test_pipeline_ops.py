@@ -572,3 +572,28 @@ def test_stratified_sample_proportions(spark):
         df, "lang", {"en": 0.5, "zh": 0.25}, default=0.0
     ).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_line_dedup_c4_boilerplate(spark):
+    """Global line dedup: lines in >=3 docs vanish, per-doc line order
+    is preserved, and an all-boilerplate doc collapses to ''."""
+    footer = "(c) example corp - all rights reserved"
+    rows = [
+        (0, f"alpha body one\n{footer}\nalpha tail"),
+        (1, f"{footer}\nbeta body two"),
+        (2, f"gamma body three\n{footer}"),
+        (3, footer),                      # only boilerplate
+        (4, "delta keeps\nall lines"),    # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cleaned"]
+           for r in TA.line_dedup(df, min_doc_count=3).collect()}
+    assert got[0] == "alpha body one\nalpha tail"
+    assert got[1] == "beta body two"
+    assert got[2] == "gamma body three"
+    assert got[3] == ""
+    assert got[4] == "delta keeps\nall lines"
+    # threshold respected: at min_doc_count=5 nothing is removed
+    untouched = {r["doc_id"]: r["cleaned"]
+                 for r in TA.line_dedup(df, min_doc_count=5).collect()}
+    assert untouched == {d: t for d, t in rows}
