@@ -1656,6 +1656,39 @@ FROM docs2 d LEFT JOIN reb r USING (doc_id)
 """
 
 
+PACK_SEQ_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: global token prefix-sum in doc_id order →
+    2048-token training-sequence assignments. Spark computes it as a
+    two-phase distributed prefix sum (range partition + local cumsum +
+    broadcast partition bases — NO single-task window); the oracle is
+    the plain SQL window sum. Integer arithmetic — exact match."""
+    from cs_search_engine_architecture_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    counts = TA.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("bpe_pieces").alias("n_tokens")
+    )
+    return pack_sequences(counts, PACK_SEQ_LEN)
+
+
+_BPE_DUCK = TA.token_counts_sql(D.DUCKDB)["bpe_pieces"]
+SQL_PACK_SEQUENCES = f"""
+WITH counts AS (SELECT doc_id, {_BPE_DUCK} AS n FROM documents),
+c AS (SELECT doc_id, n,
+      coalesce(sum(n) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM counts)
+SELECT doc_id, n AS n_tokens, s AS start_offset,
+       s // {PACK_SEQ_LEN} AS seq_first,
+       (s + greatest(n, 1) - 1) // {PACK_SEQ_LEN} AS seq_last
+FROM c
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.split_assign(_docs(spark, sf_dir), seed="gate")
 
@@ -1717,6 +1750,7 @@ def queries():
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1767,4 +1801,5 @@ def oracle_sql():
         "corpus_split": SQL_CORPUS_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,
+        "pack_sequences": SQL_PACK_SEQUENCES,
     }

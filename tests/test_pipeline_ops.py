@@ -597,3 +597,28 @@ def test_line_dedup_c4_boilerplate(spark):
     untouched = {r["doc_id"]: r["cleaned"]
                  for r in TA.line_dedup(df, min_doc_count=5).collect()}
     assert untouched == {d: t for d, t in rows}
+
+
+def test_pack_sequences_prefix_sum(spark):
+    """Distributed prefix sum == serial reference; docs span sequence
+    boundaries correctly; zero-token docs pin to their offset; and the
+    plan contains NO Window operator (the single-task window trap)."""
+    from cs_search_engine_architecture_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, (i * 37) % 100) for i in range(3000)]
+    rows[7] = (7, 0)   # zero-token doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out_df = pack_sequences(df, 256, num_partitions=8)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r["doc_id"]: (r["start_offset"], r["seq_first"], r["seq_last"])
+           for r in out_df.collect()}
+    acc = 0
+    for i, n in rows:
+        assert got[i] == (acc, acc // 256, (acc + max(n, 1) - 1) // 256), i
+        acc += n
+    # a doc bigger than seq_len spans >1 sequence
+    spans = [r for r in got.values() if r[2] > r[1]]
+    assert spans, "some docs must cross sequence boundaries"
