@@ -1656,6 +1656,26 @@ FROM docs2 d LEFT JOIN reb r USING (doc_id)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 32, stride 24): every doc's
+    overlapping chunks with reassembled text — the long-doc splitting
+    step for context-bounded training."""
+    return TA.chunk_documents(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS ({_DUCK_TOKS_CTE}),
+st AS (SELECT doc_id, toks,
+       unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+       FROM t)
+SELECT doc_id, CAST((start - 1) / 24 AS INT) AS chunk_no,
+       coalesce(array_to_string(list_slice(toks, start, start + 31), ' '),
+                '') AS chunk_text,
+       len(list_slice(toks, start, start + 31)) AS n_tokens
+FROM st
+"""
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1751,6 +1771,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1802,4 +1823,5 @@ def oracle_sql():
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
     }

@@ -333,3 +333,33 @@ def line_dedup(
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce("cleaned", F.lit("")).alias("cleaned"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_no, chunk_text, n_tokens) — sliding token windows
+    of ``chunk_size`` every ``stride`` tokens (overlap = size - stride),
+    the long-document splitting step for context-bounded training /
+    embedding. Row-local explode (no shuffle; output rows ≈ corpus
+    tokens / stride); empty docs emit one empty chunk, so the op is
+    doc-preserving."""
+    starts = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride)
+        )
+    ).alias("start")
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
+    return (
+        with_tokens(df, text_col)
+        .select("doc_id", "toks", starts)
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_no"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )

@@ -622,3 +622,23 @@ def test_pack_sequences_prefix_sum(spark):
     # a doc bigger than seq_len spans >1 sequence
     spans = [r for r in got.values() if r[2] > r[1]]
     assert spans, "some docs must cross sequence boundaries"
+
+
+def test_chunk_documents_windows(spark):
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (1, "a b"),                                  # shorter than chunk
+        (2, ""),                                     # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in TA.chunk_documents(df, chunk_size=4, stride=3).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_no"], r["chunk_text"], r["n_tokens"])
+        )
+    assert sorted(out[0]) == [
+        (0, "w0 w1 w2 w3", 4), (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4), (3, "w9", 1),
+    ]
+    assert sorted(out[1]) == [(0, "a b", 2)]
+    assert sorted(out[2]) == [(0, "", 0)]  # doc-preserving
