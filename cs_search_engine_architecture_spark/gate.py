@@ -1676,6 +1676,42 @@ FROM st
 """
 
 
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (the documented stand-in for a
+    learned model): ±1 md5-derived contributions into 64 buckets,
+    L2-normalized. Exploded to (doc_id, dim, val) rows so the value
+    hash covers every component."""
+    emb = TA.hash_embeddings(_docs(spark, sf_dir))
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "doc_id",
+        "dim",
+        F.col("val").cast("float").cast("double").alias("val"),
+    )
+
+
+_HE_H = D.token_hash(D.DUCKDB, "term")
+SQL_HASH_EMBEDDINGS = f"""
+WITH toks AS ({TOKS_CTE}),
+occ AS (SELECT doc_id, {_HE_H} AS h FROM toks),
+occ2 AS (SELECT doc_id, h % 64 AS dim, 1 - 2 * ((h // 64) % 2) AS sign
+         FROM occ),
+sums AS (SELECT doc_id, dim, sum(sign) AS v FROM occ2 GROUP BY doc_id, dim),
+grid AS (SELECT d.doc_id, g.dim FROM documents d,
+         (SELECT unnest(generate_series(0, 63)) AS dim) g),
+filled AS (SELECT g.doc_id, g.dim, coalesce(s.v, 0) AS v
+           FROM grid g LEFT JOIN sums s
+           ON s.doc_id = g.doc_id AND s.dim = g.dim),
+norms AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+          FROM filled GROUP BY doc_id)
+SELECT f.doc_id, f.dim,
+       CAST(CAST(CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS REAL)
+            AS DOUBLE) AS val
+FROM filled f JOIN norms USING (doc_id)
+"""
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1772,6 +1808,7 @@ def queries():
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        "hash_embeddings": q_hash_embeddings,
     }
 
 
@@ -1824,4 +1861,5 @@ def oracle_sql():
         "line_dedup": SQL_LINE_DEDUP,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "hash_embeddings": SQL_HASH_EMBEDDINGS,
     }

@@ -363,3 +363,82 @@ def chunk_documents(
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+HASH_EMBED_DIMS = 64
+
+
+def hash_embeddings(
+    df: DataFrame, dims: int = HASH_EMBED_DIMS, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, embedding array<float>) — deterministic feature-hashing
+    text embedding: every token occurrence adds ±1 (sign and dimension
+    both md5-derived) to one of ``dims`` buckets; the count vector is
+    L2-normalized. An HONEST stand-in for a learned embedding model
+    (none ships in this environment — documented gap): deterministic,
+    cross-engine reproducible, and good enough for the vector machinery
+    (ANN, dedup, hybrid) to run end-to-end on text alone. Cosine under
+    this embedding ≈ token-multiset similarity.
+
+    Shape: explode + one groupBy(doc_id) carrying ``dims`` conditional
+    integer sums (map-side combined; exact — no float accumulation until
+    the final normalize). Empty docs get the zero vector."""
+    h = D.token_hash(D.SPARK, "t")
+    occ = df.select(
+        "doc_id", F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("t")
+    ).select(
+        "doc_id",
+        F.expr(f"{h} % {dims}").alias("dim"),
+        F.expr(f"1 - 2 * (({h} DIV {dims}) % 2)").alias("sign"),
+    )
+    sums = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("dim") == d, F.col("sign")).otherwise(0)).alias(
+                f"v_{d}"
+            )
+            for d in range(dims)
+        ]
+    )
+    ss = None
+    for d in range(dims):
+        sq = F.col(f"v_{d}") * F.col(f"v_{d}")
+        ss = sq if ss is None else ss + sq
+    norm = F.sqrt(ss.cast("double"))
+    vec = F.array(
+        *[
+            F.when(norm > 0, (F.col(f"v_{d}") / norm).cast("float"))
+            .otherwise(F.lit(0.0).cast("float"))
+            for d in range(dims)
+        ]
+    )
+    embedded = sums.select("doc_id", vec.alias("embedding"))
+    zero = F.array(*[F.lit(0.0).cast("float") for _ in range(dims)])
+    return (
+        df.select("doc_id")
+        .join(embedded, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("embedding", zero).alias("embedding")
+        )
+    )
+
+
+def hash_embed_text(text: str, dims: int = HASH_EMBED_DIMS) -> list[float]:
+    """Driver-side mirror of ``hash_embeddings`` for a query string:
+    same simple-analyzer tokens, same md5-derived dim/sign, same
+    normalization — a query embeds exactly like a corpus doc."""
+    import hashlib
+    import math
+    import re
+
+    pows = [31**j for j in range(8)]
+    v = [0] * dims
+    for t in re.findall(r"[a-z0-9]+", text.lower()):
+        hx = hashlib.md5(t.encode()).hexdigest()
+        h = sum(ord(hx[j]) * pows[j] for j in range(8))
+        v[h % dims] += 1 - 2 * ((h // dims) % 2)
+    norm = math.sqrt(sum(x * x for x in v))
+    if norm == 0:
+        return [0.0] * dims
+    import numpy as np
+
+    return [float(np.float32(x / norm)) for x in v]

@@ -642,3 +642,24 @@ def test_chunk_documents_windows(spark):
     ]
     assert sorted(out[1]) == [(0, "a b", 2)]
     assert sorted(out[2]) == [(0, "", 0)]  # doc-preserving
+
+
+def test_hash_embeddings_self_retrieval(spark):
+    """The feature-hash embedder makes the vector stack runnable on
+    text alone: a doc's own text (as a query) retrieves it top-1 via
+    brute-force cosine, and the driver-side query mirror is bitwise
+    equal to the Spark column implementation."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    emb = TA.hash_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    row7 = docs.where("doc_id = 7").collect()[0]
+    qvec = TA.hash_embed_text(row7["text"])
+    spark_vec = [
+        float(x)
+        for x in emb.where("vec_id = 7").collect()[0]["embedding"]
+    ]
+    assert qvec == spark_vec  # python mirror == Spark column math
+    top = SIM.brute_force_topk(emb, qvec, 3).collect()
+    assert top[0]["id"] == 7 and top[0]["cos"] == pytest.approx(1.0, abs=1e-6)
+    assert TA.hash_embed_text("") == [0.0] * 64
