@@ -663,3 +663,31 @@ def test_hash_embeddings_self_retrieval(spark):
     top = SIM.brute_force_topk(emb, qvec, 3).collect()
     assert top[0]["id"] == 7 and top[0]["cos"] == pytest.approx(1.0, abs=1e-6)
     assert TA.hash_embed_text("") == [0.0] * 64
+
+
+def test_text_only_hybrid_via_hash_embeddings(spark, tmp_path):
+    """The full hybrid pipeline on TEXT ALONE: corpus hash-embedded,
+    query hash-embedded by the driver mirror, combined_search unions the
+    exact and semantic arms — no external embedding model anywhere."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    out = str(tmp_path / "idx")
+    indexer.build_index(
+        spark, docs, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    emb = TA.hash_embeddings(docs).withColumnRenamed("doc_id", "vec_id")
+    probe = docs.where("doc_id = 11").collect()[0]["text"]
+    qvec = TA.hash_embed_text(probe)
+    # semantic arm alone: the probe's own text is its nearest neighbor
+    sem = eng.semantic_search(emb, qvec, top_k=3).collect()
+    assert sem[0]["doc_id"] == 11
+    # full hybrid union runs end to end on hashed text
+    res = eng.combined_search(probe, emb, qvec, top_k=10).collect()
+    assert res, "hybrid on hashed text returned nothing"
+    provs = {r["provenance"] for r in res}
+    assert provs <= {"exact", "semantic", "both"}
