@@ -1712,6 +1712,22 @@ FROM filled f JOIN norms USING (doc_id)
 """
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: train 10 merges on the fixture corpus, segment
+    it, report per-doc piece counts. ITERATIVE (per-merge global pair
+    counts) — not SQL-expressible, so no oracle: the driver records the
+    rows-only check; the differential pytest
+    (test_bpe_train_matches_serial_reference) pins the algorithm against
+    a serial reference implementation instead."""
+    from cs_search_engine_architecture_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(docs, 10)
+    return bpe.segment_corpus(docs, merges).select(
+        "doc_id", F.size("pieces").alias("n_pieces")
+    )
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1809,6 +1825,7 @@ def queries():
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "hash_embeddings": q_hash_embeddings,
+        "bpe_segment": q_bpe_segment,
     }
 
 

@@ -1,0 +1,165 @@
+"""Distributed BPE vocabulary training + segmentation.
+
+Building the tokenizer vocabulary is part of the LLM data pipeline the
+same way dedup and packing are — and classic BPE training is an
+ITERATIVE distributed algorithm: each merge step needs the global count
+of every adjacent symbol pair. The standard trick makes it tractable at
+corpus scale: train over the WORD-FREQUENCY table (one row per distinct
+word, weighted by its corpus count), not the corpus itself — the working
+set is vocabulary-sized, but at web scale that is still hundreds of
+millions of rows, so it stays a DataFrame:
+
+    word counts: one tokenize + groupBy over the corpus (map-side
+      combined; the only corpus-sized job)
+    per merge:   explode adjacent pairs weighted by word freq
+                 -> groupBy(a, b) sum        (one shuffle on pair keys)
+                 -> top-1 pair to the driver (count desc, then (a, b)
+                    lexicographic — deterministic tie-break)
+                 -> apply the merge to every word's piece list
+                    (vocabulary-sized mapInPandas, no shuffle)
+    state is localCheckpoint-pinned each round: iteration N's plan must
+    not replay rounds 1..N-1 (same lineage discipline as dup_clusters).
+
+``segment_corpus`` then applies the trained merge list to documents with
+the standard rank-greedy BPE encoder inside mapInPandas (merges
+broadcast as a plain closure list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions import dialect as D
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the simple-analyzer token stream."""
+    return (
+        df.select(
+            F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _apply_merge(a: str, b: str):
+    merged = a + b
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for pieces in pdf["pieces"]:
+                ps = list(pieces)
+                i, res = 0, []
+                while i < len(ps):
+                    if i + 1 < len(ps) and ps[i] == a and ps[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(ps[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"freq": pdf["freq"], "pieces": out})
+
+    return fn
+
+
+_STATE_SCHEMA = "freq long, pieces array<string>"
+
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(pieces) - 1), "
+    "i -> struct(pieces[i - 1] AS a, pieces[i] AS b))"
+)
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus; returns
+    the ordered merge list. Stops early when no pair reaches
+    ``min_pair_count`` occurrences."""
+    state = (
+        word_counts(df, text_col)
+        .select(
+            "freq",
+            F.split(F.col("word"), "").alias("pieces"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            state.where(F.size("pieces") > 1)
+            .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        state = state.mapInPandas(
+            _apply_merge(a, b), _STATE_SCHEMA
+        ).localCheckpoint()
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-greedy BPE encoding of one word (lowest-rank merge first —
+    the standard inference rule, which reproduces training exactly on
+    the training corpus)."""
+    ps = list(word)
+    while len(ps) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(ps) - 1):
+            r = ranks.get((ps[i], ps[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        ps[best_i : best_i + 2] = [ps[best_i] + ps[best_i + 1]]
+    return ps
+
+
+def segment_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pieces array<string>) — the corpus segmented with the
+    trained merges (rank-greedy, per-word memoized inside each batch)."""
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        memo: dict[str, list[str]] = {}
+        tok = re.compile(r"[a-z0-9]+")
+        for pdf in it:
+            out = []
+            for text in pdf[text_col]:
+                pieces: list[str] = []
+                for w in tok.findall((text or "").lower()):
+                    enc = memo.get(w)
+                    if enc is None:
+                        memo[w] = enc = encode_word(w, ranks)
+                    pieces.extend(enc)
+                out.append(pieces)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pieces": out}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        fn, "doc_id long, pieces array<string>"
+    )

@@ -691,3 +691,52 @@ def test_text_only_hybrid_via_hash_embeddings(spark, tmp_path):
     assert res, "hybrid on hashed text returned nothing"
     provs = {r["provenance"] for r in res}
     assert provs <= {"exact", "semantic", "both"}
+
+
+def test_bpe_train_matches_serial_reference(spark):
+    """Distributed BPE (pair counts via shuffle, vocabulary-sized state,
+    localCheckpoint per round) learns EXACTLY the serial algorithm's
+    merge list under the deterministic tie-break, and the rank-greedy
+    segmenter reproduces training segmentation on the training corpus."""
+    import re
+    from collections import Counter
+
+    from cs_search_engine_architecture_spark.operators import bpe
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "there the thin theme sang a theory hymn",
+        "banana bandana and banner in the band",
+        "sparking sparks spark sparked sparky",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = bpe.train_bpe(df, 12)
+
+    wc = Counter(w for t in texts for w in re.findall(r"[a-z0-9]+", t.lower()))
+    state = {w: tuple(w) for w in wc}
+    want = []
+    for _ in range(12):
+        pc = Counter()
+        for w, ps in state.items():
+            for i in range(len(ps) - 1):
+                pc[(ps[i], ps[i + 1])] += wc[w]
+        if not pc or max(pc.values()) < 2:
+            break
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((a, b))
+        state = {
+            w: tuple(bpe.encode_word(w, {m: i for i, m in enumerate(want)}))
+            for w in wc
+        }
+    assert merges == want
+
+    seg = {r["doc_id"]: r["pieces"]
+           for r in bpe.segment_corpus(df, merges).collect()}
+    assert "".join(seg[0]) == "".join(
+        re.findall(r"[a-z0-9]+", texts[0].lower())
+    )  # lossless
+    assert "the" in seg[0]  # the most frequent word fused to one piece
+
+    # early stop: a corpus of unique chars yields no merges
+    tiny = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    assert bpe.train_bpe(tiny, 5) == []
