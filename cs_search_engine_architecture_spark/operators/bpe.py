@@ -23,6 +23,15 @@ millions of rows, so it stays a DataFrame:
 ``segment_corpus`` then applies the trained merge list to documents with
 the standard rank-greedy BPE encoder inside mapInPandas (merges
 broadcast as a plain closure list).
+
+Scale honesty: one Spark job per merge is fine for hundreds of merges
+(tokenizer prototyping, ablations) but a production 32k-merge vocabulary
+wants the batched variant — take the top-K MUTUALLY NON-OVERLAPPING
+pairs per round (no shared symbol between accepted pairs, so their
+applications commute) and apply them in one pass, cutting rounds by
+~K×. The per-round dataflow is unchanged; only the driver's acceptance
+loop grows. Not implemented here — at fixture scale it would only add
+untested branches.
 """
 
 from __future__ import annotations
