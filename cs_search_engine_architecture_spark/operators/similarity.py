@@ -418,12 +418,27 @@ def quantize_embeddings(
     property: quantized similarity is INTEGER arithmetic — dot products
     are exact bigint sums, immune to the float fold-order issues every
     other scored path has to engineer around."""
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.expr(D.quantize_vec(D.SPARK, vec_col)).alias("qvec"),
-        F.expr(
-            D.int_l2_norm(D.SPARK, D.quantize_vec(D.SPARK, vec_col))
-        ).alias("qnorm"),
+    # staged so the row scale is computed ONCE (the single-expression
+    # dialect form re-evaluates max|x| inside the per-element lambda —
+    # O(d²) per row, measured ~10x slower at d=64 — and the norm would
+    # re-quantize the whole vector); arithmetic is bit-identical to
+    # dialect.quantize_vec, which the oracle keeps using
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            F.expr(D.array_max_abs(D.SPARK, vec_col)).alias("_mx"),
+        )
+        .select(
+            "id",
+            F.expr(
+                "transform(_v, x -> CAST(round(CAST(x AS DOUBLE) / "
+                f"(greatest(_mx, {D.QUANT_EPS}) / {D.QUANT_LEVELS})) AS INT))"
+            ).alias("qvec"),
+        )
+        .select(
+            "id", "qvec", F.expr(D.int_l2_norm(D.SPARK, "qvec")).alias("qnorm")
+        )
     )
 
 
