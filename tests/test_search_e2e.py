@@ -129,3 +129,51 @@ def test_materialize_invariant(eng_oracle, spark):
     mat = engine.materialize(res, corpus).collect()
     assert {r["doc_id"] for r in mat} <= {d for d, _ in DOCS}
     assert all(r["body"] for r in mat)
+
+
+def test_msearch_property_random_batches(eng_oracle):
+    """Randomized batches of queries built from the corpus vocabulary
+    (tokens, flat AND/OR chains of random arity, NOT/phrase fallbacks):
+    msearch must equal per-query search for every member. Deterministic
+    seed — hypothesis' engine is overkill for a fixed engine fixture,
+    but the generator covers shapes the hand-written cases don't
+    (arity-4 chains, repeated terms, all-unknown batches)."""
+    import random
+
+    import numpy as np
+
+    engine, _ = eng_oracle
+    rng = random.Random(20260816)
+    vocab = ["spark", "join", "merge", "hash", "shuffle", "planner",
+             "delta", "varint", "tokenizer", "zzzmissing"]
+
+    def gen_query():
+        kind = rng.randrange(5)
+        if kind == 0:
+            return rng.choice(vocab)
+        if kind in (1, 2):
+            op = " or " if kind == 1 else " and "
+            n = rng.randint(2, 4)
+            return op.join(rng.choice(vocab) for _ in range(n))
+        if kind == 3:
+            a, b = rng.sample(vocab, 2)
+            return f"{a} and not {b}"
+        return f'"{rng.choice(vocab)} {rng.choice(vocab)}"'
+
+    for _round in range(4):
+        batch = {f"q{i}": gen_query() for i in range(6)}
+        rows = engine.msearch(batch, top_k=5).collect()
+        by_qid: dict[str, list] = {}
+        for r in rows:
+            by_qid.setdefault(r["query_id"], []).append(r)
+        for qid, qstr in batch.items():
+            got = sorted(
+                ((r["doc_id"], r["score"]) for r in by_qid.get(qid, [])),
+                key=lambda t: (-np.float32(t[1]), t[0]),
+            )
+            want = engine.search_collect(qstr, top_k=5)
+            assert [d for d, _ in got] == [d for d, _ in want], (qid, qstr)
+            for (gd, gs), (_, ws) in zip(got, want):
+                assert float(np.float32(gs)) == pytest.approx(ws, abs=1e-5), (
+                    qid, qstr, gd,
+                )
