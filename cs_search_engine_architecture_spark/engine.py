@@ -752,8 +752,18 @@ class SearchEngine:
             brute_force_topk,
         )
 
-        return brute_force_topk(embeddings, qvec, top_k, id_col=id_col).select(
-            F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
+        scored = brute_force_topk(
+            # over-fetch by the tombstone count so the mask cannot
+            # shrink the semantic top-k (same exactness argument as the
+            # lexical fast paths)
+            embeddings, qvec, top_k + self._num_tombstones(), id_col=id_col
+        ).select(F.col("id").alias("doc_id"), F.col("cos").alias("similarity"))
+        if self.tombstones is None:
+            return scored
+        return (
+            self._mask(scored)
+            .orderBy(F.desc("similarity"), F.asc("doc_id"))
+            .limit(top_k)
         )
 
     def _hybrid_union(
@@ -866,17 +876,26 @@ class SearchEngine:
         from cs_search_engine_architecture_spark.operators import similarity
 
         sem_k = sem_k if sem_k is not None else pre_select_k
+        fetch_k = sem_k + self._num_tombstones()  # mask can't shrink top-k
         if ann_kind == "lsh":
-            sem = similarity.ann_search(self.spark, ann_index_path, qvec, sem_k)
+            sem = similarity.ann_search(
+                self.spark, ann_index_path, qvec, fetch_k
+            )
         elif ann_kind == "ivf":
             sem = similarity.ivf_search(
-                self.spark, ann_index_path, qvec, sem_k, n_probe=n_probe
+                self.spark, ann_index_path, qvec, fetch_k, n_probe=n_probe
             )
         else:
             raise ValueError(f"unknown ann_kind {ann_kind!r}")
         sem = sem.select(
             F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
         )
+        if self.tombstones is not None:
+            sem = (
+                self._mask(sem)
+                .orderBy(F.desc("similarity"), F.asc("doc_id"))
+                .limit(sem_k)
+            )
         return self._hybrid_rank(
             query, self.search(query, pre_select_k), sem, top_k, ltr_weights
         )

@@ -278,3 +278,26 @@ def test_plan_info_reports_routing(spark, tmp_path):
     indexer.delete_docs(spark, out, [0])
     eng2 = SearchEngine(spark, out, cache=False)
     assert eng2.plan_info("spark")["tombstones"] == 1
+
+
+def test_tombstones_mask_semantic_arm(spark, tmp_path):
+    """Deleted docs must not resurface through the semantic/hybrid arm
+    (the embeddings table knows nothing about tombstones)."""
+    from cs_search_engine_architecture_spark.operators import text_analysis as TA
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    emb = TA.hash_embeddings(corpus).withColumnRenamed("doc_id", "vec_id")
+    qvec = TA.hash_embed_text(DOCS[2][1])  # doc 2's own text
+    eng0 = SearchEngine(spark, out, cache=False)
+    assert eng0.semantic_search(emb, qvec, 3).collect()[0]["doc_id"] == 2
+
+    indexer.delete_docs(spark, out, [2])
+    eng = SearchEngine(spark, out, cache=False)
+    sem = eng.semantic_search(emb, qvec, 3).collect()
+    assert len(sem) == 3 and all(r["doc_id"] != 2 for r in sem)
+    hyb = eng.combined_search("merge join", emb, qvec, top_k=10).collect()
+    assert all(r["doc_id"] != 2 for r in hyb) and hyb
