@@ -86,17 +86,42 @@ def multi_term_postings(
     (``decode.term_postings``), amortized over the whole batch."""
     if not terms:
         raise ValueError("multi_term_postings needs at least one term")
-    cond = reduce(
-        or_,
-        [
-            (
-                F.col("term_bucket")
-                == F.pmod(F.xxhash64(F.lit(t)), F.lit(num_buckets)).cast("int")
+    if len(terms) <= 32:
+        cond = reduce(
+            or_,
+            [
+                (
+                    F.col("term_bucket")
+                    == F.pmod(
+                        F.xxhash64(F.lit(t)), F.lit(num_buckets)
+                    ).cast("int")
+                )
+                & (F.col("term") == t)
+                for t in terms
+            ],
+        )
+    else:
+        # large batches: an OR-chain of per-term conjunctions grows the
+        # expression tree linearly and Catalyst's optimization passes
+        # super-linearly; two IN-sets prune the same partitions/row
+        # groups (term alone already determines the rows — the bucket
+        # set only exists for directory pruning, and a false
+        # (bucket, term) combination matches nothing)
+        buckets = (
+            blocks.sparkSession.createDataFrame(
+                [(t,) for t in terms], "term string"
             )
-            & (F.col("term") == t)
-            for t in terms
-        ],
-    )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        cond = F.col("term_bucket").isin([r["b"] for r in buckets]) & F.col(
+            "term"
+        ).isin(list(terms))
     filtered = blocks.where(cond).select("term", "doc_ids_bin", "scores_bin")
     return filtered.mapInPandas(_decode_keep_term, _DECODE_SCHEMA)
 
