@@ -1363,3 +1363,46 @@ def load_delta_metas(index_path: str) -> list[dict]:
         with open(os.path.join(d, "meta.json")) as fh:
             out.append(json.load(fh))
     return out
+
+
+def merge_deltas(spark: SparkSession, index_path: str) -> dict | None:
+    """Collapse ALL delta segments into one — tiered-compaction lite.
+
+    Many small deltas (e.g. per-micro-batch live ingest) mean many small
+    block files per term bucket; merging rebuilds ONE delta from the
+    segments' staged raw rows with the SAME frozen base stats, so every
+    score is bit-identical before and after — unlike ``compact_index``,
+    no statistics refresh happens and the base index is untouched.
+    Crash-safe ordering: the merged segment is built first (under a
+    temporary high slot), the old dirs are removed, then the merged dir
+    takes slot 0. Returns the merged delta's meta, or None when there is
+    nothing to merge (0 or 1 segments)."""
+    import shutil
+
+    deltas = _delta_dirs(index_path)
+    if len(deltas) <= 1:
+        return None
+    corpus = spark.read.parquet(os.path.join(deltas[0], "corpus"))
+    for d in deltas[1:]:
+        corpus = corpus.unionByName(
+            spark.read.parquet(os.path.join(d, "corpus")),
+            allowMissingColumns=True,
+        )
+    # pin the union OUTSIDE the delta dirs before deleting them
+    staging = os.path.join(index_path, "work", "merge_corpus")
+    corpus.write.mode("overwrite").parquet(staging)
+    merged_src = spark.read.parquet(staging)
+    tmp_slot = 99_999  # above LIVE segment namespace; renamed below
+    meta = add_docs(
+        spark, index_path, merged_src, check_ids=False, segment=tmp_slot
+    )
+    tmp_dir = os.path.join(index_path, f"delta_{tmp_slot:05d}")
+    for d in deltas:
+        shutil.rmtree(d)
+    final_dir = os.path.join(index_path, "delta_00000")
+    os.rename(tmp_dir, final_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    meta["segment"] = 0
+    with open(os.path.join(final_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return meta

@@ -2,6 +2,7 @@
 
     spark-submit jobs/maintain.py add     --index /path/idx --docs new.parquet
     spark-submit jobs/maintain.py delete  --index /path/idx --doc-ids 3,17,42
+    spark-submit jobs/maintain.py merge   --index /path/idx
     spark-submit jobs/maintain.py compact --index /path/idx --out /path/idx2 \
         [--corpus /path/corpus.parquet]
     spark-submit jobs/maintain.py status  --index /path/idx
@@ -25,7 +26,7 @@ from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["add", "delete", "compact", "status"])
+    ap.add_argument("action", choices=["add", "delete", "merge", "compact", "status"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--docs", default=None, help="parquet of new docs (add)")
     ap.add_argument("--doc-ids", default=None, help="comma-separated ids (delete)")
@@ -57,6 +58,13 @@ def main() -> None:
         ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
         n = indexer.delete_docs(spark, args.index, ids)
         print(json.dumps({"action": "delete", "tombstoned": n}))
+    elif args.action == "merge":
+        meta = indexer.merge_deltas(spark, args.index)
+        print(json.dumps(
+            {"action": "merge", "merged": meta is not None,
+             **({k: meta[k] for k in ("num_documents", "num_postings")}
+                if meta else {})}
+        ))
     elif args.action == "compact":
         if not args.out:
             ap.error("compact requires --out")

@@ -301,3 +301,42 @@ def test_tombstones_mask_semantic_arm(spark, tmp_path):
     assert len(sem) == 3 and all(r["doc_id"] != 2 for r in sem)
     hyb = eng.combined_search("merge join", emb, qvec, top_k=10).collect()
     assert all(r["doc_id"] != 2 for r in hyb) and hyb
+
+
+def test_merge_deltas_score_identity(spark, tmp_path):
+    """Merging N delta segments into one must be invisible to queries:
+    frozen-stats scoring makes every (doc_id, score) bit-identical
+    before and after, tombstones still apply, and only one delta dir
+    remains."""
+    import os
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    for i, text in enumerate(
+        ["spark arrives later", "join arrives last", "merge lands too"]
+    ):
+        indexer.add_docs(
+            spark, out,
+            spark.createDataFrame([(200 + i, text)], "doc_id long, text string"),
+        )
+    indexer.delete_docs(spark, out, [201])
+    before_eng = SearchEngine(spark, out, cache=False)
+    queries = ["spark or join", "merge", "spark and not merge"]
+    before = {q: _ranked(before_eng, q) for q in queries}
+    assert len(indexer._delta_dirs(out)) == 3
+
+    meta = indexer.merge_deltas(spark, out)
+    assert meta["num_documents"] == 3 and meta["segment"] == 0
+    dirs = indexer._delta_dirs(out)
+    assert [os.path.basename(d) for d in dirs] == ["delta_00000"]
+
+    after_eng = SearchEngine(spark, out, cache=False)
+    for q in queries:
+        assert _ranked(after_eng, q) == before[q], q
+    assert all(r["doc_id"] != 201
+               for r in after_eng.search("join", 10).collect())
+    # idempotent no-op on a single segment
+    assert indexer.merge_deltas(spark, out) is None
