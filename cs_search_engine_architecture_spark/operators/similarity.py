@@ -485,3 +485,70 @@ def quantize_query(vec: Sequence[float]) -> tuple[list[int], float]:
     ]
     qnorm = math.sqrt(float(sum(v * v for v in q)))
     return q, qnorm
+
+
+def build_ivf_index_quantized(
+    emb: DataFrame,
+    out_path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF × int8: cell assignment runs on the FULL-PRECISION vectors
+    (centroid geometry shouldn't inherit quantization error), but the
+    inverted lists persist only the int8 codes + int norm — the stored
+    index is ~4x smaller than ``build_ivf_index``'s, and a probe scans
+    n_probe/C of an already-4x-smaller table. Composition of the two
+    proven pieces: same cell directories / partition pruning, same
+    integer-exact scoring as ``quantized_cosine_topk``."""
+    import json
+    import os
+
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    quant = quantize_embeddings(
+        assigned.select("cell", F.col("id"), F.col("v")),
+        id_col="id",
+        vec_col="v",
+    )
+    (
+        assigned.select("cell", F.col("id"))
+        .join(quant, "id")
+        .withColumnRenamed("id", id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_path, "cells"))
+    )
+    with open(os.path.join(out_path, "centroids.json"), "w") as fh:
+        json.dump(cents.tolist(), fh)
+
+
+def ivf_search_quantized(
+    spark,
+    index_path: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the quantized IVF index: partition-pruned scan of n_probe
+    cells, integer-dot cosine over the stored codes. The query vector
+    quantizes driver-side via the same formula (``quantize_query``)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    probe = probe_cells(centroids, qvec, n_probe)
+    q8, qn = quantize_query(qvec)
+    cand = (
+        spark.read.schema(
+            f"{id_col} long, qvec array<int>, qnorm double, cell int"
+        )
+        .parquet(os.path.join(index_path, "cells"))
+        .where(F.col("cell").isin(probe))
+        .select(F.col(id_col).alias("id"), "qvec", "qnorm")
+    )
+    return quantized_cosine_topk(cand, q8, qn, k)

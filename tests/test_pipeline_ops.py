@@ -740,3 +740,29 @@ def test_bpe_train_matches_serial_reference(spark):
     # early stop: a corpus of unique chars yields no merges
     tiny = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     assert bpe.train_bpe(tiny, 5) == []
+
+
+def test_quantized_ivf_index(spark, tmp_path):
+    """IVF × int8: the stored index holds only codes+norms (~4x smaller),
+    a probe partition-prunes on cell, and with n_probe = C the result
+    equals the flat quantized scan exactly."""
+    import shutil
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, 8)
+    path = str(tmp_path / "ivf_q")
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.build_ivf_index_quantized(emb, path, cents)
+
+    qvec = [float(x) for x in emb.where("vec_id = 3").collect()[0]["embedding"]]
+    probe = SIM.ivf_search_quantized(spark, path, qvec, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan  # pruning, not a full scan
+    assert probe.collect()[0]["id"] == 3  # self-match survives int8+IVF
+
+    q8, qn = SIM.quantize_query(qvec)
+    flat = [(r["id"], r["cos"]) for r in SIM.quantized_cosine_topk(
+        SIM.quantize_embeddings(emb), q8, qn, 10).collect()]
+    full = [(r["id"], r["cos"]) for r in SIM.ivf_search_quantized(
+        spark, path, qvec, k=10, n_probe=len(cents)).collect()]
+    assert full == flat  # n_probe = C -> identical to the flat scan
