@@ -1744,19 +1744,21 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = TA.token_counts(_docs(spark, sf_dir)).select(
         "doc_id", F.col("bpe_pieces").alias("n_tokens")
     )
-    return pack_sequences(counts, PACK_SEQ_LEN)
+    return pack_sequences(counts, PACK_SEQ_LEN).orderBy("doc_id")
 
 
 _BPE_DUCK = TA.token_counts_sql(D.DUCKDB)["bpe_pieces"]
 SQL_PACK_SEQUENCES = f"""
 WITH counts AS (SELECT doc_id, {_BPE_DUCK} AS n FROM documents),
 c AS (SELECT doc_id, n,
-      coalesce(sum(n) OVER (ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS s
       FROM counts)
 SELECT doc_id, n AS n_tokens, s AS start_offset,
-       s // {PACK_SEQ_LEN} AS seq_first,
-       (s + greatest(n, 1) - 1) // {PACK_SEQ_LEN} AS seq_last
+       CAST(s // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((s + greatest(n, 1) - 1) // {PACK_SEQ_LEN} AS BIGINT)
+         AS seq_last
 FROM c
 """
 

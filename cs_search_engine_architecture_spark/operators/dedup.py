@@ -203,8 +203,11 @@ def simhash_near_pairs(
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.byte")
     a, b = bands.alias("a"), bands.alias("b")
+    # Catalyst underestimates the exploded bands frame (it sits above an
+    # aggregate) and would broadcast the whole corpus — pin, like every
+    # other LSH band self-join in this module (CLAUDE.md invariant).
     cand = (
-        a.join(b, ["band", "byte"])
+        a.join(b.hint("shuffle_hash"), ["band", "byte"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -202,7 +202,7 @@ def _vectorized_field_scan(texts, analyzer: str):
     starts = np.flatnonzero(edges == 1).astype(np.int64)
     ends = np.flatnonzero(edges == -1).astype(np.int64)
     assert len(starts) == len(tok_list)  # same [a-z0-9]+ run definition
-    codes, uniq = pd.factorize(pd.array(tok_list, dtype=object))
+    codes, uniq = pd.factorize(np.asarray(tok_list, dtype=object))
     codes = codes.astype(np.int64)
     doc_idx = np.searchsorted(doc_starts, starts, side="right") - 1
     pos = starts - doc_starts[doc_idx]
@@ -229,7 +229,7 @@ def _vectorized_field_scan(texts, analyzer: str):
     else:
         final_per_uniq = uniq
     # re-code onto the post-stem vocabulary (distinct raws can share a stem)
-    f_codes, f_uniq = pd.factorize(pd.array(final_per_uniq, dtype=object))
+    f_codes, f_uniq = pd.factorize(np.asarray(final_per_uniq, dtype=object))
     return doc_idx, f_codes.astype(np.int64)[codes], list(f_uniq), pos
 
 

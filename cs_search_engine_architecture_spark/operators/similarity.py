@@ -168,10 +168,23 @@ def kmeans_centroids(
     """Deterministic coarse quantizer for IVF: numpy Lloyd's k-means on a
     driver-side sample (the quantizer is tiny and global — training it on
     a bounded sample is the standard IVF recipe; assignment of the full
-    table stays distributed). Returns a (C, dims) float64 array."""
+    table stays distributed). Returns a (C, dims) float64 array.
+
+    The sample is a seeded hash-order top-N, NOT ``limit(sample)``:
+    ``limit`` takes the head of the first partitions, so on any
+    cluster-correlated layout (embeddings written in doc order, topic ~
+    position) the quantizer would train on one region of the space and
+    recall degrades silently. Hash-ordering is layout-independent and
+    deterministic for a fixed seed, and the plan is TakeOrdered (per-
+    partition top-N + driver merge of N rows), not a full sort."""
     import numpy as np
 
-    rows = emb.select(vec_col).limit(sample).collect()
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(int(seed))))
+        .limit(sample)
+        .collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(num_centroids, len(x)), replace=False)]
@@ -406,10 +419,15 @@ def lsh_topk(
 
 
 def quantize_embeddings(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, qvec array<int>, qnorm double) — symmetric per-vector int8
-    quantization (q_i = round(x_i/s), s = max|x|/127).
+    """(id, qvec array<int>, qnorm double [, *keep]) — symmetric
+    per-vector int8 quantization (q_i = round(x_i/s), s = max|x|/127);
+    ``keep`` columns pass through untouched (lets callers quantize
+    in-pipeline without a re-join).
 
     The 100 TB lever for the ANN path: int8 codes cut the embedding
     table's memory/shuffle/scan footprint ~4x versus float32 while
@@ -423,13 +441,16 @@ def quantize_embeddings(
     # O(d²) per row, measured ~10x slower at d=64 — and the norm would
     # re-quantize the whole vector); arithmetic is bit-identical to
     # dialect.quantize_vec, which the oracle keeps using
+    keep = [c for c in keep]
     return (
         emb.select(
+            *keep,
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("_v"),
             F.expr(D.array_max_abs(D.SPARK, vec_col)).alias("_mx"),
         )
         .select(
+            *keep,
             "id",
             F.expr(
                 "transform(_v, x -> CAST(round(CAST(x AS DOUBLE) / "
@@ -437,7 +458,10 @@ def quantize_embeddings(
             ).alias("qvec"),
         )
         .select(
-            "id", "qvec", F.expr(D.int_l2_norm(D.SPARK, "qvec")).alias("qnorm")
+            *keep,
+            "id",
+            "qvec",
+            F.expr(D.int_l2_norm(D.SPARK, "qvec")).alias("qnorm"),
         )
     )
 
@@ -507,15 +531,12 @@ def build_ivf_index_quantized(
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
+    # One pass: quantize in the same pipeline as the assignment (``keep``
+    # threads the cell through) — the earlier self-join form executed the
+    # full-table mapInPandas assignment twice per build.
     assigned = ivf_assign(emb, cents, id_col, vec_col)
-    quant = quantize_embeddings(
-        assigned.select("cell", F.col("id"), F.col("v")),
-        id_col="id",
-        vec_col="v",
-    )
     (
-        assigned.select("cell", F.col("id"))
-        .join(quant, "id")
+        quantize_embeddings(assigned, id_col="id", vec_col="v", keep=["cell"])
         .withColumnRenamed("id", id_col)
         .write.mode("overwrite")
         .partitionBy("cell")

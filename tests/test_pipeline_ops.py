@@ -397,10 +397,16 @@ def test_persisted_ann_index_matches_adhoc(spark):
     assert persisted == adhoc
     assert persisted[0][0] == 5  # the query vector itself tops its bucket
 
-    # the probe must prune partitions: only one bucket directory is read
+    # the probe must prune partitions: only one bucket directory is read.
+    # bucket is a partition column (absent from ReadSchema), so the
+    # (bucket = 3) predicate in the scan IS a partition filter — the
+    # "PartitionFilters:" label itself can fall to toString truncation.
+    import re
+
     probe = spark.read.parquet(path).where("bucket = 3")
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or probe.count() >= 0  # smoke
+    assert re.search(r"\(bucket#\d+ = 3\)", plan), plan
+    assert "bucket" not in plan.split("ReadSchema:")[1], plan
 
 
 # ------------------------------------------------------------- IVF ANN
@@ -766,3 +772,59 @@ def test_quantized_ivf_index(spark, tmp_path):
     full = [(r["id"], r["cos"]) for r in SIM.ivf_search_quantized(
         spark, path, qvec, k=10, n_probe=len(cents)).collect()]
     assert full == flat  # n_probe = C -> identical to the flat scan
+
+
+def test_simhash_near_join_not_broadcast(docs):
+    """The (band, byte) self-join sits above an aggregate, so Catalyst's
+    size estimate would broadcast the corpus-sized bands frame — the hint
+    must pin it to a shuffled hash join (CLAUDE.md invariant; at scale a
+    broadcast self-join of the exploded bands frame is fatal)."""
+    plan = (
+        DD.simhash_near_pairs(docs, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_kmeans_sample_unbiased_on_clustered_layout(spark):
+    """The quantizer sample must be layout-independent: on a corpus
+    WRITTEN in cluster order (topic ~ file position), a head-of-table
+    ``limit(n)`` sample sees only the first cluster and the trained
+    centroids all land there. The seeded hash-order sample must place
+    one centroid in each well-separated cluster — and be deterministic
+    for a fixed seed."""
+    import numpy as np
+
+    # two well-separated clusters, written strictly in cluster order
+    rows = [(i, [float(i % 7) * 0.01] * 8) for i in range(400)]
+    rows += [(400 + i, [100.0 + (i % 7) * 0.01] * 8) for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+
+    # sample=300 < 400: a limit() sample would never see cluster 2
+    c1 = SIM.kmeans_centroids(emb, num_centroids=2, sample=300, seed=13)
+    c2 = SIM.kmeans_centroids(emb, num_centroids=2, sample=300, seed=13)
+    assert np.array_equal(c1, c2)  # deterministic for a fixed seed
+    means = sorted(float(c.mean()) for c in c1)
+    assert means[0] < 50.0 < means[1], means  # one centroid per cluster
+
+
+def test_quantized_ivf_build_is_single_pass(spark):
+    """The quantized-IVF build pipeline quantizes in the same select as
+    the cell assignment (``keep=['cell']``) — exactly ONE full-table
+    mapInPandas pass, no self-join recomputing the assignment."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.asarray(SIM.kmeans_centroids(emb, 4, sample=200))
+    assigned = SIM.ivf_assign(emb, cents)
+    quant = SIM.quantize_embeddings(
+        assigned, id_col="id", vec_col="v", keep=["cell"]
+    )
+    plan = quant._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
