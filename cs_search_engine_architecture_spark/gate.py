@@ -1712,20 +1712,102 @@ FROM filled f JOIN norms USING (doc_id)
 """
 
 
+BPE_GATE_MERGES = 10
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE: train 10 merges on the fixture corpus, segment
-    it, report per-doc piece counts. ITERATIVE (per-merge global pair
-    counts) — not SQL-expressible, so no oracle: the driver records the
-    rows-only check; the differential pytest
-    (test_bpe_train_matches_serial_reference) pins the algorithm against
-    a serial reference implementation instead."""
+    it, report per-doc piece counts. The training loop is iterative but
+    FINITE and deterministic, so the oracle unrolls it: one
+    materialized-CTE stage per merge finds the argmax pair (same
+    count-desc/(a,b)-asc tie-break) and applies it with a left-to-right
+    ``replace()`` over a ``(piece)(piece)``-wrapped string — sequential
+    rank-order application equals the engine's rank-greedy encoder
+    because a well-formed (trained) merge list can never re-enable an
+    earlier merge (a merge's output symbol only appears in later-rank
+    pairs, and merging never creates a new adjacency between
+    pre-existing symbols). The differential pytest
+    (test_bpe_train_matches_serial_reference) additionally pins the
+    trainer against a serial reference implementation."""
     from cs_search_engine_architecture_spark.operators import bpe
 
     docs = _docs(spark, sf_dir)
-    merges = bpe.train_bpe(docs, 10)
+    merges = bpe.train_bpe(docs, BPE_GATE_MERGES)
     return bpe.segment_corpus(docs, merges).select(
         "doc_id", F.size("pieces").alias("n_pieces")
     )
+
+
+def _bpe_segment_oracle_sql(
+    num_merges: int = BPE_GATE_MERGES, min_pair_count: int = 2
+) -> str:
+    """Unrolled BPE training + segmentation in pure DuckDB SQL (see
+    ``q_bpe_segment``). Every CTE is MATERIALIZED — the stage chain
+    cross-references earlier stages, and CTE inlining would re-derive
+    the whole prefix per reference (exponential)."""
+    parts = [
+        """
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, count(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT pr.a AS a, pr.b AS b, sum(freq) AS c
+  FROM (SELECT freq,
+               unnest(list_transform(range(1, len(ps)),
+                      i -> struct_pack(a := ps[i], b := ps[i+1]))) AS pr
+        FROM (SELECT freq, regexp_extract_all(s, '[^()]+') AS ps
+              FROM w{i - 1}))
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT a, b FROM p{i} WHERE c >= {min_pair_count}
+  ORDER BY c DESC, a, b LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM m{i}) = 0 THEN s
+    ELSE replace(s,
+           '(' || (SELECT a FROM m{i}) || ')(' || (SELECT b FROM m{i}) || ')',
+           '(' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ')') END
+    AS s, freq
+  FROM w{i - 1}
+)""")
+    parts.append("""
+d0 AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(word, '(.)', '(\\1)', 'g') AS s
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+)""")
+    for i in range(1, num_merges + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN (SELECT count(*) FROM m{i}) = 0 THEN s
+    ELSE replace(s,
+           '(' || (SELECT a FROM m{i}) || ')(' || (SELECT b FROM m{i}) || ')',
+           '(' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || ')') END
+    AS s
+  FROM d{i - 1}
+)""")
+    parts.append(f"""
+cnt AS MATERIALIZED (
+  SELECT doc_id, sum(length(s) - length(replace(s, '(', ''))) AS n
+  FROM d{num_merges} GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT doc.doc_id, CAST(coalesce(cnt.n, 0) AS INT) AS n_pieces
+FROM documents doc LEFT JOIN cnt ON cnt.doc_id = doc.doc_id"""
+    )
+
+
+SQL_BPE_SEGMENT = _bpe_segment_oracle_sql()
 
 
 PACK_SEQ_LEN = 2048
@@ -1881,4 +1963,5 @@ def oracle_sql():
         "pack_sequences": SQL_PACK_SEQUENCES,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "hash_embeddings": SQL_HASH_EMBEDDINGS,
+        "bpe_segment": SQL_BPE_SEGMENT,
     }

@@ -26,12 +26,12 @@ broadcast as a plain closure list).
 
 Scale honesty: one Spark job per merge is fine for hundreds of merges
 (tokenizer prototyping, ablations) but a production 32k-merge vocabulary
-wants the batched variant — take the top-K MUTUALLY NON-OVERLAPPING
-pairs per round (no shared symbol between accepted pairs, so their
-applications commute) and apply them in one pass, cutting rounds by
-~K×. The per-round dataflow is unchanged; only the driver's acceptance
-loop grows. Not implemented here — at fixture scale it would only add
-untested branches.
+wants the batched variant — ``train_bpe_batched`` accepts the top-K
+MUTUALLY NON-OVERLAPPING pairs per round (no shared symbol between
+accepted pairs, so their applications commute) and applies them in one
+vocabulary pass, cutting driver round-trips ~K× while provably
+producing the SAME merge list as the serial trainer (see its docstring
+for the argument).
 """
 
 from __future__ import annotations
@@ -122,6 +122,136 @@ def train_bpe(
             _apply_merge(a, b), _STATE_SCHEMA
         ).localCheckpoint()
     return merges
+
+
+def _apply_merge_set(accepted: list[tuple[str, str]]):
+    """One-pass application of a SYMBOL-DISJOINT merge set: a single
+    left-to-right scan merging any adjacent pair in the set. Because no
+    two accepted pairs share a symbol (inputs or outputs), the one-pass
+    result is identical to applying them sequentially in rank order."""
+    table = {(a, b): a + b for a, b in accepted}
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for pieces in pdf["pieces"]:
+                ps = list(pieces)
+                i, res = 0, []
+                while i < len(ps):
+                    m = (
+                        table.get((ps[i], ps[i + 1]))
+                        if i + 1 < len(ps)
+                        else None
+                    )
+                    if m is not None:
+                        res.append(m)
+                        i += 2
+                    else:
+                        res.append(ps[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"freq": pdf["freq"], "pieces": out})
+
+    return fn
+
+
+def train_bpe_batched(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    batch_k: int = 8,
+    candidate_pool: int | None = None,
+) -> tuple[list[tuple[str, str]], int]:
+    """Batched BPE training: identical merge list to ``train_bpe``, in
+    ~K× fewer Spark rounds. Returns ``(merges, rounds)``.
+
+    Per round, collect the top candidate pairs once and greedily accept
+    a PREFIX of the (count desc, a, b) order, stopping at the first
+    candidate that (a) shares a symbol — component or merged output —
+    with an already-accepted pair, or (b) does not STRICTLY out-count
+    every pair the accepted merges could create or touch. Why that
+    reproduces the serial trainer exactly:
+
+    * counts of pairs disjoint from an applied merge are invariant
+      (merging (a,b) only consumes a/b adjacencies and only creates
+      pairs involving the new symbol ab — it never creates a new
+      adjacency between two pre-existing symbols);
+    * every created pair's count is bounded by the pre-batch count of
+      an existing pair overlapping the accepted set
+      (count(x,ab) ≤ count(x,a); count(ab,y) ≤ count(b,y));
+    * accepted pairs are a sorted PREFIX, so every non-accepted pair
+      ranks below the next accepted one pre-batch and can only lose
+      count — and the strictness guard (b) removes the one remaining
+      edge where a created pair TIES the next accepted count and wins
+      the lexicographic tie-break.
+
+    So at each serial step the argmax is the next accepted pair. When
+    the guards trip early the round degenerates toward serial (still
+    exact); on Zipfian corpora the top counts are distinct and rounds
+    shrink ~batch_k×."""
+    state = (
+        word_counts(df, text_col)
+        .select("freq", F.split(F.col("word"), "").alias("pieces"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    pool = candidate_pool or max(4 * batch_k, 32)
+    while len(merges) < num_merges:
+        pairs = (
+            state.where(F.size("pieces") > 1)
+            .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(pool + 1)
+            .collect()
+        )
+        rounds += 1
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        # counts below the collected pool are bounded by the pool tail
+        tail_bound = top[-1]["c"] if len(top) > pool else 0
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for idx, r in enumerate(top[:pool]):
+            a, b, c = r["a"], r["b"], r["c"]
+            if c < min_pair_count or len(merges) + len(accepted) >= num_merges:
+                break
+            if accepted:
+                if a in used or b in used or (a + b) in used:
+                    break  # prefix rule: stop at the first overlap
+                # strictness guard: c must STRICTLY beat anything a prior
+                # accepted merge could have created — bounded by the
+                # pre-batch count of ANY pair overlapping the accepted
+                # set (in the pool, or the pool tail for pairs below it)
+                bound = max(
+                    [tail_bound]
+                    + [
+                        r2["c"]
+                        for r2 in top[:pool]
+                        if (r2["a"], r2["b"]) not in set(accepted)
+                        and (
+                            r2["a"] in used
+                            or r2["b"] in used
+                            or (r2["a"] + r2["b"]) in used
+                        )
+                    ]
+                )
+                if c <= bound:
+                    break
+            accepted.append((a, b))
+            used.update((a, b, a + b))
+        if not accepted:
+            break
+        merges.extend(accepted)
+        state = state.mapInPandas(
+            _apply_merge_set(accepted), _STATE_SCHEMA
+        ).localCheckpoint()
+    return merges, rounds
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -1,0 +1,241 @@
+"""Derived-label LTR evaluation: a non-synthetic ranking benchmark.
+
+The reference publishes NDCG@10 = 0.5818 / MRR@10 = 0.4444 for its
+ListNet re-ranker on MS MARCO (reference ``README.md:62``,
+``sea/learning_to_rank/train.py:29-72``). MS MARCO is not in this
+container, so this module derives a labeled set from the fixture corpus
+itself — real engine retrieval, real feature extraction, and a graded
+relevance signal computed from TEXT OVERLAP rather than from the
+ranking function being evaluated:
+
+* a query is a run of 4 consecutive distinct tokens drawn from a
+  seeded, layout-independent sample of documents;
+* candidates come from the engine's BM25 OR-retrieval (the same
+  pre-select the production ``search_ltr`` path uses);
+* relevance is the query's token-BIGRAM containment in the candidate
+  (``round(3 · |q_bigrams ∩ doc_bigrams| / |q_bigrams|)``) — an
+  order-sensitive phrase signal that bag-of-words BM25 does not
+  optimize, computed Spark-side per candidate set. The source document
+  scores 3 by construction; near-duplicates score high; docs sharing
+  only scattered terms score 0.
+
+``evaluate`` then trains the ListNet MLP on the train split of query
+groups and reports NDCG@10/MRR@10 for the BM25 ordering vs the trained
+re-ranker on both splits. Everything is seeded and deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import ltr
+
+QUERY_TOKENS = 4
+
+# Spark-side doc bigram expression over the simple-analyzer token stream
+_DOC_BIGRAMS = (
+    "CASE WHEN size(__toks) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(__toks) - 1), "
+    "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) END"
+)
+
+
+def sample_queries(
+    docs: DataFrame, num_queries: int, seed: int = 29
+) -> list[tuple[int, list[str]]]:
+    """(doc_id, query_terms) for a seeded hash-order document sample —
+    layout-independent like the IVF quantizer sample. Query terms are
+    the first ``QUERY_TOKENS`` DISTINCT tokens starting at token 2 (skip
+    the often-boilerplate head); docs with too few tokens are skipped."""
+    rows = (
+        docs.select("doc_id", "text")
+        .orderBy(F.xxhash64(F.col("doc_id"), F.lit(int(seed))))
+        .limit(num_queries * 2)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", (r["text"] or "").lower())
+        run: list[str] = []
+        for t in toks[2:]:
+            if t not in run:
+                run.append(t)
+            if len(run) == QUERY_TOKENS:
+                break
+        if len(run) == QUERY_TOKENS:
+            out.append((r["doc_id"], run))
+        if len(out) == num_queries:
+            break
+    return out
+
+
+def label_candidates(
+    docs: DataFrame, cand_ids: list[int], query_terms: list[str]
+) -> dict[int, float]:
+    """Graded 0-3 relevance per candidate: bigram containment of the
+    query's token run in the candidate's token stream (order-sensitive
+    text overlap — independent of BM25 weighting)."""
+    qgrams = [
+        f"{a} {b}" for a, b in zip(query_terms, query_terms[1:])
+    ]
+    lit_grams = F.array(*[F.lit(g) for g in qgrams])
+    labeled = (
+        docs.where(F.col("doc_id").isin([int(i) for i in cand_ids]))
+        .select(
+            "doc_id",
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+            ).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(3.0)
+                * F.size(
+                    F.array_intersect(F.expr(_DOC_BIGRAMS), lit_grams)
+                )
+                / F.lit(float(len(qgrams)))
+            ).alias("rel"),
+        )
+    )
+    return {r["doc_id"]: float(r["rel"]) for r in labeled.collect()}
+
+
+def rel_col(query_terms: list[str]) -> "F.Column":
+    """Graded 0-3 relevance column over a ``__toks`` token-array column
+    (see ``label_candidates``)."""
+    qgrams = [f"{a} {b}" for a, b in zip(query_terms, query_terms[1:])]
+    lit_grams = F.array(*[F.lit(g) for g in qgrams])
+    return F.round(
+        F.lit(3.0)
+        * F.size(F.array_intersect(F.expr(_DOC_BIGRAMS), lit_grams))
+        / F.lit(float(len(qgrams)))
+    )
+
+
+def build_groups(
+    eng: SearchEngine,
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    retrieve_k: int = 30,
+):
+    """Per-query (features, labels, bm25) groups.
+
+    Candidate pool per query = BM25 OR-retrieval top-k ∪ phrase-bigram
+    retrieval top-k — the standard multi-retriever pre-select. The
+    second arm matters on this fixture: the corpus has a tiny
+    vocabulary, so every idf is negative and the BM25 ordering is a
+    WEAK ranker here (it demotes docs that match many query terms);
+    the phrase arm guarantees overlap-relevant docs still enter the
+    pool, which is exactly the regime where a learned re-ranker over
+    the same features can help (and what the reference's MS MARCO
+    numbers — BM25 0.39 → ListNet 0.58 NDCG@10 — demonstrate at
+    scale). The BM25 baseline ordering is the summed query-time BM25
+    feature (bm25_f*), identical information either ranker sees.
+
+    ONE Spark collect per query: features + labels + baseline come
+    back in a single frame (the searches and the pool union stay
+    lazy underneath ``ltr_features``'s broadcast semi-join)."""
+    nf = eng.meta["num_fields"]
+    order = ltr.feature_order(nf)
+    groups = []
+    for src_doc, terms in queries:
+        qstr = " OR ".join(terms)
+        phrase_q = " OR ".join(
+            f'"{a} {b}"' for a, b in zip(terms, terms[1:])
+        )
+        pool = (
+            eng.search(qstr, top_k=retrieve_k)
+            .select("doc_id")
+            .unionByName(
+                eng.search(phrase_q, top_k=retrieve_k).select("doc_id")
+            )
+            .distinct()
+        )
+        feats = eng.ltr_features(qstr, top=pool)
+        labeled = docs.select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+                "__toks"
+            ),
+        ).select("doc_id", rel_col(terms).alias("rel"))
+        rows = (
+            feats.join(labeled, "doc_id").orderBy("doc_id").collect()
+        )
+        if len(rows) < 2:
+            continue
+        x = np.array(
+            [[float(r[c]) for c in order] for r in rows], dtype=np.float64
+        )
+        y = np.array([float(r["rel"]) for r in rows], dtype=np.float64)
+        bm25 = x[:, 0:nf].sum(axis=1)
+        groups.append({"src_doc": src_doc, "x": x, "y": y, "bm25": bm25})
+    return groups
+
+
+def score_with(weights: dict, x: np.ndarray) -> np.ndarray:
+    """Score features with trained weights using the same left-fold
+    inference as ``ListNetScorer`` (no tmp .npz round-trip needed)."""
+    w = {k: np.asarray(v, dtype=np.float64) for k, v in weights.items()}
+    z = (x - w["means"]) / np.where(w["stds"] == 0, 1.0, w["stds"])
+    h = ltr._affine_leftfold(z, w["w0"], w["b0"], relu=True)
+    h = ltr._affine_leftfold(h, w["w1"], w["b1"], relu=True)
+    return ltr._affine_leftfold(h, w["w2"], w["b2"], relu=False).reshape(-1)
+
+
+def evaluate(
+    eng: SearchEngine,
+    docs: DataFrame,
+    num_queries: int = 48,
+    retrieve_k: int = 30,
+    seed: int = 29,
+    eval_frac_mod: int = 5,
+    hidden: int = 32,
+    epochs: int = 80,
+    lr: float = 0.02,
+) -> dict:
+    """Train on ~(1 - 1/eval_frac_mod) of the query groups, report
+    NDCG@10 / MRR@10 for the BM25 ordering vs the trained ListNet on
+    both splits. Split by a hash of the query's source doc_id (stable,
+    content-independent)."""
+    queries = sample_queries(docs, num_queries, seed)
+    groups = build_groups(eng, docs, queries, retrieve_k)
+    train = [g for g in groups if (g["src_doc"] * 2654435761) % eval_frac_mod]
+    evalg = [
+        g for g in groups if not (g["src_doc"] * 2654435761) % eval_frac_mod
+    ]
+    res = ltr.train_listnet(
+        [g["x"] for g in train],
+        [g["y"] for g in train],
+        hidden=hidden,
+        epochs=epochs,
+        lr=lr,
+    )
+    w = res["weights"]
+
+    def metrics(gs):
+        preds_ltr = [score_with(w, g["x"]) for g in gs]
+        preds_bm = [g["bm25"] for g in gs]
+        rels = [g["y"] for g in gs]
+        return {
+            "ndcg10_bm25": ltr.mean_metric(ltr.ndcg_at_k, preds_bm, rels, 10),
+            "ndcg10_ltr": ltr.mean_metric(ltr.ndcg_at_k, preds_ltr, rels, 10),
+            "mrr10_bm25": ltr.mean_metric(ltr.mrr_at_k, preds_bm, rels, 10),
+            "mrr10_ltr": ltr.mean_metric(ltr.mrr_at_k, preds_ltr, rels, 10),
+        }
+
+    return {
+        "num_queries": len(groups),
+        "train_queries": len(train),
+        "eval_queries": len(evalg),
+        "final_loss": res["losses"][-1],
+        "first_loss": res["losses"][0],
+        "train": metrics(train),
+        "eval": metrics(evalg) if evalg else None,
+        "weights": w,
+    }

@@ -243,3 +243,27 @@ def test_trained_listnet_beats_bm25_baseline():
     assert res["losses"][-1] < res["losses"][0]
     assert trained > baseline + 0.05, (trained, baseline)
     assert trained > 0.9
+
+
+def test_derived_label_eval_trained_beats_bm25(spark):
+    """Non-synthetic signal: queries sampled from the fixture corpus,
+    candidates from the engine's own two-arm retrieval, labels from
+    bigram containment (order-sensitive text overlap, not a BM25
+    function). The trained ListNet must beat the BM25-feature ordering
+    on NDCG@10 — on this tiny-vocabulary corpus every idf is negative,
+    so BM25 order is a provably weak ranker and the re-ranker's lift
+    is large (the full sf0.1 numbers live in BENCH/ltr_eval.json)."""
+    from cs_search_engine_architecture_spark import gate
+    from cs_search_engine_architecture_spark.operators import ltr_eval
+
+    sf = "/root/testdata/sf0.001"
+    eng = gate.gate_engine(spark, sf)
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    res = ltr_eval.evaluate(
+        eng, docs, num_queries=6, retrieve_k=15, epochs=40, hidden=16
+    )
+    assert res["num_queries"] >= 4
+    assert res["final_loss"] < res["first_loss"]  # it learned
+    tr = res["train"]
+    assert tr["ndcg10_ltr"] > tr["ndcg10_bm25"] + 0.2, tr
+    assert tr["ndcg10_ltr"] > 0.5, tr

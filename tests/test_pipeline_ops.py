@@ -828,3 +828,35 @@ def test_quantized_ivf_build_is_single_pass(spark):
     plan = quant._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bpe_batched_matches_serial(spark):
+    """train_bpe_batched: identical merge list to the serial trainer
+    (the prefix/disjoint/strict-count acceptance rules make batched
+    rounds provably serial-equivalent), in fewer driver rounds — and on
+    the sf0.001 fixture corpus too, where counts are Zipfian enough for
+    real batching."""
+    from cs_search_engine_architecture_spark.operators import bpe
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "there the thin theme sang a theory hymn",
+        "banana bandana and banner in the band",
+        "sparking sparks spark sparked sparky",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    serial = bpe.train_bpe(df, 12)
+    batched, rounds = bpe.train_bpe_batched(df, 12, batch_k=4)
+    assert batched == serial
+    assert rounds <= len(serial)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    serial = bpe.train_bpe(docs, 16)
+    batched, rounds = bpe.train_bpe_batched(docs, 16, batch_k=8)
+    assert batched == serial
+    assert rounds < len(serial), (
+        f"batching never accepted >1 merge/round ({rounds} rounds for "
+        f"{len(serial)} merges)"
+    )
