@@ -188,6 +188,19 @@ def main() -> None:
     dedup.embedding_dup_pairs_bucketed(emb, min_cosine=0.4).count()
     timings["dedup_embedding_lsh"] = round(time.time() - t0, 3)
 
+    # BPE training: serial one-merge-per-round vs batched
+    # non-overlapping merges (same merge list, fewer driver rounds)
+    from cs_search_engine_architecture_spark.operators import bpe  # noqa: E402
+
+    t0 = time.time()
+    serial_merges = bpe.train_bpe(docs, 10)
+    timings["bpe_train_serial10"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    batched_merges, bpe_rounds = bpe.train_bpe_batched(docs, 10, batch_k=8)
+    timings["bpe_train_batched10"] = round(time.time() - t0, 3)
+    assert batched_merges == serial_merges
+    extras["bpe_batched_rounds"] = bpe_rounds
+
     # reference-parity hybrid with ListNet rerank (end to end)
     import numpy as np
 

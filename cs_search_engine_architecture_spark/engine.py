@@ -9,6 +9,8 @@ under the documented tie-break contract)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,13 @@ class SearchEngine:
         # deleted-docs mask (None on tombstone-free indexes — the common
         # case pays zero cost); see indexer.delete_docs/compact_index
         self.tombstones = indexer.load_tombstones(spark, index_path)
+        # in-place updates (indexer.update_docs): ids whose OLD version
+        # is tombstoned and whose CURRENT postings live entirely in
+        # delta segments. Serving = masked main arm (kills both
+        # versions) ∪ delta-only compiled arm semi-joined to these ids
+        # (resurrects the new version). None on update-free indexes —
+        # every fast path stays untouched then.
+        self.updated_ids = indexer.load_updated_ids(spark, index_path)
         # delta segments (add_docs) contribute postings to the WAND/
         # block-max routing threshold; world stats stay frozen (see
         # indexer.add_docs)
@@ -48,7 +57,67 @@ class SearchEngine:
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
-        return self._mask(self.compiler.compile(ast))
+        return self._scored(ast)
+
+    # ------------------------------------------------ in-place updates
+
+    def _delta_blocks_df(self) -> DataFrame:
+        if not hasattr(self, "_delta_blocks"):
+            self._delta_blocks = indexer.load_delta_blocks(
+                self.spark, self.index_path
+            )
+        return self._delta_blocks
+
+    def _base_blocks_df(self) -> DataFrame:
+        if not hasattr(self, "_base_blocks"):
+            self._base_blocks = indexer.load_base_blocks(
+                self.spark, self.index_path
+            )
+        return self._base_blocks
+
+    def _dead_ids(self) -> DataFrame | None:
+        """Tombstones of docs that are GONE (deleted), excluding ids
+        that were updated in place (those still exist — the tombstone
+        only masks their old lexical postings). The mask for surfaces
+        with no resurrection arm (semantic scores, external tables)."""
+        if self.tombstones is None:
+            return None
+        if self.updated_ids is None:
+            return self.tombstones
+        return self.tombstones.join(self.updated_ids, "doc_id", "left_anti")
+
+    def _scored(self, ast) -> DataFrame:
+        """Masked scored frame for a compiled query, update-aware.
+
+        With updates present, the main arm's compile runs over
+        base ∪ delta blocks, so an updated doc would sum BOTH versions'
+        postings — the tombstone mask therefore kills it entirely, and
+        the delta-only arm (the doc's complete current postings — AND /
+        NOT / phrase semantics are self-contained there) resurrects the
+        new version with its exact frozen-stats score."""
+        masked = self._mask(self.compiler.compile(ast))
+        if self.updated_ids is None:
+            return masked
+        if not hasattr(self, "_upd_compiler"):
+            self._upd_compiler = QueryCompiler(
+                self.spark, self._delta_blocks_df(), self.num_buckets
+            )
+        arm = self._upd_compiler.compile(ast).join(
+            F.broadcast(self.updated_ids), "doc_id", "left_semi"
+        )
+        return masked.unionByName(arm)
+
+    def _term_frame(self, build) -> DataFrame:
+        """Update-aware per-term postings frame: ``build(blocks)`` runs
+        over the unified blocks normally; with updates present, base
+        rows of updated ids are dropped and the delta rows (the current
+        version) union in — so features/positions never mix versions."""
+        if self.updated_ids is None:
+            return build(self.blocks)
+        base = build(self._base_blocks_df()).join(
+            F.broadcast(self.updated_ids), "doc_id", "left_anti"
+        )
+        return base.unionByName(build(self._delta_blocks_df()))
 
     def _mask(self, scored: DataFrame) -> DataFrame:
         """Anti-join the tombstone mask (broadcast — bytes, not a
@@ -71,6 +140,17 @@ class SearchEngine:
         if ltr_enabled:
             return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        # In-place updates route through the compiled join path with the
+        # delta resurrection arm (see _scored) — the fast paths' packed
+        # blocks can't drop one version of a doc. Update-free indexes
+        # (the steady state; compact/merge resets) never reach this.
+        if self.updated_ids is not None:
+            self.last_strategy = "join_masked_update_arm"
+            return (
+                self._scored(ast)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(top_k)
+            )
         # Tombstones + fast paths: deleting T docs can promote at most T
         # docs into the top-k, so the top-(k+T) of the UNMASKED ranking
         # contains the masked top-k — fast paths over-fetch by T, then
@@ -346,12 +426,19 @@ class SearchEngine:
         fallback: list[DataFrame] = []
         for qid, qstr in queries.items():
             ast = parse_query(qstr, analyzer=analyzer)
-            plan = ms.classify_query(ast)
+            # the shared-scan batcher sums a doc's postings across base
+            # and delta blocks, which double-scores in-place-updated
+            # docs — with updates pending, serve every query through
+            # the update-aware compiled path (compact/merge restores
+            # batching)
+            plan = (
+                None if self.updated_ids is not None else ms.classify_query(ast)
+            )
             if plan is not None:
                 batchable.append((qid, plan[0], plan[1]))
             else:
                 fallback.append(
-                    self._mask(self.compiler.compile(ast))
+                    self._scored(ast)
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(top_k)
                     .select(
@@ -389,6 +476,9 @@ class SearchEngine:
             "terms": self._leaf_terms(query),
             "num_postings": self.meta.get("num_postings", 0),
             "tombstones": self._num_tombstones(),
+            "updated_docs": (
+                0 if self.updated_ids is None else self.updated_ids.count()
+            ),
             "delta_segments": len(indexer.load_delta_metas(self.index_path)),
             "physical_plan": df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
@@ -427,6 +517,35 @@ class SearchEngine:
                 F.sha2(F.col(content_col), 256) == F.col("content_sha256"),
             )
         return out
+
+    def current_corpus(self) -> DataFrame:
+        """The index's CURRENT source rows: the manifest corpus, minus
+        dead (deleted) docs, with delta-staged rows (adds and in-place
+        updates) replacing/extending the base — what snippet and
+        materialize callers should pass on a maintained index."""
+        src = self.meta.get("corpus_path")
+        if not src or not os.path.exists(src):
+            raise ValueError(
+                f"index manifest has no readable corpus_path: {src!r}"
+            )
+        corpus = self.spark.read.parquet(src)
+        id_col = self.meta.get("doc_id_col", "doc_id")
+        if self.tombstones is not None:
+            # tombstones cover deletes AND updated docs' old versions;
+            # the delta corpus below restores the updated docs' rows
+            corpus = corpus.join(
+                F.broadcast(
+                    self.tombstones.withColumnRenamed("doc_id", id_col)
+                ),
+                id_col,
+                "left_anti",
+            )
+        for d in indexer._delta_dirs(self.index_path):
+            corpus = corpus.unionByName(
+                self.spark.read.parquet(os.path.join(d, "corpus")),
+                allowMissingColumns=True,
+            )
+        return corpus
 
     @staticmethod
     def assert_sha_ok(materialized: DataFrame) -> None:
@@ -505,8 +624,24 @@ class SearchEngine:
             [("q", "or", terms)],
             top_k,
             exclude=self.tombstones,
-        )
-        return out.select("doc_id", "score")
+        ).select("doc_id", "score")
+        if self.updated_ids is not None:
+            # resurrection arm for in-place-updated docs (see _scored)
+            arm = ms.batched_topk(
+                self.spark,
+                self._delta_blocks_df(),
+                self.num_buckets,
+                [("q", "or", terms)],
+                top_k,
+            ).select("doc_id", "score").join(
+                F.broadcast(self.updated_ids), "doc_id", "left_semi"
+            )
+            out = (
+                out.unionByName(arm)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(top_k)
+            )
+        return out
 
     def fuzzy_search(
         self,
@@ -541,19 +676,22 @@ class SearchEngine:
         qterms = self.spark.createDataFrame(
             [(t, s) for t, s in cands], "term string, weight double"
         )
-        postings = ms.multi_term_postings(
-            self.blocks, [t for t, _ in cands], self.num_buckets
+        postings = self._term_frame(
+            lambda b: ms.multi_term_postings(
+                b, [t for t, _ in cands], self.num_buckets
+            )
         )
         agg = (
             postings.join(F.broadcast(qterms), "term")
             .groupBy("doc_id")
             .agg(F.sum(F.col("score") * F.col("weight")).alias("score"))
         )
-        return (
-            self._mask(agg)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(top_k)
-        )
+        # the postings frame is already version-clean (_term_frame), so
+        # mask DEAD ids only — updated docs keep their delta-only score
+        dead = self._dead_ids()
+        if dead is not None:
+            agg = agg.join(F.broadcast(dead), "doc_id", "left_anti")
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
     def term_stats(self) -> DataFrame:
         if not hasattr(self, "_term_stats"):
@@ -638,8 +776,11 @@ class SearchEngine:
         top = self.search(query, top_k)
         leaves = self._leaf_terms(query)[:8]  # bound plan size
         pos_frames = [
-            term_postings(self.blocks, t, self.num_buckets, with_positions=True)
-            .select(
+            self._term_frame(
+                lambda b, _t=t: term_postings(
+                    b, _t, self.num_buckets, with_positions=True
+                )
+            ).select(
                 "doc_id",
                 F.element_at("positions", 1).alias("_pos"),
                 F.lit(i).alias("_leaf"),
@@ -685,8 +826,11 @@ class SearchEngine:
             if t not in stats:
                 continue
             frames.append(
-                term_postings_full(self.blocks, t, self.num_buckets, nf)
-                .withColumn("idf", F.lit(float(stats[t])))
+                self._term_frame(
+                    lambda b, _t=t: term_postings_full(
+                        b, _t, self.num_buckets, nf
+                    )
+                ).withColumn("idf", F.lit(float(stats[t])))
             )
         if not frames:
             return self.spark.createDataFrame([], "doc_id long")
@@ -707,11 +851,23 @@ class SearchEngine:
         )
 
     def doc_lens(self) -> DataFrame:
-        """Cached per-doc field-length side table (see indexer)."""
+        """Cached per-doc field-length side table (see indexer). With
+        in-place updates present, an updated doc has a base AND a delta
+        row — keep the delta's (current) lengths only."""
         if not hasattr(self, "_doc_lens"):
-            self._doc_lens = indexer.load_doc_lens(
-                self.spark, self.index_path, self.meta["num_fields"]
-            )
+            nf = self.meta["num_fields"]
+            if self.updated_ids is None:
+                self._doc_lens = indexer.load_doc_lens(
+                    self.spark, self.index_path, nf
+                )
+            else:
+                base = indexer.load_doc_lens(
+                    self.spark, self.index_path, nf, include_deltas=False
+                ).join(F.broadcast(self.updated_ids), "doc_id", "left_anti")
+                delta = indexer.load_delta_doc_lens(
+                    self.spark, self.index_path, nf
+                )
+                self._doc_lens = base.unionByName(delta)
         return self._doc_lens
 
     def search_ltr(
@@ -758,10 +914,13 @@ class SearchEngine:
             # lexical fast paths)
             embeddings, qvec, top_k + self._num_tombstones(), id_col=id_col
         ).select(F.col("id").alias("doc_id"), F.col("cos").alias("similarity"))
-        if self.tombstones is None:
+        # mask with DEAD ids only: in-place-updated docs still exist —
+        # their tombstone masks old lexical postings, not the doc
+        dead = self._dead_ids()
+        if dead is None:
             return scored
         return (
-            self._mask(scored)
+            scored.join(F.broadcast(dead), "doc_id", "left_anti")
             .orderBy(F.desc("similarity"), F.asc("doc_id"))
             .limit(top_k)
         )
@@ -825,8 +984,11 @@ class SearchEngine:
             if t not in stats:
                 continue
             frames.append(
-                term_postings_full(self.blocks, t, self.num_buckets, nf)
-                .withColumn("idf", F.lit(float(stats[t])))
+                self._term_frame(
+                    lambda b, _t=t: term_postings_full(
+                        b, _t, self.num_buckets, nf
+                    )
+                ).withColumn("idf", F.lit(float(stats[t])))
             )
         weights = union.select(
             "doc_id",
@@ -890,9 +1052,10 @@ class SearchEngine:
         sem = sem.select(
             F.col("id").alias("doc_id"), F.col("cos").alias("similarity")
         )
-        if self.tombstones is not None:
+        dead = self._dead_ids()  # updated docs still exist semantically
+        if dead is not None:
             sem = (
-                self._mask(sem)
+                sem.join(F.broadcast(dead), "doc_id", "left_anti")
                 .orderBy(F.desc("similarity"), F.asc("doc_id"))
                 .limit(sem_k)
             )

@@ -1431,6 +1431,94 @@ LIMIT 10
 """
 
 
+# new text for the in-place-update gate — shared literal on both sides.
+# Long filler + both query terms: with the fixture's negative idf the
+# length normalization makes this the least-negative score, so the
+# updated doc provably lands at rank 1 — the gate fails loudly if the
+# delta resurrection arm stops serving updated docs.
+GATE_UPDATE_TEXT = " ".join(["filler"] * 400 + ["data", "spark"])
+
+
+def q_search_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place update semantics: the top-1 doc of ``spark or data`` is
+    updated (same doc_id, new text) on a copy of the gate index, then
+    the query re-runs. The old version must vanish, every other doc
+    keeps its exact frozen-stats score, and the updated doc serves its
+    NEW text's score (frozen base idf/avgdl — delete+add composition,
+    resurrected by the delta-only arm). The oracle derives the victim
+    independently and replays base-frozen-stats scoring over the
+    corpus with the victim's text replaced."""
+    import shutil
+
+    eng = gate_engine(spark, sf_dir)
+    upd_path = eng.index_path + "_upd"
+    if not os.path.exists(os.path.join(upd_path, "meta.json")):
+        shutil.copytree(eng.index_path, upd_path)
+        victim = eng.search("spark or data", top_k=1).collect()[0]["doc_id"]
+        from cs_search_engine_architecture_spark.operators.indexer import (
+            update_docs,
+        )
+
+        update_docs(
+            spark,
+            upd_path,
+            spark.createDataFrame(
+                [(int(victim), GATE_UPDATE_TEXT)], "doc_id long, text string"
+            ),
+        )
+    ueng = SearchEngine(spark, upd_path, cache=False)
+    return ueng.search("spark or data", top_k=10).select(
+        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    )
+
+
+SQL_SEARCH_AFTER_UPDATE = f"""
+WITH base_toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM base_toks),
+dl0 AS (SELECT doc_id, count(*) AS dl FROM base_toks GROUP BY doc_id),
+tfs0 AS (SELECT doc_id, term, count(*) AS tf FROM base_toks
+         WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs0 GROUP BY term),
+sc0 AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl0.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl0.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs0 t JOIN dl0 USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+scores0 AS (SELECT doc_id, SUM(CAST(score AS DOUBLE)) AS score_d
+            FROM sc0 GROUP BY doc_id),
+victim AS (SELECT doc_id FROM scores0
+           ORDER BY score_d DESC, doc_id ASC LIMIT 1),
+new_toks AS (SELECT (SELECT doc_id FROM victim) AS doc_id,
+             unnest(regexp_extract_all(lower('{GATE_UPDATE_TEXT}'),
+                                       '[a-z0-9]+')) AS term),
+all_toks AS (SELECT * FROM base_toks
+             WHERE doc_id != (SELECT doc_id FROM victim)
+             UNION ALL SELECT * FROM new_toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM all_toks GROUP BY doc_id),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM all_toks
+        WHERE term IN ('spark', 'data') GROUP BY doc_id, term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+)
+SELECT doc_id,
+       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard ``b*`` search: dictionary expansion over term_stats,
     served as one shared-scan disjunction (sum-of-BM25 OR semantics).
@@ -1899,6 +1987,7 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
         "search_after_add": q_search_after_add,
+        "search_after_update": q_search_after_update,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -1953,6 +2042,7 @@ def oracle_sql():
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
         "search_after_add": SQL_SEARCH_AFTER_ADD,
+        "search_after_update": SQL_SEARCH_AFTER_UPDATE,
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,
         "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

@@ -1091,14 +1091,37 @@ def load_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
     ).parquet(os.path.join(index_path, "term_stats"))
 
 
-def load_doc_lens(spark: SparkSession, index_path: str, num_fields: int) -> DataFrame:
+def load_doc_lens(
+    spark: SparkSession,
+    index_path: str,
+    num_fields: int,
+    include_deltas: bool = True,
+) -> DataFrame:
     """(doc_id, fl_0..fl_{nf-1}) side table written by the build; docs
     with zero postings (all-empty fields) have no row — readers coalesce
     missing lengths to 0, matching the tokenizer's empty-field length."""
     cols = ", ".join(f"fl_{f} int" for f in range(num_fields))
     schema = f"doc_id long, {cols}"
     out = spark.read.schema(schema).parquet(os.path.join(index_path, "doc_lens"))
-    for d in _delta_dirs(index_path):
+    if include_deltas:
+        for d in _delta_dirs(index_path):
+            out = out.unionByName(
+                spark.read.schema(schema).parquet(os.path.join(d, "doc_lens"))
+            )
+    return out
+
+
+def load_delta_doc_lens(
+    spark: SparkSession, index_path: str, num_fields: int
+) -> DataFrame | None:
+    """Delta segments' doc_lens only (None when no deltas)."""
+    dirs = _delta_dirs(index_path)
+    if not dirs:
+        return None
+    cols = ", ".join(f"fl_{f} int" for f in range(num_fields))
+    schema = f"doc_id long, {cols}"
+    out = spark.read.schema(schema).parquet(os.path.join(dirs[0], "doc_lens"))
+    for d in dirs[1:]:
         out = out.unionByName(
             spark.read.schema(schema).parquet(os.path.join(d, "doc_lens"))
         )
@@ -1163,21 +1186,37 @@ def compact_index(
                 f"corpus_path: {src!r})"
             )
         corpus = spark.read.parquet(src)
-    # delta segments staged their raw rows at add time — fold them in so
-    # compaction covers adds as well as deletes
-    for d in _delta_dirs(index_path):
-        corpus = corpus.unionByName(
-            spark.read.parquet(os.path.join(d, "corpus")),
-            allowMissingColumns=True,
-        )
+    # Tombstone scoping per arm: the FULL tombstone set masks the base
+    # corpus (deletes + in-place-updated docs' old versions), but only
+    # DEAD ids (tombstones minus updated ids) mask the delta-staged rows
+    # — an updated doc's new version lives there and must survive.
+    id_col = meta.get("doc_id_col", "doc_id")
     tomb = load_tombstones(spark, index_path)
     if tomb is not None:
-        id_col = meta.get("doc_id_col", "doc_id")
         corpus = corpus.join(
             F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
             id_col,
             "left_anti",
         )
+    deltas = _delta_dirs(index_path)
+    if deltas:
+        delta_corpus = spark.read.parquet(os.path.join(deltas[0], "corpus"))
+        for d in deltas[1:]:
+            delta_corpus = delta_corpus.unionByName(
+                spark.read.parquet(os.path.join(d, "corpus")),
+                allowMissingColumns=True,
+            )
+        if tomb is not None:
+            upd = load_updated_ids(spark, index_path)
+            dead = (
+                tomb if upd is None else tomb.join(upd, "doc_id", "left_anti")
+            )
+            delta_corpus = delta_corpus.join(
+                F.broadcast(dead.withColumnRenamed("doc_id", id_col)),
+                id_col,
+                "left_anti",
+            )
+        corpus = corpus.unionByName(delta_corpus, allowMissingColumns=True)
     kwargs = dict(
         fields=meta["fields"],
         analyzer=meta.get("analyzer", "reference"),
@@ -1354,6 +1393,103 @@ def add_docs(
     }
     with open(os.path.join(out, "meta.json"), "w") as fh:
         json.dump(delta_meta, fh, indent=2)
+    return delta_meta
+
+
+def load_base_blocks(spark: SparkSession, index_path: str) -> DataFrame:
+    """The base index's blocks only (no delta segments)."""
+    schema = BLOCKS_SCHEMA + ", term_bucket int"
+    return spark.read.schema(schema).parquet(os.path.join(index_path, "blocks"))
+
+
+def load_delta_blocks(spark: SparkSession, index_path: str) -> DataFrame:
+    """Union of all delta segments' blocks (raises when no deltas —
+    callers guard on ``load_delta_metas``/``load_updated_ids``)."""
+    schema = BLOCKS_SCHEMA + ", term_bucket int"
+    dirs = _delta_dirs(index_path)
+    if not dirs:
+        raise ValueError(f"no delta segments under {index_path}")
+    out = spark.read.schema(schema).parquet(os.path.join(dirs[0], "blocks"))
+    for d in dirs[1:]:
+        out = out.unionByName(
+            spark.read.schema(schema).parquet(os.path.join(d, "blocks"))
+        )
+    return out
+
+
+def load_updated_ids(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Deduped in-place-updated doc ids, or None (the common case)."""
+    path = os.path.join(index_path, "updated_ids")
+    if not os.path.exists(path):
+        return None
+    return spark.read.schema("doc_id long").parquet(path).distinct()
+
+
+def update_docs(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    segment: int | None = None,
+) -> dict:
+    """In-place document update under the SAME doc_id — the composition
+    the frozen-stats model admits without a stats refresh:
+
+    1. tombstone the ids (masks the OLD version's base postings — and,
+       because the mask is by doc_id, the new version's too);
+    2. ``add_docs`` the new rows as a delta segment (frozen base
+       idf/avgdl, same encode kernels);
+    3. record the ids in an ``updated_ids`` side list. Serving
+       (``SearchEngine``) resurrects the new version by unioning the
+       masked main arm with a DELTA-ONLY compiled arm semi-joined to
+       this list — exact, because an updated doc's current postings
+       live entirely in delta segments.
+
+    Constraints (each raises; run ``compact_index`` to reset):
+    * every id must exist in the BASE index — docs added via deltas
+      can't be updated in place;
+    * an id can be updated at most once between compactions;
+    * tombstoned (deleted) ids can't be updated (that's an add).
+
+    ``compact_index`` already folds updates correctly with no special
+    casing: tombstones drop the old version from the source corpus, the
+    delta's staged rows contribute the new one, and the fresh build has
+    no ``updated_ids``. Pass ``segment`` for idempotent replay of a
+    crashed update (delete/add/updated_ids are each idempotent)."""
+    meta = load_meta(index_path)
+    id_col = meta.get("doc_id_col", "doc_id")
+    nf = len(meta["fields"])
+    ids = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).distinct()
+
+    base_lens = spark.read.schema(
+        f"doc_id long, {', '.join(f'fl_{f} int' for f in range(nf))}"
+    ).parquet(os.path.join(index_path, "doc_lens"))
+    if ids.join(base_lens, "doc_id", "left_anti").limit(1).count():
+        raise ValueError(
+            "update_docs: some doc_ids are not in the base index (docs "
+            "added via deltas need compact_index before in-place update)"
+        )
+    prev = load_updated_ids(spark, index_path)
+    if prev is not None and ids.join(prev, "doc_id", "inner").limit(1).count():
+        raise ValueError(
+            "update_docs: some doc_ids were already updated; re-update "
+            "requires compact_index first"
+        )
+    tomb = load_tombstones(spark, index_path)
+    if tomb is not None and ids.join(tomb, "doc_id", "inner").limit(1).count():
+        raise ValueError(
+            "update_docs: some doc_ids are tombstoned (deleted); "
+            "re-adding a deleted doc is add_docs after compact_index"
+        )
+
+    delta_meta = add_docs(
+        spark, index_path, new_docs, check_ids=False, segment=segment
+    )
+    delete_docs(spark, index_path, ids)
+    ids.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "updated_ids")
+    )
     return delta_meta
 
 

@@ -2,6 +2,7 @@
 
     spark-submit jobs/maintain.py add     --index /path/idx --docs new.parquet
     spark-submit jobs/maintain.py delete  --index /path/idx --doc-ids 3,17,42
+    spark-submit jobs/maintain.py update  --index /path/idx --docs new.parquet
     spark-submit jobs/maintain.py merge   --index /path/idx
     spark-submit jobs/maintain.py compact --index /path/idx --out /path/idx2 \
         [--corpus /path/corpus.parquet]
@@ -26,7 +27,10 @@ from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("action", choices=["add", "delete", "merge", "compact", "status"])
+    ap.add_argument(
+        "action",
+        choices=["add", "delete", "update", "merge", "compact", "status"],
+    )
     ap.add_argument("--index", required=True)
     ap.add_argument("--docs", default=None, help="parquet of new docs (add)")
     ap.add_argument("--doc-ids", default=None, help="comma-separated ids (delete)")
@@ -52,6 +56,13 @@ def main() -> None:
             check_ids=not args.no_check_ids,
         )
         print(json.dumps({"action": "add", **meta}))
+    elif args.action == "update":
+        if not args.docs:
+            ap.error("update requires --docs")
+        meta = indexer.update_docs(
+            spark, args.index, spark.read.parquet(args.docs)
+        )
+        print(json.dumps({"action": "update", **meta}))
     elif args.action == "delete":
         if not args.doc_ids:
             ap.error("delete requires --doc-ids")
@@ -79,6 +90,7 @@ def main() -> None:
     else:  # status
         meta = indexer.load_meta(args.index)
         tomb = indexer.load_tombstones(spark, args.index)
+        upd = indexer.load_updated_ids(spark, args.index)
         deltas = indexer.load_delta_metas(args.index)
         print(json.dumps({
             "action": "status",
@@ -88,6 +100,7 @@ def main() -> None:
             "delta_documents": sum(d["num_documents"] for d in deltas),
             "delta_postings": sum(d["num_postings"] for d in deltas),
             "tombstones": 0 if tomb is None else tomb.count(),
+            "updated_docs": 0 if upd is None else upd.count(),
         }))
     spark.stop()
 

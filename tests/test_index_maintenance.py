@@ -340,3 +340,105 @@ def test_merge_deltas_score_identity(spark, tmp_path):
                for r in after_eng.search("join", 10).collect())
     # idempotent no-op on a single segment
     assert indexer.merge_deltas(spark, out) is None
+
+
+def test_update_docs_in_place(spark, tmp_path):
+    """In-place update: same doc_id, new text — the doc serves its NEW
+    version (frozen-stats delta score, no double-scoring, no stale
+    version on any surface) while every other doc keeps its exact
+    score; compaction folds the update into a fresh build."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    before = _ranked(SearchEngine(spark, out, cache=False), "spark or join")
+
+    new_text = "updated qqnewterm text mentions join and join again"
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame([(0, new_text)], "doc_id long, text string"),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    # old-version-only term no longer matches doc 0
+    assert all(
+        r["doc_id"] != 0 for r in eng.search("shuffle", 10).collect()
+    )
+    # new-version-only term matches doc 0 (delta arm serves it)
+    assert [r["doc_id"] for r in eng.search("qqnewterm", 10).collect()] == [0]
+
+    # the doc appears ONCE with its delta score; everyone else exact
+    after = _ranked(eng, "spark or join")
+    ids = [d for d, _ in after]
+    assert ids.count(0) == 1
+    assert {d: s for d, s in after if d != 0} == {
+        d: s for d, s in before if d != 0
+    }
+
+    # score parity: a FRESH id added with the same text to a copy of the
+    # pre-update index gets the identical frozen-stats score
+    import shutil
+
+    copy = str(tmp_path / "idx_copy")
+    shutil.copytree(out, copy)
+    shutil.rmtree(copy + "/tombstones"); shutil.rmtree(copy + "/updated_ids")
+    indexer.add_docs(
+        spark, copy,
+        spark.createDataFrame([(900, new_text)], "doc_id long, text string"),
+        segment=1,
+    )
+    ceng = SearchEngine(spark, copy, cache=False)
+    s900 = {d: s for d, s in _ranked(ceng, "spark or join")}[900]
+    assert dict(after)[0] == s900
+
+    # surfaces: search_df, msearch fallback, fuzzy, plan_info routing
+    assert [r["doc_id"] for r in eng.search_df("qqnewterm").collect()] == [0]
+    rows = eng.msearch({"a": "spark or join", "b": "qqnewterm"}, top_k=10)
+    got = {(r["query_id"], r["doc_id"]) for r in rows.collect()}
+    assert ("b", 0) in got
+    assert [d for q, d in got if q == "a"].count(0) == 1
+    assert eng.plan_info("spark or join", 5)["strategy"] == (
+        "join_masked_update_arm"
+    )
+    fz = eng.fuzzy_search("qqnewterm", 10)
+    assert [r["doc_id"] for r in fz.collect()] == [0] or fz.count() == 0
+
+    # current_corpus serves the new text under the same id
+    cur = {r["doc_id"]: r["text"] for r in eng.current_corpus().collect()}
+    assert cur[0] == new_text and len(cur) == len(DOCS)
+
+    # snippets come from the new version
+    sn = eng.search_with_snippets("qqnewterm", eng.current_corpus(), 5)
+    srow = sn.collect()
+    assert len(srow) == 1 and "qqnewterm" in srow[0]["snippet"]
+
+    # guard rails
+    with pytest.raises(ValueError):  # re-update before compaction
+        indexer.update_docs(
+            spark, out,
+            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+        )
+    with pytest.raises(ValueError):  # unknown id
+        indexer.update_docs(
+            spark, out,
+            spark.createDataFrame([(777, "x")], "doc_id long, text string"),
+        )
+    indexer.delete_docs(spark, out, [7])
+    with pytest.raises(ValueError):  # deleted id
+        indexer.update_docs(
+            spark, out,
+            spark.createDataFrame([(7, "x")], "doc_id long, text string"),
+        )
+
+    # compaction folds the update with NO special casing
+    compacted = str(tmp_path / "compacted")
+    cmeta = indexer.compact_index(spark, out, compacted)
+    assert cmeta["num_documents"] == len(DOCS) - 1  # -7 (deleted)
+    ec = SearchEngine(spark, compacted, cache=False)
+    assert ec.updated_ids is None  # fresh index: fast paths restored
+    assert [r["doc_id"] for r in ec.search("qqnewterm", 10).collect()] == [0]
+    assert all(r["doc_id"] != 0 for r in ec.search("shuffle", 10).collect())
