@@ -1592,6 +1592,63 @@ FROM scored ORDER BY cos_d DESC, id ASC LIMIT 10
 SQL_ANN_QUANTIZED_TOPK = _sql_ann_quantized_topk()
 
 
+def q_ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized IVF (the composition): cell assignment on the
+    FULL-PRECISION vectors, inverted lists persisted as int8 codes +
+    integer norms (4× smaller scan), probe = partition-pruned n_probe
+    cells + exact BIGINT-dot cosine. Same deterministic centroids as
+    the float IVF gate; the oracle replays assignment with the shared
+    left-fold distance fragment and quantization with the shared
+    quantize_vec fragment."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = f"{abs(hash(sf_dir)) % 10**8}_ivfq_{GATE_VERSION}"
+    path = os.path.join("/tmp/spark_sea_gate", tag)
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        cents = SIM.fixed_vec_centroids(emb, IVF_NUM_CENTROIDS)
+        SIM.build_ivf_index_quantized(emb.where("vec_id != 0"), path, cents)
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    return SIM.ivf_search_quantized(
+        spark, path, qvec, k=10, n_probe=IVF_N_PROBE
+    ).select("id", F.col("cos").cast("float").cast("double").alias("cos"))
+
+
+def _sql_ann_ivf_quantized_topk() -> str:
+    d2_assign = D.l2_dist_sq(D.DUCKDB, "e.embedding", "c.cv")
+    d2_probe = D.l2_dist_sq(D.DUCKDB, "(SELECT v FROM qf)", "c.cv")
+    qv_doc = D.quantize_vec(D.DUCKDB, "v")
+    qv_query = D.quantize_vec(D.DUCKDB, "embedding")
+    qn = D.int_l2_norm(D.DUCKDB, "qv")
+    dot = D.int_dot(D.DUCKDB, "qv", "(SELECT qv0 FROM q0)")
+    return f"""
+WITH cents AS (SELECT vec_id - 1 AS cell, embedding AS cv FROM embeddings
+               WHERE vec_id BETWEEN 1 AND {IVF_NUM_CENTROIDS}),
+qf AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+q0 AS (SELECT qv AS qv0, {D.int_l2_norm(D.DUCKDB, "qv")} AS n0 FROM
+       (SELECT {qv_query} AS qv FROM embeddings WHERE vec_id = 0)),
+assign AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cell, {d2_assign} AS d2
+  FROM embeddings e, cents c WHERE e.vec_id != 0
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY d2 ASC, c.cell ASC) = 1
+),
+probe AS (SELECT c.cell FROM cents c
+          ORDER BY {d2_probe} ASC, c.cell ASC LIMIT {IVF_N_PROBE}),
+normed AS (SELECT id, qv, {qn} AS qnorm FROM
+           (SELECT id, {qv_doc} AS qv FROM assign
+            WHERE cell IN (SELECT cell FROM probe))),
+scored AS (
+  SELECT id,
+    CASE WHEN qnorm = 0 OR (SELECT n0 FROM q0) = 0 THEN -1.0
+    ELSE CAST({dot} AS DOUBLE) / (qnorm * (SELECT n0 FROM q0)) END AS cos_d
+  FROM normed)
+SELECT id, CAST(CAST(cos_d AS REAL) AS DOUBLE) AS cos
+FROM scored ORDER BY cos_d DESC, id ASC LIMIT 10
+"""
+
+
+SQL_ANN_IVF_QUANTIZED_TOPK = _sql_ann_ivf_quantized_topk()
+
+
 FUZZY_TOKEN = "spak"
 FUZZY_MIN_SIM = 0.1
 FUZZY_MAX_EXP = 2
@@ -1991,6 +2048,7 @@ def queries():
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
         "redact_text": q_redact_text,
         "corpus_split": q_corpus_split,
         "stratified_sample": q_stratified_sample,
@@ -2046,6 +2104,7 @@ def oracle_sql():
         "prefix_search": SQL_PREFIX_SEARCH,
         "fuzzy_search": SQL_FUZZY_SEARCH,
         "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
+        "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED_TOPK,
         "redact_text": SQL_REDACT_TEXT,
         "corpus_split": SQL_CORPUS_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
