@@ -1990,6 +1990,88 @@ FROM c
 """
 
 
+DECONTAM_N = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 100 == 3 play the
+    held-out eval set; every doc reports how many of its distinct word
+    5-grams appear in that set (integer-exact md5 set intersection —
+    the GPT-3-style n-gram contamination filter). Both sides derive the
+    benchmark from the same predicate."""
+    docs = _docs(spark, sf_dir)
+    return DD.decontaminate(
+        docs, docs.where("doc_id % 100 = 3"), n=DECONTAM_N
+    )
+
+
+def _sql_decontaminate() -> str:
+    toks = D.tokens(D.DUCKDB, "text")
+    grams = D.shingles(D.DUCKDB, "toks", DECONTAM_N)
+    return f"""
+WITH tok_lists AS (SELECT doc_id, {toks} AS toks FROM documents),
+bench AS (SELECT DISTINCT md5(g) AS gmd5 FROM (
+  SELECT unnest({grams}) AS g FROM tok_lists WHERE doc_id % 100 = 3)),
+dg AS (SELECT DISTINCT doc_id, md5(g) AS gmd5 FROM (
+  SELECT doc_id, unnest({grams}) AS g FROM tok_lists)),
+hits AS (SELECT doc_id, count(*) AS c FROM dg JOIN bench USING (gmd5)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
+
+def q_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter scoring: an add-one-smoothed bigram LM trained
+    on the corpus itself scores every doc's mean negative log-prob.
+    Both engines fold each doc's log-prob terms in the SAME
+    deterministic order (sorted by gram, strict left fold) — the float
+    discipline every multi-element sum in this gate follows."""
+    from cs_search_engine_architecture_spark.operators import lm
+
+    return lm.xent_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("xent").cast("float").cast("double").alias("xent"),
+    )
+
+
+def _sql_lm_xent() -> str:
+    toks = D.tokens(D.DUCKDB, "text")
+    grams = D.shingles(D.DUCKDB, "toks", 2)
+    fold = D.reduce_double(
+        D.DUCKDB, "list(nlp ORDER BY g)", "(acc, v) -> acc + v"
+    )
+    return f"""
+WITH tok_lists AS (SELECT doc_id, {toks} AS toks FROM documents),
+vocab AS (SELECT count(DISTINCT t) AS v FROM
+          (SELECT unnest(toks) AS t FROM tok_lists)),
+dg AS (SELECT doc_id, g, count(*) AS tf FROM (
+  SELECT doc_id, unnest({grams}) AS g FROM tok_lists) GROUP BY doc_id, g),
+big AS (SELECT g, sum(tf) AS c2 FROM dg GROUP BY g),
+heads AS (SELECT split_part(g, ' ', 1) AS h, sum(c2) AS c1
+          FROM big GROUP BY h),
+j AS (SELECT dg.doc_id, dg.g, dg.tf,
+        -ln((coalesce(b.c2, 0) + 1.0)
+            / (coalesce(hd.c1, 0) + (SELECT v FROM vocab)))
+        * CAST(dg.tf AS DOUBLE) AS nlp
+      FROM dg LEFT JOIN big b USING (g)
+      LEFT JOIN heads hd ON hd.h = split_part(dg.g, ' ', 1)),
+per AS (SELECT doc_id, sum(tf) AS n, {fold} AS s FROM j GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(CAST(per.s / per.n AS REAL) AS DOUBLE) AS xent
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+SQL_LM_XENT = _sql_lm_xent()
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.split_assign(_docs(spark, sf_dir), seed="gate")
 
@@ -2054,6 +2136,8 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "lm_xent": q_lm_xent,
         "chunk_documents": q_chunk_documents,
         "hash_embeddings": q_hash_embeddings,
         "bpe_segment": q_bpe_segment,
@@ -2110,6 +2194,8 @@ def oracle_sql():
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "decontaminate": SQL_DECONTAMINATE,
+        "lm_xent": SQL_LM_XENT,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "hash_embeddings": SQL_HASH_EMBEDDINGS,
         "bpe_segment": SQL_BPE_SEGMENT,

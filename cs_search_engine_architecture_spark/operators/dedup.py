@@ -587,3 +587,63 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene pass
+    (GPT-3's 13-gram filter shape): flag every training doc whose word
+    n-gram SET overlaps the eval/benchmark set's n-grams.
+
+    Returns (doc_id, contaminated_ngrams, contaminated) for every doc:
+    the count of the doc's DISTINCT n-grams that appear anywhere in the
+    benchmark, and a boolean flag. Integer-exact (md5-keyed set
+    intersection — no float anywhere).
+
+    100 TB shape: the benchmark side (eval suites — tiny next to the
+    corpus) reduces to a DISTINCT md5 set and BROADCASTS; the corpus
+    side is a row-local shingle explode + per-doc distinct + broadcast
+    semi-join + count — one corpus-sized shuffle on (doc_id, gram),
+    never a corpus-vs-corpus join. Uses the same ``dialect.shingles``
+    fragment as the MinHash path, so a DuckDB oracle replays it
+    verbatim."""
+    grams = D.shingles(D.SPARK, "__toks", n)
+    bench_set = (
+        benchmark.select(
+            F.expr(D.tokens(D.SPARK, bench_text_col)).alias("__toks")
+        )
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .select(F.md5("g").alias("gmd5"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.select(
+            "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("__toks")
+        )
+        .select("doc_id", F.explode(F.expr(grams)).alias("g"))
+        .select("doc_id", F.md5("g").alias("gmd5"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_set), "gmd5")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("contaminated_ngrams"),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

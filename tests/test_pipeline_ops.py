@@ -860,3 +860,42 @@ def test_bpe_batched_matches_serial(spark):
         f"batching never accepted >1 merge/round ({rounds} rounds for "
         f"{len(serial)} merges)"
     )
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing an n-gram run with the benchmark get flagged (the
+    exact copy maximally); disjoint docs don't."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "intro words then the quick brown fox jumps over something"),
+            (3, "completely unrelated text about shuffle partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["contaminated"])
+        for r in DD.decontaminate(docs, bench, n=5).collect()
+    }
+    assert got[1][1] and got[2][1] and not got[3][1]
+    assert got[1][0] > got[2][0] > 0 and got[3][0] == 0
+
+
+def test_lm_xent_orders_quality(spark):
+    """The corpus-trained bigram LM scores formulaic (repeated-pattern)
+    docs lower than a doc full of corpus-unseen bigrams — the
+    perplexity-filter ordering."""
+    from cs_search_engine_architecture_spark.operators import lm
+
+    common = [(i, "the model trains on the data and the data flows")
+              for i in range(6)]
+    rare = [(100, "zxq wvut plok mnbv qazx edcr tgbv yhnm")]
+    docs = spark.createDataFrame(common + rare, "doc_id long, text string")
+    got = {r["doc_id"]: r["xent"] for r in lm.xent_scores(docs).collect()}
+    assert got[0] == got[1]  # identical docs score identically
+    assert got[100] > got[0] + 0.5, got  # novel bigrams ~ high xent
+    assert all(v > 0 for v in got.values())
