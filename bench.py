@@ -188,6 +188,16 @@ def main() -> None:
     dedup.embedding_dup_pairs_bucketed(emb, min_cosine=0.4).count()
     timings["dedup_embedding_lsh"] = round(time.time() - t0, 3)
 
+    # decontamination + perplexity-filter scoring over the fixture docs
+    from cs_search_engine_architecture_spark.operators import lm  # noqa: E402
+
+    t0 = time.time()
+    dedup.decontaminate(docs, docs.where("doc_id % 100 = 3"), n=5).count()
+    timings["decontaminate"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    lm.xent_scores(docs).count()
+    timings["lm_xent"] = round(time.time() - t0, 3)
+
     # BPE training: serial one-merge-per-round vs batched
     # non-overlapping merges (same merge list, fewer driver rounds)
     from cs_search_engine_architecture_spark.operators import bpe  # noqa: E402
