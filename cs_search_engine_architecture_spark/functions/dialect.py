@@ -209,15 +209,43 @@ def hyperplane_coef(dialect: str, plane: int, dim_var: str) -> str:
     )
 
 
+def hyperplane_coefs(plane: int, dims: int) -> list[int]:
+    """The (plane, dim) ±1 coefficient row, computed driver-side — the
+    exact integers the ``hyperplane_coef`` SQL fragment yields (md5 of
+    ``p{plane}_{d}`` for d = 1..dims, parity of the first hex char)."""
+    import hashlib
+
+    return [
+        (ord(hashlib.md5(f"p{plane}_{d}".encode()).hexdigest()[0]) % 2) * 2
+        - 1
+        for d in range(1, dims + 1)
+    ]
+
+
 def hyperplane_dot(dialect: str, emb: str, plane: int, dims: int) -> str:
-    """Σ_d emb[d] * coef(plane, d) in double precision."""
-    terms = transform(
-        dialect,
-        int_range(dialect, "1", str(dims)),
-        f"d -> CAST({element_at(dialect, emb, 'd')} AS DOUBLE) "
-        f"* {hyperplane_coef(dialect, plane, 'd')}",
+    """Σ_d emb[d] * coef(plane, d) in double precision, strict left
+    fold.
+
+    The coefficient row is row-INDEPENDENT, so it embeds as a literal
+    array instead of the inline-md5 form: the md5 sits inside a
+    higher-order-function lambda, which Catalyst cannot constant-fold —
+    a 16-plane × 64-dim bucketing evaluated 1024 md5(concat(...)) calls
+    PER ROW and pushed whole-stage codegen past the 64 KB method limit
+    (interpreted fallback). int ±1 × double products and the fold order
+    are unchanged, so results are bit-identical to the inline form (and
+    to the ``bucket_of`` python mirror)."""
+    lits = ", ".join(str(c) for c in hyperplane_coefs(plane, dims))
+    if _d(dialect):
+        prods = (
+            f"list_transform(list_zip({emb}, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])"
+        )
+        return reduce_double(dialect, prods, "(acc, x) -> acc + x")
+    return (
+        f"aggregate(zip_with({emb}, array({lits}), "
+        f"(x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x)"
     )
-    return reduce_double(dialect, terms, "(acc, x) -> acc + x")
 
 
 def lsh_bucket(
