@@ -850,6 +850,73 @@ class SearchEngine:
             bs=self.meta["bm25_bs"],
         )
 
+    def ltr_features_batch(
+        self, queries: dict[str, str], top: DataFrame | None = None
+    ) -> DataFrame:
+        """R1 feature frames for MANY queries in ONE job — the offline
+        LTR training-sweep shape (R6 at scale): the union of all
+        queries' leaf terms decodes from one shared pruned scan
+        (``multi_term_postings_full``), a broadcast (query_id, term,
+        idf, nq) map fans rows out to their queries, and feature
+        aggregation keys on (query_id, doc_id). Returns the ``ltr_
+        features`` columns prefixed by ``query_id``; ``top`` (optional
+        (query_id, doc_id) frame) restricts each query's rows."""
+        from cs_search_engine_architecture_spark.operators.decode import (
+            multi_term_postings_full,
+        )
+        from cs_search_engine_architecture_spark.operators.ltr import (
+            feature_frame,
+        )
+
+        nf = self.meta["num_fields"]
+        pairs: list[tuple[str, str]] = []
+        nq: dict[str, int] = {}
+        for qid, qstr in queries.items():
+            for t in self._leaf_terms(qstr):
+                pairs.append((qid, t))
+            nq[qid] = max(self._num_query_tokens(qstr), 1)
+        all_terms = sorted({t for _, t in pairs})
+        stats = {
+            r["term"]: r["idf"]
+            for r in self.term_stats()
+            .where(F.col("term").isin(all_terms))
+            .collect()
+        }
+        rows = [
+            (qid, t, float(stats[t]), float(nq[qid]))
+            for qid, t in pairs
+            if t in stats
+        ]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long"
+            )
+        qmap = self.spark.createDataFrame(
+            rows, "query_id string, term string, idf double, nq double"
+        )
+        matched = self._term_frame(
+            lambda b: multi_term_postings_full(
+                b, [t for t in all_terms if t in stats],
+                self.num_buckets, nf,
+            )
+        ).join(F.broadcast(qmap), "term")
+        if top is not None:
+            matched = matched.join(
+                F.broadcast(top.select("query_id", "doc_id")),
+                ["query_id", "doc_id"],
+                "left_semi",
+            )
+        return feature_frame(
+            matched,
+            num_query_terms=1,  # unused — nq_col supplies per-query counts
+            num_fields=nf,
+            avg_field_lengths=self.meta["avg_field_lengths"],
+            k=self.meta["bm25_k"],
+            bs=self.meta["bm25_bs"],
+            group_cols=("query_id", "doc_id"),
+            nq_col="nq",
+        )
+
     def doc_lens(self) -> DataFrame:
         """Cached per-doc field-length side table (see indexer). With
         in-place updates present, an updated doc has a base AND a delta

@@ -130,6 +130,72 @@ def term_postings_full(
     return filtered.mapInPandas(_decode_full_batches(num_fields), schema)
 
 
+def _decode_full_keep_term(num_fields: int):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = _decode_full_batches(num_fields)
+        for pdf in it:
+            terms = []
+            for row in pdf.itertuples(index=False):
+                n = len(varint_decode(row.doc_ids_bin))
+                terms.append(np.repeat(row.term, n))
+            for out in inner(iter([pdf])):
+                out.insert(
+                    0,
+                    "term",
+                    np.concatenate(terms)
+                    if terms
+                    else np.empty(0, dtype=object),
+                )
+                yield out
+
+    return fn
+
+
+def multi_term_postings_full(
+    blocks: DataFrame, terms: list[str], num_buckets: int, num_fields: int
+) -> DataFrame:
+    """Fully decoded ``(term, doc_id, score, field_freqs, field_lens,
+    positions)`` for ALL ``terms`` in ONE pruned scan — the batched LTR
+    feature path (offline training sweeps extract features for many
+    queries per job; a per-term scan each would re-pay the scan cost
+    len(terms) times). Same bucket+term pushdown as the single-term
+    path, amortized."""
+    if not terms:
+        raise ValueError("multi_term_postings_full needs at least one term")
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    cond = _reduce(
+        _or,
+        [
+            (
+                F.col("term_bucket")
+                == F.pmod(
+                    F.xxhash64(F.lit(t)), F.lit(num_buckets)
+                ).cast("int")
+            )
+            & (F.col("term") == t)
+            for t in terms
+        ],
+    ) if len(terms) <= 32 else (
+        F.col("term").isin(list(terms))
+    )
+    filtered = blocks.where(cond).select(
+        "term",
+        "doc_ids_bin",
+        "scores_bin",
+        "freqs_bin",
+        "lens_bin",
+        "pos_counts_bin",
+        "positions_bin",
+    )
+    schema = (
+        "term string, doc_id long, score double, field_freqs array<int>, "
+        "field_lens array<int>, positions array<int>"
+    )
+    return filtered.mapInPandas(_decode_full_keep_term(num_fields), schema)
+
+
 def term_postings(
     blocks: DataFrame,
     term: str,

@@ -62,6 +62,8 @@ def feature_frame(
     universe: DataFrame | None = None,
     doc_lens: DataFrame | None = None,
     weight_col: str | None = None,
+    group_cols: tuple[str, ...] = ("doc_id",),
+    nq_col: str | None = None,
 ) -> DataFrame:
     """``matched``: one row per (doc_id, term) with ``field_freqs``,
     ``field_lens``, ``positions``, ``idf``. Returns one row per doc_id
@@ -79,11 +81,23 @@ def feature_frame(
     first_pos is -1, and field lengths come from ``doc_lens`` (the
     ``indexer`` side table) — mirroring ``simulate_search_result``'s
     zero-token feature rows (``sea/engine.pyx:225-277``,
-    ``feature_mapping.pyx:28-53``)."""
+    ``feature_mapping.pyx:28-53``).
+
+    ``group_cols``/``nq_col`` generalize to the BATCHED multi-query
+    path (``engine.ltr_features_batch``): group by (query_id, doc_id)
+    with a per-row query-token-count column instead of the scalar.
+    ``universe``/``similarity`` extension is single-query-only."""
+    if group_cols != ("doc_id",) and (
+        universe is not None or similarity is not None
+    ):
+        raise ValueError(
+            "universe/similarity extension is single-query-only"
+        )
     bs = bs or [0.75] * num_fields
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     per_term = matched.select(
-        "doc_id",
+        *group_cols,
+        *([nq_col] if nq_col else []),
         *[
             (querytime_bm25_col(i, avg_field_lengths[i], k, bs[i]) * w).alias(
                 f"_bm25_{i}"
@@ -100,14 +114,17 @@ def feature_frame(
         w.alias("_w"),
     )
     nq = float(max(num_query_terms, 1))
-    agg = per_term.groupBy("doc_id").agg(
+    nq_expr = (
+        F.first(F.col(nq_col).cast("double")) if nq_col else F.lit(nq)
+    )
+    agg = per_term.groupBy(*group_cols).agg(
         *[F.sum(f"_bm25_{i}").alias(f"bm25_f{i}") for i in range(num_fields)],
         *[F.first(f"_len_{i}").alias(f"len_f{i}") for i in range(num_fields)],
-        (F.sum("_w") / F.lit(nq)).alias("_coverage"),
+        (F.sum("_w") / nq_expr).alias("_coverage"),
         F.min("_first_pos").alias("_first_pos_min"),
     )
     out = agg.select(
-        "doc_id",
+        *group_cols,
         *[F.col(f"bm25_f{i}") for i in range(num_fields)],
         *[F.col(f"len_f{i}").cast("double").alias(f"len_f{i}") for i in range(num_fields)],
         *[

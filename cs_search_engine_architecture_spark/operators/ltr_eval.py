@@ -138,43 +138,102 @@ def build_groups(
     scale). The BM25 baseline ordering is the summed query-time BM25
     feature (bm25_f*), identical information either ranker sees.
 
-    ONE Spark collect per query: features + labels + baseline come
-    back in a single frame (the searches and the pool union stay
-    lazy underneath ``ltr_features``'s broadcast semi-join)."""
+    FULLY BATCHED: the candidate pools for every query come from ONE
+    ``msearch`` job (both arms ride the shared scan / tagged fallback
+    plans), the feature frames from ONE ``ltr_features_batch`` job, and
+    the labels from ONE doc-bigram ∩ query-bigram join — a single
+    collect for the whole benchmark instead of ~2 Spark jobs per
+    query. This is the offline LTR training-sweep serving shape; the
+    per-query path (``ltr_features``) is bit-identical (pinned by
+    ``test_ltr_features_batch_matches_sequential``)."""
     nf = eng.meta["num_fields"]
     order = ltr.feature_order(nf)
-    groups = []
+    spark = docs.sparkSession
+
+    ms_queries: dict[str, str] = {}
+    feat_queries: dict[str, str] = {}
+    qgram_rows: list[tuple[str, str]] = []
+    src_of: dict[str, int] = {}
     for src_doc, terms in queries:
-        qstr = " OR ".join(terms)
-        phrase_q = " OR ".join(
+        qid = f"q{src_doc}"
+        src_of[qid] = src_doc
+        feat_queries[qid] = " OR ".join(terms)
+        ms_queries[qid + "#or"] = feat_queries[qid]
+        ms_queries[qid + "#ph"] = " OR ".join(
             f'"{a} {b}"' for a, b in zip(terms, terms[1:])
         )
-        pool = (
-            eng.search(qstr, top_k=retrieve_k)
-            .select("doc_id")
-            .unionByName(
-                eng.search(phrase_q, top_k=retrieve_k).select("doc_id")
-            )
-            .distinct()
+        qgram_rows += [
+            (qid, f"{a} {b}") for a, b in zip(terms, terms[1:])
+        ]
+    if not ms_queries:
+        return []
+
+    pool = (
+        eng.msearch(ms_queries, top_k=retrieve_k)
+        .select(
+            F.regexp_replace("query_id", "#(or|ph)$", "").alias("query_id"),
+            "doc_id",
         )
-        feats = eng.ltr_features(qstr, top=pool)
-        labeled = docs.select(
+        .distinct()
+    )
+    feats = eng.ltr_features_batch(feat_queries, top=pool)
+
+    qg = spark.createDataFrame(qgram_rows, "query_id string, g string")
+    n_qgrams = {q: 0 for q in feat_queries}
+    for q, _ in qgram_rows:
+        n_qgrams[q] += 1
+    nq_df = spark.createDataFrame(
+        [(q, float(n)) for q, n in n_qgrams.items()],
+        "query_id string, n_qgrams double",
+    )
+    doc_grams = (
+        docs.select(
             "doc_id",
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
                 "__toks"
             ),
-        ).select("doc_id", rel_col(terms).alias("rel"))
-        rows = (
-            feats.join(labeled, "doc_id").orderBy("doc_id").collect()
         )
-        if len(rows) < 2:
+        .select("doc_id", F.explode(F.expr(_DOC_BIGRAMS)).alias("g"))
+        .distinct()
+    )
+    labeled = (
+        doc_grams.join(F.broadcast(qg), "g")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .join(F.broadcast(nq_df), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(3.0) * F.col("hits") / F.col("n_qgrams")).alias(
+                "rel"
+            ),
+        )
+    )
+    rows = (
+        feats.join(labeled, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0.0)))
+        .orderBy("query_id", "doc_id")
+        .collect()
+    )
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    groups = []
+    for qid, qrows in by_q.items():
+        if len(qrows) < 2:
             continue
         x = np.array(
-            [[float(r[c]) for c in order] for r in rows], dtype=np.float64
+            [[float(r[c]) for c in order] for r in qrows], dtype=np.float64
         )
-        y = np.array([float(r["rel"]) for r in rows], dtype=np.float64)
-        bm25 = x[:, 0:nf].sum(axis=1)
-        groups.append({"src_doc": src_doc, "x": x, "y": y, "bm25": bm25})
+        y = np.array([float(r["rel"]) for r in qrows], dtype=np.float64)
+        groups.append(
+            {
+                "src_doc": src_of[qid],
+                "x": x,
+                "y": y,
+                "bm25": x[:, 0:nf].sum(axis=1),
+            }
+        )
     return groups
 
 

@@ -267,3 +267,24 @@ def test_derived_label_eval_trained_beats_bm25(spark):
     tr = res["train"]
     assert tr["ndcg10_ltr"] > tr["ndcg10_bm25"] + 0.2, tr
     assert tr["ndcg10_ltr"] > 0.5, tr
+
+
+def test_ltr_features_batch_matches_sequential(spark):
+    """One shared-scan job for N queries == the per-query feature frames
+    exactly (same arithmetic, same rows; only the execution batches)."""
+    from cs_search_engine_architecture_spark import gate
+
+    eng = gate.gate_engine(spark, "/root/testdata/sf0.001")
+    queries = {"a": "spark or data", "b": "table and row", "c": "spark"}
+    cols = ltr.feature_order(eng.meta["num_fields"])
+    batch = {}
+    for r in eng.ltr_features_batch(queries).collect():
+        batch.setdefault(r["query_id"], {})[r["doc_id"]] = tuple(
+            r[c] for c in cols
+        )
+    for qid, q in queries.items():
+        seq = {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in eng.ltr_features(q).collect()
+        }
+        assert batch.get(qid, {}) == seq, qid
