@@ -1070,6 +1070,69 @@ FROM feat GROUP BY doc_id
 """
 
 
+# batched-features gate: ≤2 distinct terms per query keeps the double
+# sums order-insensitive (the gate-wide convention); nq counts operator
+# words per the reference's query-mode coverage quirk
+LTRB_QUERIES = {
+    "qa": ("spark or data", ["spark", "data"], 3),
+    "qb": ("table", ["table"], 1),
+}
+
+
+def q_ltr_features_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched R1 features: BOTH queries' feature frames from one
+    shared pruned scan + broadcast query map (the offline LTR
+    training-sweep shape) — values must equal the per-query path's,
+    which the oracle replays per query and unions."""
+    eng = gate_engine(spark, sf_dir)
+    feats = eng.ltr_features_batch(
+        {qid: q for qid, (q, _, _) in LTRB_QUERIES.items()}
+    )
+    return feats.select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_f0").cast("float").cast("double").alias("bm25"),
+        F.col("len_f0").alias("dl"),
+        F.col("coverage_f0").alias("coverage"),
+    )
+
+
+def _sql_ltr_features_batch() -> str:
+    parts = []
+    for qid, (_, terms, nq) in LTRB_QUERIES.items():
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""
+SELECT '{qid}' AS query_id, doc_id,
+  CAST(CAST(SUM(bm25_term) AS REAL) AS DOUBLE) AS bm25,
+  CAST(MIN(dl) AS DOUBLE) AS dl,
+  CAST(SUM(1) AS DOUBLE) / {nq}.0 AS coverage
+FROM (
+  SELECT t.doc_id,
+    ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.5
+      / (t.tf + 1.5 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM avgdl)))
+      AS bm25_term,
+    dl.dl AS dl
+  FROM (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ({tlist}) GROUP BY doc_id, term) t
+  JOIN dl USING (doc_id)
+  JOIN (SELECT term, count(*) AS df FROM per
+        WHERE term IN ({tlist}) GROUP BY term) d ON d.term = t.term
+) GROUP BY doc_id""")
+    return (
+        f"""WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+per AS (SELECT DISTINCT doc_id, term FROM toks)
+"""
+        + " UNION ALL ".join(parts)
+    )
+
+
+SQL_LTR_FEATURES_BATCH = _sql_ltr_features_batch()
+
+
 def q_bm25_two_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-field index-time BM25 (the reference's B6 quirk formula with
     title/body boosts 1.0/0.5 and the non-standard ``1 + b + (1-b)*l/avg``
@@ -2121,6 +2184,7 @@ def queries():
         "hybrid_ltr": q_hybrid_ltr,
         "exact_ltr": q_exact_ltr,
         "ltr_features": q_ltr_features,
+        "ltr_features_batch": q_ltr_features_batch,
         "search_snippets": q_search_snippets,
         "msearch_topk": q_msearch_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -2179,6 +2243,7 @@ def oracle_sql():
         "hybrid_ltr": SQL_HYBRID_LTR,
         "exact_ltr": SQL_EXACT_LTR,
         "ltr_features": SQL_LTR_FEATURES,
+        "ltr_features_batch": SQL_LTR_FEATURES_BATCH,
         "search_snippets": SQL_SEARCH_SNIPPETS,
         "msearch_topk": SQL_MSEARCH_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
