@@ -144,6 +144,19 @@ def main() -> None:
     eng.msearch(batch16, top_k=10).collect()
     timings["q_msearch_batch16"] = round(time.time() - t0, 3)
 
+    # batched pure-phrase serving: 8 phrase queries from ONE shared
+    # positional scan (was: per-query compiled fallback plans)
+    phrases8 = {
+        f"p{i}": q
+        for i, q in enumerate([
+            '"window order"', '"hash join"', '"table scan"', '"sort merge"',
+            '"key value"', '"batch stream"', '"row column"', '"data flow"',
+        ])
+    }
+    t0 = time.time()
+    eng.msearch(phrases8, top_k=10).collect()
+    timings["q_msearch_phrase8"] = round(time.time() - t0, 3)
+
     # -- 3. training-pipeline ops over the documents + embeddings fixtures
     from cs_search_engine_architecture_spark.operators import (  # noqa: E402
         dedup,

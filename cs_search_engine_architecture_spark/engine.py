@@ -423,10 +423,11 @@ class SearchEngine:
 
         analyzer = self.meta.get("analyzer", "reference")
         batchable: list[tuple[str, str, list[str]]] = []
+        phrases: list[tuple[str, list[str]]] = []
         fallback: list[DataFrame] = []
         for qid, qstr in queries.items():
             ast = parse_query(qstr, analyzer=analyzer)
-            # the shared-scan batcher sums a doc's postings across base
+            # the shared-scan batchers sum a doc's postings across base
             # and delta blocks, which double-scores in-place-updated
             # docs — with updates pending, serve every query through
             # the update-aware compiled path (compact/merge restores
@@ -434,7 +435,9 @@ class SearchEngine:
             plan = (
                 None if self.updated_ids is not None else ms.classify_query(ast)
             )
-            if plan is not None:
+            if plan is not None and plan[0] == "phrase":
+                phrases.append((qid, plan[1]))
+            elif plan is not None:
                 batchable.append((qid, plan[0], plan[1]))
             else:
                 fallback.append(
@@ -450,6 +453,13 @@ class SearchEngine:
             parts.append(
                 ms.batched_topk(
                     self.spark, self.blocks, self.num_buckets, batchable,
+                    top_k, exclude=self.tombstones,
+                )
+            )
+        if phrases:
+            parts.append(
+                ms.phrase_batched_topk(
+                    self.spark, self.blocks, self.num_buckets, phrases,
                     top_k, exclude=self.tombstones,
                 )
             )

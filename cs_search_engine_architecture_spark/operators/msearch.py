@@ -22,9 +22,12 @@ queries) and answers every batchable query from a SINGLE pass:
 Scoring is exactly the compiler's join algebra (``plans/compiler.py``):
 OR = coalesced sum over matched terms, AND = inner-join sum gated on
 *all* distinct terms matching, repeated terms double-count via the
-``weight`` column. Queries the join form can't express (phrases, NOT,
-mixed precedence) fall back to their individual compiled plans, tagged
-with the query_id and unioned in — still one Spark job.
+``weight`` column. Pure PHRASES batch too (``phrase_batched_topk``):
+one shared positional scan, slot-tagged rows grouped per (query, doc),
+the consecutive-slot char-window conjunction, and a slot-ordered left
+fold reproducing the compiled chain's scores bit-for-bit. Only NOT and
+mixed-precedence queries fall back to their individual compiled plans,
+tagged with the query_id and unioned in — still one Spark job.
 
 At 100 TB the win is structural: the postings scan is shared across the
 whole batch (a hot term referenced by 500 queries is read and decoded
@@ -126,6 +129,146 @@ def multi_term_postings(
     return filtered.mapInPandas(_decode_keep_term, _DECODE_SCHEMA)
 
 
+_DECODE_POS_SCHEMA = (
+    "term string, doc_id long, score double, positions array<int>"
+)
+
+
+def _decode_keep_term_pos(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cs_search_engine_architecture_spark.operators.compression import (
+        grouped_delta_decode,
+    )
+
+    for pdf in it:
+        terms: list[np.ndarray] = []
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        pos: list[list] = []
+        for row in pdf.itertuples(index=False):
+            d = np.cumsum(varint_decode(row.doc_ids_bin), dtype=np.uint64)
+            docs.append(d.astype(np.int64))
+            scores.append(decode_scores(row.scores_bin))
+            terms.append(np.repeat(row.term, len(d)))
+            counts = varint_decode(row.pos_counts_bin).astype(np.int64)
+            flat = grouped_delta_decode(
+                varint_decode(row.positions_bin), counts
+            ).astype(np.int32)
+            pos.extend(
+                arr.tolist() for arr in np.split(flat, np.cumsum(counts)[:-1])
+            )
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms) if terms else np.empty(0, object),
+                "doc_id": (
+                    np.concatenate(docs) if docs else np.empty(0, np.int64)
+                ),
+                "score": (
+                    np.concatenate(scores).astype(np.float64)
+                    if scores
+                    else np.empty(0, np.float64)
+                ),
+                "positions": pd.Series(pos, dtype="object"),
+            }
+        )
+
+
+def multi_term_postings_pos(
+    blocks: DataFrame, terms: list[str], num_buckets: int
+) -> DataFrame:
+    """``multi_term_postings`` with char positions — the batched-phrase
+    scan (same pushdown, plus the position columns)."""
+    if not terms:
+        raise ValueError("multi_term_postings_pos needs at least one term")
+    cond = reduce(
+        or_,
+        [
+            (
+                F.col("term_bucket")
+                == F.pmod(
+                    F.xxhash64(F.lit(t)), F.lit(num_buckets)
+                ).cast("int")
+            )
+            & (F.col("term") == t)
+            for t in terms
+        ],
+    ) if len(terms) <= 32 else F.col("term").isin(list(terms))
+    filtered = blocks.where(cond).select(
+        "term", "doc_ids_bin", "scores_bin", "pos_counts_bin", "positions_bin"
+    )
+    return filtered.mapInPandas(_decode_keep_term_pos, _DECODE_POS_SCHEMA)
+
+
+def phrase_batched_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    num_buckets: int,
+    plans: list[tuple[str, list[str]]],
+    top_k: int,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Answer every pure-phrase ``(query_id, values)`` plan from one
+    shared positional scan — phrases no longer force per-query compiled
+    fallback plans in ``engine.msearch``.
+
+    Per (query_id, doc_id) the slot-tagged postings collect into a
+    slot-sorted array; a doc matches when every slot is present AND
+    every CONSECUTIVE slot pair satisfies the reference's char-window
+    predicate ∃(p,q): 0 ≤ q−p ≤ 10 — exactly the compiled chain's
+    semantics (each join step checks the next term's positions against
+    the PREVIOUS term's full position list, so the chain is precisely
+    the conjunction of pairwise-consecutive window tests). The score is
+    a slot-ordered strict LEFT FOLD of the term scores, bit-identical
+    to the compiled chain's ((s1+s2)+s3)… addition order."""
+    from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
+
+    rows = []
+    for query_id, values in plans:
+        for slot, term in enumerate(values):
+            rows.append((query_id, slot, term))
+    qmap = spark.createDataFrame(
+        rows, "query_id string, slot int, term string"
+    )
+    nmap = spark.createDataFrame(
+        [(qid, len(values)) for qid, values in plans],
+        "query_id string, k int",
+    )
+    all_terms = sorted({t for _, _, t in rows})
+    postings = multi_term_postings_pos(blocks, all_terms, num_buckets)
+    agg = (
+        postings.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("slot", "score", "positions"))
+            ).alias("sl")
+        )
+        .join(F.broadcast(nmap), "query_id")
+        .where(F.size("sl") == F.col("k"))
+    )
+    chain_ok = F.expr(
+        "CASE WHEN size(sl) < 2 THEN true ELSE "
+        "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc AND "
+        "exists(element_at(sl, CAST(i + 1 AS INT)).positions, q -> "
+        "exists(element_at(sl, CAST(i AS INT)).positions, p -> "
+        f"q - p >= 0 AND q - p <= {PHRASE_K}))) END"
+    )
+    score = F.expr(
+        "aggregate(transform(sl, x -> x.score), CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    hits = agg.where(chain_ok).select(
+        "query_id", "doc_id", score.alias("score")
+    )
+    if exclude is not None:
+        hits = hits.join(F.broadcast(exclude), "doc_id", "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def _flat_terms(ast, op: str) -> list[str] | None:
     """Leaf terms if ``ast`` is a pure tree of ``op`` over tokens
     (mirrors ``SearchEngine._flat_op_terms``); None otherwise."""
@@ -145,11 +288,15 @@ def _flat_terms(ast, op: str) -> list[str] | None:
 
 
 def classify_query(ast) -> tuple[str, list[str]] | None:
-    """(mode, terms) when the query is join-batchable, else None."""
+    """(mode, terms) when the query is batchable: "or"/"and" for the
+    join form, "phrase" for a pure phrase (``phrase_batched_topk``);
+    None for NOT / mixed precedence (compiled-plan fallback)."""
     if ast is None:
         return None
     if ast["type"] == "token":
         return ("or", [ast["value"]])
+    if ast["type"] == "phrase":
+        return ("phrase", list(ast["values"]))
     for mode in ("or", "and"):
         terms = _flat_terms(ast, mode)
         if terms:

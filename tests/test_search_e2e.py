@@ -93,6 +93,9 @@ def test_msearch_matches_per_query(eng_oracle):
         "q_missing_or": "spark or nonexistentterm",
         "q_missing_and": "spark and nonexistentterm",
         "q_phrase": '"hash join"',
+        # 3-term phrase pins the batched path's slot-ordered left-fold
+        # score ((s1+s2)+s3) against the compiled chain bit-for-bit
+        "q_phrase3": '"delta gap varint"',
         "q_not": "join and not merge",
         "q_prec": "spark or planner and shuffle",
     }
