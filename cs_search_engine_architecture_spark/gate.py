@@ -200,6 +200,71 @@ WHERE o.p - w.p BETWEEN 0 AND 10
 """
 
 
+# batched-phrase gate: two 2-term phrases (order-insensitive sums)
+MSP_PHRASES = {"pa": ("window", "order"), "pb": ("table", "scan")}
+
+
+def q_msearch_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched pure-phrase serving: both phrases answered from ONE
+    shared positional scan (``msearch`` routes them to
+    ``phrase_batched_topk``); scores are the compiled chain's term-score
+    sums for docs passing the char-window predicate."""
+    eng = gate_engine(spark, sf_dir)
+    return eng.msearch(
+        {qid: f'"{a} {b}"' for qid, (a, b) in MSP_PHRASES.items()},
+        top_k=10,
+    ).select(
+        "query_id",
+        "doc_id",
+        F.col("score").cast("float").cast("double").alias("score"),
+    )
+
+
+def _sql_msearch_phrase() -> str:
+    score_expr = (
+        "CAST(ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))"
+        " * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl /"
+        " (SELECT avgdl FROM avgdl))) * 2.5)"
+        " / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl /"
+        " (SELECT avgdl FROM avgdl))) + 1.5) AS REAL)"
+    )
+    ctes = [
+        f"toks AS ({TOKS_CTE})",
+        "n AS (SELECT count(*) AS n FROM documents)",
+        "avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks)",
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)",
+    ]
+    branches = []
+    for qid, (t1, t2) in MSP_PHRASES.items():
+        ctes.append(_pos_cte(f"{qid}_1", t1).strip().rstrip())
+        ctes.append(_pos_cte(f"{qid}_2", t2).strip().rstrip())
+        ctes.append(f"""
+{qid}_m AS (SELECT DISTINCT a.doc_id FROM {qid}_1 a
+            JOIN {qid}_2 b ON a.doc_id = b.doc_id
+            WHERE b.p - a.p BETWEEN 0 AND 10)""")
+        ctes.append(f"""
+{qid}_tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term)""")
+        ctes.append(
+            f"{qid}_df AS (SELECT term, count(*) AS df FROM {qid}_tf "
+            "GROUP BY term)"
+        )
+        ctes.append(f"""
+{qid}_sc AS (SELECT t.doc_id, {score_expr} AS score
+             FROM {qid}_tf t JOIN dl USING (doc_id)
+             JOIN {qid}_df d ON d.term = t.term
+             WHERE t.doc_id IN (SELECT doc_id FROM {qid}_m))""")
+        branches.append(f"""
+(SELECT '{qid}' AS query_id, doc_id,
+   CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+ FROM {qid}_sc GROUP BY doc_id
+ ORDER BY score DESC, doc_id ASC LIMIT 10)""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+
+
+SQL_MSEARCH_PHRASE = _sql_msearch_phrase()
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -2187,6 +2252,7 @@ def queries():
         "ltr_features_batch": q_ltr_features_batch,
         "search_snippets": q_search_snippets,
         "msearch_topk": q_msearch_topk,
+        "msearch_phrase": q_msearch_phrase,
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
         "search_after_add": q_search_after_add,
@@ -2246,6 +2312,7 @@ def oracle_sql():
         "ltr_features_batch": SQL_LTR_FEATURES_BATCH,
         "search_snippets": SQL_SEARCH_SNIPPETS,
         "msearch_topk": SQL_MSEARCH_TOPK,
+        "msearch_phrase": SQL_MSEARCH_PHRASE,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
         "search_after_add": SQL_SEARCH_AFTER_ADD,
