@@ -899,3 +899,60 @@ def test_lm_xent_orders_quality(spark):
     assert got[0] == got[1]  # identical docs score identically
     assert got[100] > got[0] + 0.5, got  # novel bigrams ~ high xent
     assert all(v > 0 for v in got.values())
+
+
+def test_bmp_wav_codecs_roundtrip():
+    """The BMP/WAV codecs are REAL: encode -> decode is the identity on
+    pixels/samples (format headers verified by construction)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(px)), px)
+    s = rng.integers(-3000, 3000, size=501).astype(np.int16)
+    sr, ch, got = MM.decode_wav(MM.encode_wav(s, 8000))
+    assert (sr, ch) == (8000, 1) and np.array_equal(got, s)
+
+
+def test_real_media_features_and_resize(spark):
+    """End to end on genuine format bytes: synth blob table -> real
+    pixel/sample feature extraction -> real nearest-neighbor resize
+    whose outputs are themselves valid BMPs of the target size."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"media doc {i} with text {'x' * (i % 13)}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    blobs = MM.synth_blob_table(docs).localCheckpoint()
+
+    imgs = {r["doc_id"]: r for r in MM.image_features(blobs).collect()}
+    assert set(imgs) == {i for i in range(12) if i % 2 == 0}
+    for r in imgs.values():
+        assert r["width"] >= 8 and r["height"] >= 6
+        assert 0.0 <= r["mean_r"] <= 255.0 and r["luma_std"] > 0
+
+    # hand-check one image against a driver-side decode
+    row = blobs.where("doc_id = 0").collect()[0]
+    px = MM.decode_bmp(bytes(row["payload"]))
+    assert imgs[0]["mean_g"] == float(px[:, :, 1].astype(np.float64).mean())
+
+    auds = {r["doc_id"]: r for r in MM.audio_features(blobs).collect()}
+    assert set(auds) == {i for i in range(12) if i % 2 == 1}
+    for r in auds.values():
+        assert r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["duration_s"] == r["n_samples"] / 8000.0
+        assert r["rms"] > 0 and r["peak"] <= 2000
+
+    rs = {r["doc_id"]: r for r in
+          MM.resize_bmp_images(blobs, 4, 3).collect()}
+    for i, r in rs.items():
+        out = MM.decode_bmp(bytes(r["payload"]))
+        assert out.shape == (3, 4, 3)
+        src = MM.decode_bmp(
+            bytes(blobs.where(f"doc_id = {i}").collect()[0]["payload"])
+        )
+        h, w, _ = src.shape  # nearest-neighbor: every pixel from source
+        yi = (np.arange(3) * h // 3).clip(0, h - 1)
+        xi = (np.arange(4) * w // 4).clip(0, w - 1)
+        assert np.array_equal(out, src[yi][:, xi])
