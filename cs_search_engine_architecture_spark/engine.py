@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cs_search_engine_architecture_spark.operators import indexer
 from cs_search_engine_architecture_spark.plans.compiler import QueryCompiler
@@ -98,14 +99,19 @@ class SearchEngine:
         masked = self._mask(self.compiler.compile(ast))
         if self.updated_ids is None:
             return masked
+        return masked.unionByName(self._update_arm(ast))
+
+    def _update_arm(self, ast) -> DataFrame:
+        """The delta-only resurrection arm: compile ``ast`` over delta
+        blocks alone (an updated doc's complete current postings live
+        there) and keep only in-place-updated docs."""
         if not hasattr(self, "_upd_compiler"):
             self._upd_compiler = QueryCompiler(
                 self.spark, self._delta_blocks_df(), self.num_buckets
             )
-        arm = self._upd_compiler.compile(ast).join(
+        return self._upd_compiler.compile(ast).join(
             F.broadcast(self.updated_ids), "doc_id", "left_semi"
         )
-        return masked.unionByName(arm)
 
     def _term_frame(self, build) -> DataFrame:
         """Update-aware per-term postings frame: ``build(blocks)`` runs
@@ -140,51 +146,56 @@ class SearchEngine:
         if ltr_enabled:
             return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
         ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
-        # In-place updates route through the compiled join path with the
-        # delta resurrection arm (see _scored) — the fast paths' packed
-        # blocks can't drop one version of a doc. Update-free indexes
-        # (the steady state; compact/merge resets) never reach this.
-        if self.updated_ids is not None:
-            self.last_strategy = "join_masked_update_arm"
-            return (
-                self._scored(ast)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(top_k)
-            )
+        upd = self.updated_ids is not None
         # Tombstones + fast paths: deleting T docs can promote at most T
         # docs into the top-k, so the top-(k+T) of the UNMASKED ranking
         # contains the masked top-k — fast paths over-fetch by T, then
-        # mask and re-limit (exact). A pathological tombstone count
-        # (> _TOMB_FASTPATH_CAP) falls back to the masked join path;
-        # compact_index resets T to 0.
+        # mask and re-limit (exact). With in-place updates, a fast path
+        # additionally (a) over-fetches by U more — an updated doc's TWO
+        # live versions can occupy two posting rows, both masked — and
+        # (b) unions the delta-only resurrection arm before re-limiting
+        # (the arm's scores are exact; see _update_arm). A pathological
+        # mask count (> _TOMB_FASTPATH_CAP) falls back to the masked
+        # join path; compact_index resets both counts to 0.
         k_fetch = top_k
         if self.tombstones is not None:
             t_count = self._num_tombstones()
-            if t_count > self._TOMB_FASTPATH_CAP:
-                self.last_strategy = "join_masked"
+            u_count = self._num_updated() if upd else 0
+            if t_count + u_count > self._TOMB_FASTPATH_CAP:
+                self.last_strategy = (
+                    "join_masked_update_arm" if upd else "join_masked"
+                )
                 return (
-                    self._mask(self.compiler.compile(ast))
+                    self._scored(ast)
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(top_k)
                 )
-            k_fetch = top_k + t_count
+            k_fetch = top_k + t_count + u_count
 
         def _finish(raw: DataFrame) -> DataFrame:
             if self.tombstones is None:
                 return raw
+            out = self._mask(raw)
+            if upd:
+                out = out.unionByName(self._update_arm(ast))
             return (
-                self._mask(raw)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(top_k)
+                out.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
             )
 
         if ast and ast["type"] == "token":
-            self.last_strategy = "single_term_blockmax"
+            self.last_strategy = (
+                "single_term_blockmax+update_arm" if upd
+                else "single_term_blockmax"
+            )
             return _finish(self._topk_single_term(ast["value"], k_fetch))
         # WAND pays 2 extra driver round-trips; below ~1M postings the
         # join path's single job is cheaper (same scale gate as the
         # single-term block-max path — at cluster scale WAND always wins).
-        if self.meta.get("num_postings", 0) >= 1_000_000:
+        # WAND stays OFF while updates are pending: its kernel's coverage
+        # bounds assume one term's blocks are doc-disjoint, which two
+        # live versions of a doc violate — the join path (with arm) is
+        # exact; merge/compact restores WAND routing.
+        if not upd and self.meta.get("num_postings", 0) >= 1_000_000:
             from cs_search_engine_architecture_spark.operators import wand
 
             span = self.meta.get("wand_shard_span")
@@ -227,9 +238,9 @@ class SearchEngine:
                         self.spark, self.blocks, self.num_buckets, flat_and,
                         k_fetch,
                     ))
-        self.last_strategy = "join"
+        self.last_strategy = "join_masked_update_arm" if upd else "join"
         return (
-            self._mask(self.compiler.compile(ast))
+            self._scored(ast)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(top_k)
         )
@@ -248,6 +259,13 @@ class SearchEngine:
                 0 if self.tombstones is None else self.tombstones.count()
             )
         return self._tomb_count
+
+    def _num_updated(self) -> int:
+        if not hasattr(self, "_upd_count"):
+            self._upd_count = (
+                0 if self.updated_ids is None else self.updated_ids.count()
+            )
+        return self._upd_count
 
     def _wand_sharded(self) -> DataFrame:
         """Cached shard-partitioned blocks frame (one exchange at first
@@ -427,14 +445,7 @@ class SearchEngine:
         fallback: list[DataFrame] = []
         for qid, qstr in queries.items():
             ast = parse_query(qstr, analyzer=analyzer)
-            # the shared-scan batchers sum a doc's postings across base
-            # and delta blocks, which double-scores in-place-updated
-            # docs — with updates pending, serve every query through
-            # the update-aware compiled path (compact/merge restores
-            # batching)
-            plan = (
-                None if self.updated_ids is not None else ms.classify_query(ast)
-            )
+            plan = ms.classify_query(ast)
             if plan is not None and plan[0] == "phrase":
                 phrases.append((qid, plan[1]))
             elif plan is not None:
@@ -448,21 +459,44 @@ class SearchEngine:
                         F.lit(qid).alias("query_id"), "doc_id", "score"
                     )
                 )
+        # With in-place updates pending, the shared-scan batchers run
+        # over the unified blocks with the FULL tombstone mask (an
+        # updated doc would double-score across base+delta, so the mask
+        # kills both versions pre-limit — exact, no over-fetch needed
+        # since batched_topk masks BEFORE its per-query window cut) and
+        # a delta-only batched arm resurrects the updated docs' current
+        # versions; the union re-ranks per query. Update-free indexes
+        # take the single-frame path unchanged.
+        upd = self.updated_ids is not None
+
+        def _batch(blocks: DataFrame, fn, plans, exclude) -> DataFrame:
+            return fn(
+                self.spark, blocks, self.num_buckets, plans, top_k,
+                exclude=exclude,
+            )
+
+        def _serve(fn, plans) -> DataFrame:
+            main = _batch(self.blocks, fn, plans, self.tombstones)
+            if not upd:
+                return main
+            arm = _batch(
+                self._delta_blocks_df(), fn, plans, self._dead_ids()
+            ).join(F.broadcast(self.updated_ids), "doc_id", "left_semi")
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                main.unionByName(arm)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= top_k)
+                .select("query_id", "doc_id", "score")
+            )
+
         parts: list[DataFrame] = []
         if batchable:
-            parts.append(
-                ms.batched_topk(
-                    self.spark, self.blocks, self.num_buckets, batchable,
-                    top_k, exclude=self.tombstones,
-                )
-            )
+            parts.append(_serve(ms.batched_topk, batchable))
         if phrases:
-            parts.append(
-                ms.phrase_batched_topk(
-                    self.spark, self.blocks, self.num_buckets, phrases,
-                    top_k, exclude=self.tombstones,
-                )
-            )
+            parts.append(_serve(ms.phrase_batched_topk, phrases))
         parts.extend(fallback)
         if not parts:
             return self.spark.createDataFrame(
@@ -550,11 +584,26 @@ class SearchEngine:
                 id_col,
                 "left_anti",
             )
+        delta: DataFrame | None = None
         for d in indexer._delta_dirs(self.index_path):
-            corpus = corpus.unionByName(
-                self.spark.read.parquet(os.path.join(d, "corpus")),
-                allowMissingColumns=True,
+            part = self.spark.read.parquet(os.path.join(d, "corpus"))
+            delta = part if delta is None else delta.unionByName(
+                part, allowMissingColumns=True
             )
+        if delta is not None:
+            # per-arm tombstone scoping (mirrors compact_index): a doc
+            # ADDED via add_docs and later deleted is tombstoned too —
+            # only DEAD ids (tombstones minus updated) mask the delta
+            # rows, so updated docs' new versions survive while
+            # added-then-deleted docs stay gone.
+            dead = self._dead_ids()
+            if dead is not None:
+                delta = delta.join(
+                    F.broadcast(dead.withColumnRenamed("doc_id", id_col)),
+                    id_col,
+                    "left_anti",
+                )
+            corpus = corpus.unionByName(delta, allowMissingColumns=True)
         return corpus
 
     @staticmethod
@@ -636,13 +685,19 @@ class SearchEngine:
             exclude=self.tombstones,
         ).select("doc_id", "score")
         if self.updated_ids is not None:
-            # resurrection arm for in-place-updated docs (see _scored)
+            # resurrection arm for in-place-updated docs (see _scored).
+            # exclude DEAD ids here: a delta doc that was added then
+            # deleted would otherwise rank inside the arm's top_k cut
+            # and evict an updated doc that belongs in the global top-k
+            # (alive added docs are harmless — they rank identically in
+            # the main arm — but tombstoned delta docs are not).
             arm = ms.batched_topk(
                 self.spark,
                 self._delta_blocks_df(),
                 self.num_buckets,
                 [("q", "or", terms)],
                 top_k,
+                exclude=self._dead_ids(),
             ).select("doc_id", "score").join(
                 F.broadcast(self.updated_ids), "doc_id", "left_semi"
             )

@@ -1144,7 +1144,15 @@ def load_delta_doc_lens(
 def delete_docs(spark: SparkSession, index_path: str, doc_ids) -> int:
     """Tombstone ``doc_ids`` (iterable of ints or a 1-column DataFrame).
     Append-only and idempotent at read time (readers dedupe); returns
-    the number of ids written."""
+    the number of ids written.
+
+    Deleting an in-place-UPDATED doc additionally retires its id from
+    ``updated_ids`` — its tombstone (written at update time) must become
+    a genuine delete, or the serving arm would keep resurrecting the
+    delta version. The rewrite collects the list (bounded: in-place
+    updates between compactions are capped at fast-path scale by
+    design) and fails CLOSED on a crash (a torn updated_ids masks docs,
+    never double-serves)."""
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
     else:
@@ -1154,6 +1162,21 @@ def delete_docs(spark: SparkSession, index_path: str, doc_ids) -> int:
     df.coalesce(1).write.mode("append").parquet(
         os.path.join(index_path, "tombstones")
     )
+    upd = load_updated_ids(spark, index_path)
+    if upd is not None and upd.join(df, "doc_id", "inner").limit(1).count():
+        remaining = [
+            (r["doc_id"],)
+            for r in upd.join(df, "doc_id", "left_anti").collect()
+        ]
+        upd_path = os.path.join(index_path, "updated_ids")
+        import shutil
+
+        if remaining:
+            spark.createDataFrame(remaining, "doc_id long").coalesce(
+                1
+            ).write.mode("overwrite").parquet(upd_path)
+        else:
+            shutil.rmtree(upd_path)
     return n
 
 
@@ -1177,6 +1200,7 @@ def compact_index(
     the semantic difference from the tombstone mask, which keeps stale
     stats). ``corpus`` defaults to re-reading the manifest's source
     parquet; build parameters default to the old index's meta."""
+    _recover_merge(index_path)
     meta = load_meta(index_path)
     if corpus is None:
         src = meta.get("corpus_path")
@@ -1235,11 +1259,45 @@ def compact_index(
     return build_index(spark, corpus, out_path, **kwargs)
 
 
+# reserved slot for an in-flight delta-tier rebuild — never served
+_MERGE_TMP_SLOT = 99_999
+
+
 def _delta_dirs(index_path: str) -> list[str]:
-    """Ordered delta-segment dirs under the index (empty when none)."""
+    """Ordered delta-segment dirs under the index (empty when none).
+    The reserved merge-tmp slot is excluded: an in-flight (or crashed)
+    rebuild must never be served alongside the dirs it was built from —
+    that would double-score every delta doc (fail-open)."""
     import glob as _glob
 
-    return sorted(_glob.glob(os.path.join(index_path, "delta_[0-9]*")))
+    tmp = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
+    return sorted(
+        d
+        for d in _glob.glob(os.path.join(index_path, "delta_[0-9]*"))
+        if os.path.abspath(d) != os.path.abspath(tmp)
+    )
+
+
+def _recover_merge(index_path: str) -> None:
+    """Finish or roll back a crashed ``_rebuild_deltas``. The commit
+    marker (written AFTER the tmp segment is complete, removed after the
+    rename) decides which: marker present -> the merge was committed,
+    finish it (remove surviving old dirs, rename tmp to slot 0); marker
+    absent -> the tmp is uncommitted scratch, drop it (the old dirs are
+    still authoritative and intact). Either way every serving state in
+    between is consistent because ``_delta_dirs`` never lists the tmp."""
+    import shutil
+
+    tmp = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
+    marker = os.path.join(index_path, "work", "merge_commit")
+    if os.path.exists(marker):
+        if os.path.exists(os.path.join(tmp, "meta.json")):
+            for d in _delta_dirs(index_path):
+                shutil.rmtree(d)
+            os.rename(tmp, os.path.join(index_path, "delta_00000"))
+        os.remove(marker)
+    elif os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
 
 # new delta-local term ids live far above any base term_stats id
@@ -1270,6 +1328,9 @@ def add_docs(
 
     ``check_ids`` rejects doc_ids that already exist (adds are inserts;
     express updates as delete + compact). Returns the delta's meta."""
+    if segment != _MERGE_TMP_SLOT:
+        # (the tmp-slot caller IS the rebuild — don't recover under it)
+        _recover_merge(index_path)
     meta = load_meta(index_path)
     fields = meta["fields"]
     nf = len(fields)
@@ -1444,17 +1505,25 @@ def update_docs(
        this list — exact, because an updated doc's current postings
        live entirely in delta segments.
 
-    Constraints (each raises; run ``compact_index`` to reset):
-    * every id must exist in the BASE index — docs added via deltas
-      can't be updated in place;
-    * an id can be updated at most once between compactions;
-    * tombstoned (deleted) ids can't be updated (that's an add).
+    Constraint (raises): every id must exist in the BASE index — docs
+    added via deltas can't be updated in place before a compaction.
+    Updating a tombstoned (deleted) base id RESURRECTS it with the new
+    content — upsert semantics, which also makes crashed-update replay
+    idempotent (the tombstone-only crash state looks like a deletion).
+
+    An id MAY be updated repeatedly between compactions: a re-update
+    first retires the previous delta version through a targeted
+    delta-tier rebuild (``_rebuild_deltas`` with the re-updated ids
+    excluded — frozen stats, so every surviving delta doc's score is
+    bit-identical), then runs the normal flow; serving never sees more
+    than one live version per id.
 
     ``compact_index`` already folds updates correctly with no special
     casing: tombstones drop the old version from the source corpus, the
     delta's staged rows contribute the new one, and the fresh build has
     no ``updated_ids``. Pass ``segment`` for idempotent replay of a
     crashed update (delete/add/updated_ids are each idempotent)."""
+    _recover_merge(index_path)
     meta = load_meta(index_path)
     id_col = meta.get("doc_id_col", "doc_id")
     nf = len(meta["fields"])
@@ -1471,22 +1540,48 @@ def update_docs(
             "added via deltas need compact_index before in-place update)"
         )
     prev = load_updated_ids(spark, index_path)
-    if prev is not None and ids.join(prev, "doc_id", "inner").limit(1).count():
-        raise ValueError(
-            "update_docs: some doc_ids were already updated; re-update "
-            "requires compact_index first"
-        )
-    tomb = load_tombstones(spark, index_path)
-    if tomb is not None and ids.join(tomb, "doc_id", "inner").limit(1).count():
-        raise ValueError(
-            "update_docs: some doc_ids are tombstoned (deleted); "
-            "re-adding a deleted doc is add_docs after compact_index"
+    re_ids = None
+    if prev is not None:
+        re_ids = ids.join(prev, "doc_id", "left_semi")
+        if re_ids.limit(1).count() == 0:
+            re_ids = None
+    # A tombstoned-but-not-updated id is NOT rejected: updating it
+    # resurrects the doc with the new content (upsert semantics — the
+    # existing tombstone keeps masking the old base version, the delta
+    # carries the new one, updated_ids flips the resurrection arm on).
+    # This is also what makes replaying a CRASHED update idempotent:
+    # the crash state "tombstone written, delta/updated_ids missing" is
+    # indistinguishable from a deletion, and the replay must proceed.
+    if re_ids is not None:
+        # RE-update between compactions: retire the stale delta version
+        # first via a targeted delta-tier rebuild that excludes the
+        # re-updated ids (frozen stats — every other delta doc's score
+        # is bit-identical; cost bounded by the delta tier, the base
+        # index is untouched). After it each re-updated id again has
+        # ZERO delta versions, so the normal one-version-per-id flow
+        # below applies unchanged and the serving arm stays a single
+        # delta-wide compile.
+        re_ids = re_ids.localCheckpoint()  # pin before the tier rewrite
+        _rebuild_deltas(
+            spark, index_path, _delta_dirs(index_path), exclude_ids=re_ids
         )
 
+    # Crash ordering: tombstone FIRST, delta second, updated_ids last —
+    # every intermediate state fails CLOSED (serves at most one version):
+    #   after step 1 alone: doc appears deleted (masked everywhere);
+    #   after 1+2: still masked (no updated_ids -> no resurrection arm);
+    #   after all 3: the update is live. The reverse order (delta before
+    #   tombstone) would double-score the doc (old base + new delta both
+    #   unmasked) between the steps. updated_ids must stay last: it is
+    #   the switch that turns the delta-only arm on, and the arm's
+    #   source (the delta segment) has to exist before it flips.
+    # Replay of a crashed update (same `segment`) is idempotent: the
+    # tombstone append dedupes at read, add_docs overwrites the slot,
+    # the updated_ids append dedupes at read.
+    delete_docs(spark, index_path, ids)
     delta_meta = add_docs(
         spark, index_path, new_docs, check_ids=False, segment=segment
     )
-    delete_docs(spark, index_path, ids)
     ids.coalesce(1).write.mode("append").parquet(
         os.path.join(index_path, "updated_ids")
     )
@@ -1509,36 +1604,81 @@ def merge_deltas(spark: SparkSession, index_path: str) -> dict | None:
     segments' staged raw rows with the SAME frozen base stats, so every
     score is bit-identical before and after — unlike ``compact_index``,
     no statistics refresh happens and the base index is untouched.
-    Crash-safe ordering: the merged segment is built first (under a
-    temporary high slot), the old dirs are removed, then the merged dir
-    takes slot 0. Returns the merged delta's meta, or None when there is
-    nothing to merge (0 or 1 segments)."""
-    import shutil
-
+    Returns the merged delta's meta, or None when there is nothing to
+    merge (0 or 1 segments)."""
+    _recover_merge(index_path)
     deltas = _delta_dirs(index_path)
     if len(deltas) <= 1:
         return None
+    return _rebuild_deltas(spark, index_path, deltas)
+
+
+def _rebuild_deltas(
+    spark: SparkSession,
+    index_path: str,
+    deltas: list[str],
+    exclude_ids: DataFrame | None = None,
+) -> dict | None:
+    """Rebuild the delta tier as ONE segment from the segments' staged
+    raw rows (frozen base stats — scores bit-identical), optionally
+    dropping ``exclude_ids`` rows (targeted delta-tier compaction: the
+    seam ``update_docs`` uses to retire a re-updated doc's STALE delta
+    version without touching the base index — cost is bounded by the
+    delta tier's size, not the corpus). Crash-safe ordering: the merged
+    segment is built first (under a temporary high slot), the old dirs
+    are removed, then the merged dir takes slot 0. Returns the merged
+    meta, or None when exclusion empties the tier (all dirs removed)."""
+    import shutil
+
     corpus = spark.read.parquet(os.path.join(deltas[0], "corpus"))
     for d in deltas[1:]:
         corpus = corpus.unionByName(
             spark.read.parquet(os.path.join(d, "corpus")),
             allowMissingColumns=True,
         )
+    if exclude_ids is not None:
+        id_col = load_meta(index_path).get("doc_id_col", "doc_id")
+        corpus = corpus.join(
+            F.broadcast(
+                exclude_ids.select(
+                    F.col(exclude_ids.columns[0]).cast("long").alias(id_col)
+                )
+            ),
+            id_col,
+            "left_anti",
+        )
     # pin the union OUTSIDE the delta dirs before deleting them
     staging = os.path.join(index_path, "work", "merge_corpus")
     corpus.write.mode("overwrite").parquet(staging)
     merged_src = spark.read.parquet(staging)
-    tmp_slot = 99_999  # above LIVE segment namespace; renamed below
+    if merged_src.limit(1).count() == 0:
+        # exclusion emptied the tier: the only delta rows were the
+        # stale versions being retired — dropping the dirs IS the goal
+        for d in deltas:
+            shutil.rmtree(d)
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
     meta = add_docs(
-        spark, index_path, merged_src, check_ids=False, segment=tmp_slot
+        spark, index_path, merged_src, check_ids=False,
+        segment=_MERGE_TMP_SLOT,
     )
-    tmp_dir = os.path.join(index_path, f"delta_{tmp_slot:05d}")
+    tmp_dir = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
+    meta["segment"] = 0
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    # commit point: marker present == "tmp is authoritative". A crash
+    # before this line leaves the old dirs authoritative (recovery
+    # drops the tmp); after it, recovery finishes the swap. The tmp
+    # slot itself is never listed by _delta_dirs, so no crash state
+    # serves both copies.
+    marker = os.path.join(index_path, "work", "merge_commit")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("1")
     for d in deltas:
         shutil.rmtree(d)
     final_dir = os.path.join(index_path, "delta_00000")
     os.rename(tmp_dir, final_dir)
+    os.remove(marker)
     shutil.rmtree(staging, ignore_errors=True)
-    meta["segment"] = 0
-    with open(os.path.join(final_dir, "meta.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
     return meta

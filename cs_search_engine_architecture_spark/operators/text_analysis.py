@@ -380,9 +380,18 @@ def hash_embeddings(
     (ANN, dedup, hybrid) to run end-to-end on text alone. Cosine under
     this embedding ≈ token-multiset similarity.
 
-    Shape: explode + one groupBy(doc_id) carrying ``dims`` conditional
-    integer sums (map-side combined; exact — no float accumulation until
-    the final normalize). Empty docs get the zero vector."""
+    Shape: explode -> groupBy(doc_id, dim) integer sums (map-side
+    combined, <= ``dims`` rows per doc survive the shuffle) -> one tiny
+    groupBy(doc_id) assembling the dense vector via map_from_entries +
+    a sequence/transform HOF. The former single-groupBy pivot carried
+    ``dims`` conditional aggregates in one operator — its generated
+    aggregate method blew the JVM 64KB codegen limit and silently fell
+    back to interpreted row-mode (same failure class as the LSH
+    inline-md5 lesson); the narrow-then-assemble shape stays inside
+    whole-stage codegen (pinned by test_hash_embeddings_codegen_clean).
+    Exact — no float accumulation until the final normalize (integer
+    bucket sums both shapes, bit-identical output). Empty docs get the
+    zero vector."""
     h = D.token_hash(D.SPARK, "t")
     occ = df.select(
         "doc_id", F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("t")
@@ -391,27 +400,38 @@ def hash_embeddings(
         F.expr(f"{h} % {dims}").alias("dim"),
         F.expr(f"1 - 2 * (({h} DIV {dims}) % 2)").alias("sign"),
     )
-    sums = occ.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("dim") == d, F.col("sign")).otherwise(0)).alias(
-                f"v_{d}"
-            )
-            for d in range(dims)
-        ]
+    sums = occ.groupBy("doc_id", "dim").agg(
+        F.sum("sign").alias("v")
     )
-    ss = None
-    for d in range(dims):
-        sq = F.col(f"v_{d}") * F.col(f"v_{d}")
-        ss = sq if ss is None else ss + sq
-    norm = F.sqrt(ss.cast("double"))
-    vec = F.array(
-        *[
-            F.when(norm > 0, (F.col(f"v_{d}") / norm).cast("float"))
-            .otherwise(F.lit(0.0).cast("float"))
-            for d in range(dims)
-        ]
+    entries = sums.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("v")))
+        ).alias("m")
     )
-    embedded = sums.select("doc_id", vec.alias("embedding"))
+    embedded = (
+        entries.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dims - 1}), "
+                "d -> coalesce(m[d], CAST(0 AS BIGINT)))"
+            ).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "raw",
+            F.expr(
+                "sqrt(CAST(aggregate(raw, CAST(0 AS BIGINT), "
+                "(a, x) -> a + x * x) AS DOUBLE))"
+            ).alias("norm"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(raw, x -> IF(norm > 0, "
+                "CAST(x / norm AS FLOAT), CAST(0.0 AS FLOAT)))"
+            ).alias("embedding"),
+        )
+    )
     zero = F.array(*[F.lit(0.0).cast("float") for _ in range(dims)])
     return (
         df.select("doc_id")

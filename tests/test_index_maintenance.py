@@ -416,23 +416,59 @@ def test_update_docs_in_place(spark, tmp_path):
     srow = sn.collect()
     assert len(srow) == 1 and "qqnewterm" in srow[0]["snippet"]
 
+    # RE-update between compactions: latest version wins on every
+    # surface; the stale delta version is retired by the targeted
+    # delta-tier rebuild, other docs keep their exact scores
+    third_text = "freshest qqthirdterm replaces the middle join version"
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame([(0, third_text)], "doc_id long, text string"),
+    )
+    eng3 = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng3.search("qqthirdterm", 10).collect()] == [0]
+    assert all(
+        r["doc_id"] != 0 for r in eng3.search("qqnewterm", 10).collect()
+    )
+    after3 = _ranked(eng3, "spark or join")
+    assert [d for d, _ in after3].count(0) == 1
+    assert {d: s for d, s in after3 if d != 0} == {
+        d: s for d, s in before if d != 0
+    }
+    cur3 = {r["doc_id"]: r["text"] for r in eng3.current_corpus().collect()}
+    assert cur3[0] == third_text and len(cur3) == len(DOCS)
+    # roll doc 0 back to the round-2 text so the assertions below
+    # (which reference new_text) stay meaningful
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame([(0, new_text)], "doc_id long, text string"),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng.search("qqnewterm", 10).collect()] == [0]
+    assert all(
+        r["doc_id"] != 0 for r in eng.search("qqthirdterm", 10).collect()
+    )
+
     # guard rails
-    with pytest.raises(ValueError):  # re-update before compaction
-        indexer.update_docs(
-            spark, out,
-            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
-        )
     with pytest.raises(ValueError):  # unknown id
         indexer.update_docs(
             spark, out,
             spark.createDataFrame([(777, "x")], "doc_id long, text string"),
         )
+    # updating a DELETED base id resurrects it (upsert semantics) —
+    # delete doc 7, resurrect it with new content, then delete it again
+    # so the compaction expectations below still hold
     indexer.delete_docs(spark, out, [7])
-    with pytest.raises(ValueError):  # deleted id
-        indexer.update_docs(
-            spark, out,
-            spark.createDataFrame([(7, "x")], "doc_id long, text string"),
-        )
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame(
+            [(7, "qqrisen from the tombstone")], "doc_id long, text string"
+        ),
+    )
+    er = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in er.search("qqrisen", 10).collect()] == [7]
+    indexer.delete_docs(spark, out, [7])
+    er2 = SearchEngine(spark, out, cache=False)
+    assert er2.search("qqrisen", 10).count() == 0
 
     # compaction folds the update with NO special casing
     compacted = str(tmp_path / "compacted")

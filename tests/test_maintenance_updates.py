@@ -1,0 +1,242 @@
+"""Round-4 maintenance semantics: per-arm tombstone scoping on the
+corpus surface, dead-delta-doc exclusion in resurrection arms, crash
+ordering / replay of in-place updates, multi-update-per-id between
+compactions (property-tested against a from-scratch rebuild), and the
+restored fast-path / msearch serving under pending updates."""
+
+import os
+import random
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.engine import SearchEngine
+from cs_search_engine_architecture_spark.operators import indexer
+
+DOCS = [
+    (0, "spark shuffle makes wide plans fast"),
+    (1, "hash join beats merge join on small tables"),
+    (2, "sorted merge join shines for big runs"),
+    (3, "the planner picks hash join or merge join"),
+    (4, "spark planner prefers broadcast hash join"),
+    (5, "a shuffle heavy query with skewed keys"),
+    (6, "spark spark spark repeated for frequency"),
+    (7, "delta gap varint blocks compress postings"),
+]
+
+
+def _build(spark, tmp_path, name="idx"):
+    out = str(tmp_path / name)
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / f"{name}_corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_current_corpus_drops_added_then_deleted(spark, tmp_path):
+    """A doc ADDED via add_docs and later DELETED must not resurrect in
+    current_corpus (the delta-union arm is masked with dead ids, per-arm
+    scoping like compact_index)."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "ephemeral qqadded doc")]))
+    indexer.delete_docs(spark, out, [100])
+    eng = SearchEngine(spark, out, cache=False)
+    ids = {r["doc_id"] for r in eng.current_corpus().collect()}
+    assert 100 not in ids
+    assert ids == {d for d, _ in DOCS}
+    # and an updated doc's NEW version still survives the mask
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqupdated text zero")]))
+    eng2 = SearchEngine(spark, out, cache=False)
+    cur = {r["doc_id"]: r["text"] for r in eng2.current_corpus().collect()}
+    assert cur[0] == "qqupdated text zero"
+    assert 100 not in cur and len(cur) == len(DOCS)
+
+
+def test_prefix_search_arm_excludes_dead_delta_docs(spark, tmp_path):
+    """Tombstoned delta docs must not occupy the resurrection arm's
+    top_k cut and evict an in-place-updated doc from the global top-k."""
+    # the prefix term must exist in the BASE dictionary (prefix
+    # expansion is frozen-dictionary by design), so seed it in doc 0
+    out = str(tmp_path / "idx")
+    rows = [(0, "qqalpha seed text")] + DOCS[1:]
+    corpus = _df(spark, rows)
+    src = str(tmp_path / "idx_corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqalpha once here")]))
+    # flood the delta tier with high-scoring prefix matches, then
+    # delete them all — without the arm-side exclude they would fill
+    # the arm's top-1 .. top-3 slots and push doc 0 out
+    dead_rows = [
+        (200 + i, "qqalpha qqalpha qqalpha qqalpha qqalpha")
+        for i in range(3)
+    ]
+    indexer.add_docs(spark, out, _df(spark, dead_rows))
+    indexer.delete_docs(spark, out, [d for d, _ in dead_rows])
+    eng = SearchEngine(spark, out, cache=False)
+    got = [r["doc_id"] for r in eng.prefix_search("qqal*", top_k=3).collect()]
+    assert 0 in got
+    assert not any(d in got for d, _ in dead_rows)
+
+
+def test_update_crash_states_fail_closed(spark, tmp_path):
+    """Every intermediate crash state of update_docs serves at most one
+    version: after the tombstone alone the doc is invisible; after
+    tombstone+delta (no updated_ids) it is still invisible; never
+    double-served. Replay with the same segment converges."""
+    out = _build(spark, tmp_path)
+    seg = len(indexer._delta_dirs(out))
+    # simulate crash state 1: tombstone written, nothing else
+    indexer.delete_docs(spark, out, [0])
+    eng1 = SearchEngine(spark, out, cache=False)
+    assert all(r["doc_id"] != 0 for r in eng1.search("spark", 10).collect())
+    # simulate crash state 2: tombstone + delta staged, updated_ids absent
+    indexer.add_docs(
+        spark, out, _df(spark, [(0, "qqreplay spark text")]),
+        check_ids=False, segment=seg,
+    )
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert all(r["doc_id"] != 0 for r in eng2.search("spark", 10).collect())
+    assert eng2.search("qqreplay", 10).count() == 0
+    # replay the full update (idempotent: same segment slot)
+    indexer.update_docs(
+        spark, out, _df(spark, [(0, "qqreplay spark text")]), segment=seg
+    )
+    eng3 = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng3.search("qqreplay", 10).collect()] == [0]
+    ranked = [r["doc_id"] for r in eng3.search("spark", 10).collect()]
+    assert ranked.count(0) == 1
+
+
+def test_merge_recovery_drops_uncommitted_tmp(spark, tmp_path):
+    """A crashed rebuild's tmp slot (no commit marker) is scratch: it is
+    never served and the next maintenance op removes it."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqx one")]))
+    tmp = os.path.join(out, f"delta_{indexer._MERGE_TMP_SLOT:05d}")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk"), "w") as fh:
+        fh.write("partial")
+    assert tmp not in indexer._delta_dirs(out)
+    eng = SearchEngine(spark, out, cache=False)  # serves fine, ignores tmp
+    assert eng.search("qqx", 5).count() == 1
+    indexer.add_docs(spark, out, _df(spark, [(101, "qqy two")]))
+    assert not os.path.exists(tmp)
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert eng2.search("qqy", 5).count() == 1
+
+
+def test_merge_recovery_finishes_committed_swap(spark, tmp_path):
+    """With the commit marker present and a complete tmp segment, the
+    next maintenance op finishes the swap (old dirs out, tmp -> slot 0)
+    and every delta doc is served exactly once."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqm one")]))
+    indexer.add_docs(spark, out, _df(spark, [(101, "qqm two")]))
+    # run a real merge, then rewind its LAST two steps (rename+unlink)
+    # to fabricate the mid-commit crash state
+    meta = indexer.merge_deltas(spark, out)
+    assert meta is not None
+    final = os.path.join(out, "delta_00000")
+    tmp = os.path.join(out, f"delta_{indexer._MERGE_TMP_SLOT:05d}")
+    os.rename(final, tmp)
+    marker = os.path.join(out, "work", "merge_commit")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("1")
+    # recovery happens on the next maintenance entry point
+    indexer.merge_deltas(spark, out)
+    assert os.path.exists(final) and not os.path.exists(tmp)
+    assert not os.path.exists(marker)
+    eng = SearchEngine(spark, out, cache=False)
+    rows = eng.search("qqm", 10).collect()
+    assert sorted(r["doc_id"] for r in rows) == [100, 101]
+
+
+def test_random_update_sequences_match_rebuild(spark, tmp_path):
+    """Property: after ANY sequence of in-place updates (including
+    repeated updates of the same id), (a) term membership on the
+    maintained index matches the final corpus, and (b) compact_index
+    equals a from-scratch build over the final corpus bit-for-bit."""
+    rng = random.Random(7)
+    vocab = ["spark", "join", "merge", "plan", "block", "qqv", "qqw"]
+    out = _build(spark, tmp_path)
+    current = {d: t for d, t in DOCS}
+    for step in range(4):
+        batch_ids = rng.sample(sorted(current), rng.randint(1, 3))
+        rows = []
+        for d in batch_ids:
+            text = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(3, 7))
+            )
+            current[d] = text
+            rows.append((d, text))
+        indexer.update_docs(spark, out, _df(spark, rows))
+
+    eng = SearchEngine(spark, out, cache=False)
+    for term in vocab:
+        got = sorted(
+            r["doc_id"] for r in eng.search_df(term).collect()
+        )
+        want = sorted(
+            d for d, t in current.items() if term in t.split()
+        )
+        assert got == want, f"term {term}: {got} != {want}"
+        # fast path (single-term block-max + arm) agrees with the
+        # compiled join path under pending updates
+        fast = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(term, 20).collect()
+        ]
+        joined = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng._scored(
+                {"type": "token", "value": term}
+            ).orderBy(F.desc("score"), F.asc("doc_id")).limit(20).collect()
+        ]
+        assert fast == joined, f"term {term}: fast {fast} != join {joined}"
+
+    # msearch batching stays on under updates and matches per-query
+    queries = {f"q{i}": t for i, t in enumerate(vocab[:4])}
+    batched = {
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in eng.msearch(queries, top_k=20).collect()
+    }
+    single = {
+        (qid, r["doc_id"], round(r["score"], 9))
+        for qid, q in queries.items()
+        for r in eng.search(q, 20).collect()
+    }
+    assert batched == single
+
+    # compaction == from-scratch build over the final corpus
+    final_rows = sorted(current.items())
+    fresh_src = str(tmp_path / "fresh_corpus.parquet")
+    _df(spark, final_rows).write.parquet(fresh_src)
+    fresh = str(tmp_path / "fresh_idx")
+    indexer.build_index(
+        spark, _df(spark, final_rows), fresh, fields=["text"],
+        analyzer="simple", num_buckets=4, corpus_path=fresh_src,
+    )
+    compacted = str(tmp_path / "compacted_idx")
+    indexer.compact_index(spark, out, compacted)
+    ef, ec = (
+        SearchEngine(spark, fresh, cache=False),
+        SearchEngine(spark, compacted, cache=False),
+    )
+    for q in ["spark or join", "merge and plan", "qqv", "block or qqw"]:
+        a = [(r["doc_id"], r["score"]) for r in ef.search(q, 20).collect()]
+        b = [(r["doc_id"], r["score"]) for r in ec.search(q, 20).collect()]
+        assert a == b, f"query {q!r}: fresh {a} != compacted {b}"

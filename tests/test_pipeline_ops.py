@@ -671,6 +671,26 @@ def test_hash_embeddings_self_retrieval(spark):
     assert TA.hash_embed_text("") == [0.0] * 64
 
 
+def test_hash_embeddings_codegen_clean(spark):
+    """Pin the narrow-then-assemble aggregate shape: with codegen
+    fallback DISABLED the whole pipeline must still execute — the old
+    64-wide conditional-sum pivot blew the JVM 64KB method limit and
+    fell back to interpreted row-mode (ERROR CodeGenerator in the gate
+    run). A regression back to a giant generated method now fails this
+    test instead of silently degrading."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try:
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        out = TA.hash_embeddings(docs).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert len(out) == 50
+    assert all(len(r["embedding"]) == 64 for r in out)
+
+
 def test_text_only_hybrid_via_hash_embeddings(spark, tmp_path):
     """The full hybrid pipeline on TEXT ALONE: corpus hash-embedded,
     query hash-embedded by the driver mirror, combined_search unions the

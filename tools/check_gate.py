@@ -1,7 +1,7 @@
 """Driver-mimic: run every __spark_entry__ query on Spark AND its DuckDB
 oracle at sf0.01, compare row count, schema width, and order-insensitive
 values (floats exactly — the gate's float32-cast policy should make them
-bit-equal). Usage: python tools/check_gate.py [sf_dir]"""
+bit-equal). Usage: python tools/check_gate.py [sf_dir] [--only n1,n2,...]"""
 
 from __future__ import annotations
 
@@ -30,7 +30,13 @@ def norm(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +47,8 @@ def main() -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
