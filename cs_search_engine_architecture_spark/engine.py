@@ -440,7 +440,7 @@ class SearchEngine:
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
         analyzer = self.meta.get("analyzer", "reference")
-        batchable: list[tuple[str, str, list[str]]] = []
+        batchable: list[tuple] = []
         phrases: list[tuple[str, list[str]]] = []
         fallback: list[DataFrame] = []
         for qid, qstr in queries.items():
@@ -449,7 +449,9 @@ class SearchEngine:
             if plan is not None and plan[0] == "phrase":
                 phrases.append((qid, plan[1]))
             elif plan is not None:
-                batchable.append((qid, plan[0], plan[1]))
+                # ("or"/"and", terms) or ("and_not", pos, neg) — pass
+                # the whole plan through to the shared-scan batcher
+                batchable.append((qid, *plan))
             else:
                 fallback.append(
                     self._scored(ast)

@@ -421,6 +421,46 @@ SQL_FINGERPRINT = (
 )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-analysis gate: language-ID + quality scores +
+    repetition scores joined per doc — one registry row covering three
+    row-local operators (the driver snapshot caps at 50 queries, so
+    same-shaped metrics share a row; each operator keeps its own unit
+    tests)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        TA.language_id(docs)
+        .join(TA.quality_scores(docs), "doc_id")
+        .join(TA.repetition_scores(docs), "doc_id")
+    )
+
+
+SQL_TEXT_QUALITY = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) SELECT doc_id, "
+    f"{TA.lang_id_sql(D.DUCKDB)} AS lang_pred, "
+    + ", ".join(f"{e} AS {k}" for k, e in TA.quality_sql(D.DUCKDB).items())
+    + ", "
+    + ", ".join(f"{e} AS {k}" for k, e in TA.repetition_sql(D.DUCKDB).items())
+    + " FROM t"
+)
+
+
+def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: token counts + rolling-hash fingerprint per doc
+    (same 50-row-snapshot consolidation as ``text_quality``)."""
+    docs = _docs(spark, sf_dir)
+    return TA.token_counts(docs).join(TA.fingerprints(docs), "doc_id")
+
+
+SQL_TOKEN_FINGERPRINT = (
+    f"WITH t AS ({_DUCK_TOKS_CTE}) SELECT doc_id, "
+    + ", ".join(
+        f"{e} AS {k}" for k, e in TA.token_counts_sql(D.DUCKDB).items()
+    )
+    + f", {D.rolling_fingerprint(D.DUCKDB)} AS fingerprint FROM t"
+)
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(_docs(spark, sf_dir))
 
@@ -750,6 +790,31 @@ def q_blob_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stub codec's integer-sum mean is reproduced exactly
 SQL_BLOB_DECODE = """
 SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(1 + length(text) % 64 AS INT) AS fake_width,
+  CAST(1 + (length(text) // 64) % 64 AS INT) AS fake_height,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+    CAST(list_sum(list_transform(generate_series(1, length(text)),
+         i -> ascii(substr(text, i, 1)))) AS DOUBLE) / length(text)
+  END AS mean_byte
+FROM documents
+"""
+
+
+def q_blob_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite multimodal gate: blob-table metadata columns + stub
+    decode features in one row per doc (50-row-snapshot consolidation;
+    both operators keep their own unit tests)."""
+    blobs = MM.to_blob_table(_docs(spark, sf_dir))
+    meta = blobs.select("doc_id", "mime", "payload_sha256")
+    feats = MM.decode_features(blobs).select(
+        "doc_id", "n_bytes", "fake_width", "fake_height", "mean_byte"
+    )
+    return meta.join(feats, "doc_id")
+
+
+SQL_BLOB_META_DECODE = """
+SELECT doc_id, 'image/fake' AS mime, sha256(text) AS payload_sha256,
   CAST(length(text) AS BIGINT) AS n_bytes,
   CAST(1 + length(text) % 64 AS INT) AS fake_width,
   CAST(1 + (length(text) // 64) % 64 AS INT) AS fake_height,
@@ -1424,6 +1489,23 @@ FROM rk WHERE rn <= 10
 """
 
 
+def q_msearch_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite batched-serving gate: the join-batchable msearch
+    queries (single token / OR / AND / NOT-fallback) AND the batched
+    pure-phrase queries in one frame — both shared-scan serving paths
+    covered by one registry row (50-row-snapshot consolidation; query
+    ids are disjoint, m1-m4 vs pa/pb)."""
+    return q_msearch_topk(spark, sf_dir).unionByName(
+        q_msearch_phrase(spark, sf_dir)
+    )
+
+
+SQL_MSEARCH_BATCHED = (
+    f"SELECT * FROM ({SQL_MSEARCH_TOPK})\nUNION ALL\n"
+    f"SELECT * FROM ({SQL_MSEARCH_PHRASE})"
+)
+
+
 def q_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone-delete semantics: the top-3 docs of ``spark or data``
     are deleted (on a copy of the gate index), then the query re-runs.
@@ -1565,17 +1647,23 @@ LIMIT 10
 # updated doc provably lands at rank 1 — the gate fails loudly if the
 # delta resurrection arm stops serving updated docs.
 GATE_UPDATE_TEXT = " ".join(["filler"] * 400 + ["data", "spark"])
+# the intermediate version of the DOUBLE update — scores high for the
+# gate query on purpose, so a stale-version leak (re-update failing to
+# retire it) would change the served ranking and hash-mismatch
+GATE_UPDATE_TEXT_MID = "spark spark data data spark transient version"
 
 
 def q_search_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place update semantics: the top-1 doc of ``spark or data`` is
-    updated (same doc_id, new text) on a copy of the gate index, then
-    the query re-runs. The old version must vanish, every other doc
-    keeps its exact frozen-stats score, and the updated doc serves its
-    NEW text's score (frozen base idf/avgdl — delete+add composition,
-    resurrected by the delta-only arm). The oracle derives the victim
-    independently and replays base-frozen-stats scoring over the
-    corpus with the victim's text replaced."""
+    updated TWICE (same doc_id: an intermediate high-scoring text, then
+    the final text) on a copy of the gate index, then the query re-runs.
+    Both old versions must vanish — the base version via the tombstone,
+    the intermediate delta version via the re-update's targeted
+    delta-tier rebuild — every other doc keeps its exact frozen-stats
+    score, and the doc serves its FINAL text's score (frozen base
+    idf/avgdl). The oracle derives the victim independently and replays
+    base-frozen-stats scoring with only the FINAL text substituted, so
+    any stale-version leak or double-scoring hash-mismatches."""
     import shutil
 
     eng = gate_engine(spark, sf_dir)
@@ -1587,6 +1675,14 @@ def q_search_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             update_docs,
         )
 
+        update_docs(
+            spark,
+            upd_path,
+            spark.createDataFrame(
+                [(int(victim), GATE_UPDATE_TEXT_MID)],
+                "doc_id long, text string",
+            ),
+        )
         update_docs(
             spark,
             upd_path,
@@ -2226,11 +2322,8 @@ def queries():
         "event_window_counts": q_event_window_counts,
         "doc_token_stats": q_doc_token_stats,
         "embedding_topk": q_embedding_topk,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "repetition_scores": q_repetition_scores,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
+        "text_quality": q_text_quality,
+        "token_fingerprint": q_token_fingerprint,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -2240,8 +2333,7 @@ def queries():
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "blob_metadata": q_blob_metadata,
-        "blob_decode": q_blob_decode,
+        "blob_meta_decode": q_blob_meta_decode,
         "blob_frame_sample": q_blob_frame_sample,
         "bm25_two_field_topk": q_bm25_two_field_topk,
         "spell_suggest": q_spell_suggest,
@@ -2251,8 +2343,7 @@ def queries():
         "ltr_features": q_ltr_features,
         "ltr_features_batch": q_ltr_features_batch,
         "search_snippets": q_search_snippets,
-        "msearch_topk": q_msearch_topk,
-        "msearch_phrase": q_msearch_phrase,
+        "msearch_batched": q_msearch_batched,
         "dedup_clusters": q_dedup_clusters,
         "search_after_delete": q_search_after_delete,
         "search_after_add": q_search_after_add,
@@ -2286,11 +2377,8 @@ def oracle_sql():
         "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
-        "lang_id": SQL_LANG_ID,
-        "quality_scores": SQL_QUALITY_SCORES,
-        "repetition_scores": SQL_REPETITION_SCORES,
-        "token_counts": SQL_TOKEN_COUNTS,
-        "fingerprint": SQL_FINGERPRINT,
+        "text_quality": SQL_TEXT_QUALITY,
+        "token_fingerprint": SQL_TOKEN_FINGERPRINT,
         "dedup_minhash_sigs": SQL_DEDUP_MINHASH_SIGS,
         "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
@@ -2300,8 +2388,7 @@ def oracle_sql():
         "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
-        "blob_metadata": SQL_BLOB_METADATA,
-        "blob_decode": SQL_BLOB_DECODE,
+        "blob_meta_decode": SQL_BLOB_META_DECODE,
         "blob_frame_sample": SQL_BLOB_FRAME_SAMPLE,
         "bm25_two_field_topk": SQL_BM25_TWO_FIELD_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
@@ -2311,8 +2398,7 @@ def oracle_sql():
         "ltr_features": SQL_LTR_FEATURES,
         "ltr_features_batch": SQL_LTR_FEATURES_BATCH,
         "search_snippets": SQL_SEARCH_SNIPPETS,
-        "msearch_topk": SQL_MSEARCH_TOPK,
-        "msearch_phrase": SQL_MSEARCH_PHRASE,
+        "msearch_batched": SQL_MSEARCH_BATCHED,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "search_after_delete": SQL_SEARCH_AFTER_DELETE,
         "search_after_add": SQL_SEARCH_AFTER_ADD,

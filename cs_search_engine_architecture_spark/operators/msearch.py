@@ -25,9 +25,12 @@ OR = coalesced sum over matched terms, AND = inner-join sum gated on
 ``weight`` column. Pure PHRASES batch too (``phrase_batched_topk``):
 one shared positional scan, slot-tagged rows grouped per (query, doc),
 the consecutive-slot char-window conjunction, and a slot-ordered left
-fold reproducing the compiled chain's scores bit-for-bit. Only NOT and
-mixed-precedence queries fall back to their individual compiled plans,
-tagged with the query_id and unioned in — still one Spark job.
+fold reproducing the compiled chain's scores bit-for-bit. Flat AND-NOT
+trees batch as well — negated terms ride the shared scan as weight-0
+presence rows and any match kills the (query, doc) pair (the compiler's
+left-anti by De Morgan). Only mixed-precedence queries fall back to
+their individual compiled plans, tagged with the query_id and unioned
+in — still one Spark job.
 
 At 100 TB the win is structural: the postings scan is shared across the
 whole batch (a hot term referenced by 500 queries is read and decoded
@@ -287,10 +290,51 @@ def _flat_terms(ast, op: str) -> list[str] | None:
     return out if walk(ast) else None
 
 
-def classify_query(ast) -> tuple[str, list[str]] | None:
+def _flat_and_not(ast) -> tuple[list[str], list[str]] | None:
+    """(pos_terms, neg_terms) when ``ast`` is a flat AND tree whose
+    leaves are tokens or NOT(token | flat-OR-of-tokens) — the
+    "a AND b AND NOT (c OR d)" family. De Morgan makes the exclusion
+    set flat: NOT(c OR d) == NOT c AND NOT d, so a doc is excluded iff
+    it matches ANY negated term — exactly the compiler's left-anti.
+    NOT over an AND subtree (exclude only when ALL present) is not
+    expressible this way -> None (compiled fallback)."""
+    pos: list[str] = []
+    neg: list[str] = []
+
+    def walk(node) -> bool:
+        if not node:
+            return False
+        if node["type"] == "token":
+            pos.append(node["value"])
+            return True
+        if node["type"] != "operator":
+            return False
+        if node["operator"] == "and":
+            return walk(node.get("left")) and walk(node.get("right"))
+        if node["operator"] == "not":
+            sub = node.get("right")
+            if sub and sub.get("type") == "token":
+                neg.append(sub["value"])
+                return True
+            flat = _flat_terms(sub, "or")
+            if flat:
+                neg.extend(flat)
+                return True
+            return False
+        return False
+
+    if not walk(ast) or not pos or not neg:
+        return None
+    if set(pos) & set(neg):
+        return None  # degenerate "a and not a" — let the compiler rule
+    return pos, neg
+
+
+def classify_query(ast) -> tuple | None:
     """(mode, terms) when the query is batchable: "or"/"and" for the
-    join form, "phrase" for a pure phrase (``phrase_batched_topk``);
-    None for NOT / mixed precedence (compiled-plan fallback)."""
+    join form, "phrase" for a pure phrase (``phrase_batched_topk``),
+    ("and_not", pos_terms, neg_terms) for flat AND-NOT trees; None for
+    mixed precedence (compiled-plan fallback)."""
     if ast is None:
         return None
     if ast["type"] == "token":
@@ -301,6 +345,9 @@ def classify_query(ast) -> tuple[str, list[str]] | None:
         terms = _flat_terms(ast, mode)
         if terms:
             return (mode, terms)
+    an = _flat_and_not(ast)
+    if an:
+        return ("and_not", an[0], an[1])
     return None
 
 
@@ -308,11 +355,19 @@ def batched_topk(
     spark: SparkSession,
     blocks: DataFrame,
     num_buckets: int,
-    plans: list[tuple[str, str, list[str]]],
+    plans: list[tuple],
     top_k: int,
     exclude: DataFrame | None = None,
 ) -> DataFrame:
-    """Answer every ``(query_id, mode, terms)`` plan from one shared scan.
+    """Answer every ``(query_id, mode, terms[, neg_terms])`` plan from
+    one shared scan.
+
+    ``mode`` is "or"/"and"/"and_not"; the optional 4th element lists
+    NEGATED terms ("data AND NOT slow" -> ("q", "and_not", ["data"],
+    ["slow"])). Negated terms ride the SAME shared scan as presence-only
+    rows (weight 0 — they never contribute score) and any match kills
+    the (query, doc) pair, reproducing the compiler's left-anti
+    semantics without a per-query fallback plan.
 
     Returns ``(query_id, doc_id, score)`` with at most ``top_k`` rows per
     query, ordered within each query by (score desc, doc_id asc).
@@ -320,26 +375,34 @@ def batched_topk(
     anti-joined before per-query ranking.
     """
     rows = []
-    for query_id, mode, terms in plans:
+    for plan in plans:
+        query_id, mode, terms = plan[0], plan[1], plan[2]
+        negs = plan[3] if len(plan) > 3 else []
         distinct: dict[str, int] = {}
         for t in terms:
             distinct[t] = distinct.get(t, 0) + 1
-        required = len(distinct) if mode == "and" else 0
+        required = len(distinct) if mode in ("and", "and_not") else 0
         for t, w in distinct.items():
-            rows.append((query_id, t, float(w), required))
+            rows.append((query_id, t, float(w), required, 0))
+        for t in set(negs):
+            rows.append((query_id, t, 0.0, required, 1))
     qterms = spark.createDataFrame(
-        rows, "query_id string, term string, weight double, required int"
+        rows,
+        "query_id string, term string, weight double, required int, "
+        "is_neg int",
     )
-    all_terms = sorted({t for _, t, _, _ in rows})
+    all_terms = sorted({t for _, t, _, _, _ in rows})
     postings = multi_term_postings(blocks, all_terms, num_buckets)
     joined = postings.join(F.broadcast(qterms), "term")
     agg = joined.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("score") * F.col("weight")).alias("score"),
-        F.count(F.lit(1)).alias("matched"),
+        F.sum(1 - F.col("is_neg")).alias("matched"),
         F.max("required").alias("required"),
+        F.max("is_neg").alias("neg_hit"),
     )
     hits = agg.where(
-        (F.col("required") == 0) | (F.col("matched") == F.col("required"))
+        ((F.col("required") == 0) | (F.col("matched") == F.col("required")))
+        & (F.col("neg_hit") == 0)
     )
     if exclude is not None:
         hits = hits.join(F.broadcast(exclude), "doc_id", "left_anti")

@@ -117,16 +117,72 @@ def frame_sample(blobs: DataFrame, num_frames: int = 4) -> DataFrame:
     ).where(F.col("frame_no") < num_frames)
 
 
+# Pluggable decode hooks for COMPRESSED formats: mime -> callable
+# (payload bytes) -> (H, W, 3) uint8 RGB array. A PIL/libvips-bearing
+# deployment registers its codec once and the resize operator below
+# picks it up without modification; this container registers none
+# (JPEG/PNG stay honestly stubbed). The BMP path never consults the
+# registry — its pure-numpy codec is always available.
+_DECODE_HOOKS: dict[str, "callable"] = {}
+
+
+def register_decode_hook(mime: str, decode) -> None:
+    """Register ``decode(payload: bytes) -> (H, W, 3) uint8 RGB`` for a
+    compressed mime type (e.g. ``image/jpeg`` backed by PIL)."""
+    _DECODE_HOOKS[mime] = decode
+
+
+def unregister_decode_hook(mime: str) -> None:
+    _DECODE_HOOKS.pop(mime, None)
+
+
 def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing for COMPRESSED formats (JPEG/PNG/...): the pixel
-    resample requires a codec library -> NotImplementedError at the
-    point a real backend is needed. Uncompressed BMP payloads resize
-    for real via ``resize_bmp_images`` below (pure numpy)."""
-    raise NotImplementedError(
-        "resize of compressed formats requires an image codec "
-        "(PIL/libvips) not present in this container; use "
-        "resize_bmp_images for image/bmp payloads — its decode/resample/"
-        "encode path is real"
+    """Resize plumbing for COMPRESSED formats (JPEG/PNG/...): decodes
+    through the ``register_decode_hook`` registry, then reuses the BMP
+    path's real numpy resample + encode — so a codec-bearing deployment
+    gets JPEG resize by registering one callable, with the Spark-side
+    plumbing (mapInPandas batches, schema, partitioning) unchanged.
+    With no hook registered for a payload's mime ->
+    NotImplementedError at the point a real backend is needed.
+    Uncompressed BMP payloads never need a hook: ``resize_bmp_images``
+    below decodes/resamples/encodes for real (pure numpy)."""
+    import pandas as pd
+
+    hooks = dict(_DECODE_HOOKS)  # snapshot; ships to executors
+
+    def batches(it):
+        for pdf in it:
+            out_rows = []
+            for did, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                decode = hooks.get(mime)
+                if decode is None:
+                    raise NotImplementedError(
+                        f"no decode hook registered for {mime!r}: resize "
+                        "of compressed formats requires an image codec "
+                        "(PIL/libvips) not present in this container — "
+                        "register_decode_hook(mime, fn) plugs one in; "
+                        "image/bmp payloads resize without a hook via "
+                        "resize_bmp_images"
+                    )
+                pixels = _resample_nearest(
+                    decode(bytes(payload)), width, height
+                )
+                out_rows.append((int(did), encode_bmp(pixels)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [r[0] for r in out_rows], dtype="int64"
+                    ),
+                    "payload": pd.Series(
+                        [r[1] for r in out_rows], dtype="object"
+                    ),
+                }
+            )
+
+    return blobs.select("doc_id", "mime", "payload").mapInPandas(
+        batches, "doc_id long, payload binary"
     )
 
 
@@ -325,6 +381,17 @@ def audio_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+def _resample_nearest(
+    img: "np.ndarray", width: int, height: int
+) -> "np.ndarray":
+    """Nearest-neighbor resample of an (H, W, 3) array — pure numpy
+    index math; shared by the BMP path and the hook-decoded path."""
+    h, w, _ = img.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def resize_bmp_images(
     blobs: DataFrame, width: int, height: int
 ) -> DataFrame:
@@ -339,10 +406,9 @@ def resize_bmp_images(
             ids, payloads = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_bmp(bytes(payload))
-                h, w, _ = img.shape
-                yi = (np.arange(height) * h // height).clip(0, h - 1)
-                xi = (np.arange(width) * w // width).clip(0, w - 1)
-                payloads.append(encode_bmp(img[yi][:, xi]))
+                payloads.append(
+                    encode_bmp(_resample_nearest(img, width, height))
+                )
                 ids.append(int(doc_id))
             yield pd.DataFrame(
                 {

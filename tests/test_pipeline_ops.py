@@ -328,8 +328,48 @@ def test_frame_sample(docs):
 
 
 def test_resize_is_marked_stub(docs):
-    with pytest.raises(NotImplementedError):
-        MM.resize_stub(MM.to_blob_table(docs), 224, 224)
+    """With no codec hook registered, compressed-format resize fails at
+    execution with the honest NotImplementedError (now raised inside
+    the executor batch, so it surfaces through the Spark job)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        MM.resize_stub(MM.to_blob_table(docs), 224, 224).collect()
+    assert "no decode hook registered" in str(ei.value)
+
+
+def test_resize_decode_hook_injection(docs):
+    """A codec-bearing deployment registers one callable and gets
+    compressed-format resize through the unchanged operator: inject a
+    fake 'image/fake' decoder (payload bytes -> deterministic 8x8 RGB),
+    resize to 4x4, and check the output payloads are valid BMPs of the
+    target size. The BMP path (resize_bmp_images) needs no hook."""
+    import numpy as np
+
+    def fake_decode(payload: bytes):
+        base = (len(payload) % 251)
+        img = np.arange(8 * 8 * 3, dtype=np.uint32).reshape(8, 8, 3)
+        return ((img + base) % 256).astype(np.uint8)
+
+    MM.register_decode_hook("image/fake", fake_decode)
+    try:
+        out = MM.resize_stub(MM.to_blob_table(docs), 4, 4).collect()
+        assert out, "hooked resize returned nothing"
+        for r in out:
+            pixels = MM.decode_bmp(bytes(r["payload"]))
+            assert pixels.shape == (4, 4, 3)
+        # hook output matches driving the same decode+resample directly
+        row0 = MM.to_blob_table(docs).where("doc_id = 0").collect()[0]
+        want = MM._resample_nearest(
+            fake_decode(bytes(row0["payload"])), 4, 4
+        )
+        got = MM.decode_bmp(
+            bytes({r["doc_id"]: r for r in out}[0]["payload"])
+        )
+        assert (want == got).all()
+    finally:
+        MM.unregister_decode_hook("image/fake")
 
 
 # ---------------------------------------------- Spark/DuckDB parity

@@ -97,6 +97,10 @@ def test_msearch_matches_per_query(eng_oracle):
         # score ((s1+s2)+s3) against the compiled chain bit-for-bit
         "q_phrase3": '"delta gap varint"',
         "q_not": "join and not merge",
+        # flat AND-NOT family — now served by the shared-scan batcher
+        # (negated terms as weight-0 presence rows), not a fallback
+        "q_not2": "spark and join and not merge",
+        "q_not_or": "spark and not (merge or shuffle)",
         "q_prec": "spark or planner and shuffle",
     }
     rows = engine.msearch(batch, top_k=5).collect()
