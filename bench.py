@@ -157,6 +157,35 @@ def main() -> None:
     eng.msearch(phrases8, top_k=10).collect()
     timings["q_msearch_phrase8"] = round(time.time() - t0, 3)
 
+    # serving under PENDING in-place updates: fast paths + batching stay
+    # on (masked over-fetch ∪ delta resurrection arm) — compare
+    # q_single_updated / q_msearch_batch16_updated against their
+    # clean-index twins above
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        update_docs,
+    )
+
+    upd_idx = os.path.join(work, "docs_idx_upd")
+    if os.path.exists(upd_idx):
+        shutil.rmtree(upd_idx)
+    shutil.copytree(os.path.join(work, "docs_idx"), upd_idx)
+    update_docs(
+        spark,
+        upd_idx,
+        spark.createDataFrame(
+            [(0, "updated spark data text for the serving benchmark")],
+            "doc_id long, text string",
+        ),
+    )
+    ueng = SearchEngine(spark, upd_idx)
+    ueng.search_collect("spark", 5)  # warm
+    t0 = time.time()
+    ueng.search_collect("spark", 10)
+    timings["q_single_updated"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ueng.msearch(batch16, top_k=10).collect()
+    timings["q_msearch_batch16_updated"] = round(time.time() - t0, 3)
+
     # -- 3. training-pipeline ops over the documents + embeddings fixtures
     from cs_search_engine_architecture_spark.operators import (  # noqa: E402
         dedup,
@@ -173,6 +202,12 @@ def main() -> None:
     t0 = time.time()
     text_analysis.fingerprints(docs).count()
     timings["fingerprint"] = round(time.time() - t0, 3)
+    # feature-hash embedding production (the former 64-wide conditional
+    # pivot broke whole-stage codegen and ran interpreted; the
+    # narrow-then-assemble shape stays compiled)
+    t0 = time.time()
+    text_analysis.hash_embeddings(docs).count()
+    timings["hash_embeddings"] = round(time.time() - t0, 3)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
     t0 = time.time()

@@ -47,6 +47,15 @@ class SearchEngine:
         # (resurrects the new version). None on update-free indexes —
         # every fast path stays untouched then.
         self.updated_ids = indexer.load_updated_ids(spark, index_path)
+        if self.updated_ids is not None and not indexer._delta_dirs(
+            index_path
+        ):
+            # crash state: a re-update's delta-tier rebuild emptied the
+            # tier before the new delta landed. The updated ids are all
+            # tombstoned, so serving them as plain deletes fails CLOSED
+            # (docs invisible until the update replays) instead of
+            # raising on every query for a missing delta frame.
+            self.updated_ids = None
         # delta segments (add_docs) contribute postings to the WAND/
         # block-max routing threshold; world stats stay frozen (see
         # indexer.add_docs)

@@ -11,6 +11,7 @@ def get_spark(
     app_name: str = "spark-sea",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Session tuned for the inverted-index workload.
 
@@ -60,4 +61,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -67,16 +67,34 @@ def hardware_ceiling(core_levels: list[int]) -> dict:
     }
 
 
-def run_child(cores: int, input_path: str, reps: int = 1) -> None:
+def _parse_cores(spec: str) -> tuple[int, str, str, dict | None]:
+    """'32' -> 32 threads in ONE JVM (local[32]); '4x8' -> 4 executor
+    JVMs x 8 cores via local-cluster (separate heaps, GC, and shuffle
+    managers — the process topology a REAL 4-node cluster has, minus
+    the network). Returns (total_cores, master, label, extra_conf)."""
+    if "x" in spec:
+        n_exec, n_core = (int(p) for p in spec.split("x"))
+        return (
+            n_exec * n_core,
+            f"local-cluster[{n_exec},{n_core},6144]",
+            f"local-cluster[{n_exec}x{n_core}]",
+            {"spark.executor.memory": "5g"},
+        )
+    return int(spec), f"local[{spec}]", f"local[{spec}]", None
+
+
+def run_child(cores_spec: str, input_path: str, reps: int = 1) -> None:
     from cs_search_engine_architecture_spark.operators.indexer import (
         build_index,
     )
     from cs_search_engine_architecture_spark.session import get_spark
 
+    cores, master, label, extra = _parse_cores(cores_spec)
     spark = get_spark(
-        app_name=f"spark-sea-scaling-{cores}",
-        master=f"local[{cores}]",
+        app_name=f"spark-sea-scaling-{cores_spec}",
+        master=master,
         shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     import shutil
@@ -115,6 +133,7 @@ def run_child(cores: int, input_path: str, reps: int = 1) -> None:
         + json.dumps(
             {
                 "cores": cores,
+                "master": label,
                 "wall_sec": round(wall, 3),
                 "num_postings": meta["num_postings"],
                 "num_documents": meta["num_documents"],
@@ -141,10 +160,11 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        run_child(int(args.cores), args.input, args.reps)
+        run_child(args.cores, args.input, args.reps)
         return
 
-    core_levels = [int(c) for c in args.cores.split(",")]
+    core_specs = args.cores.split(",")
+    core_levels = [_parse_cores(c)[0] for c in core_specs]
     assert len(core_levels) == 2 and core_levels[1] == 4 * core_levels[0], (
         "north rule compares N vs 4N parallelism"
     )
@@ -176,11 +196,11 @@ def main() -> None:
         # levels, sized well under the machine's RAM.
         "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "32g"),
     }
-    for cores in core_levels:
+    for spec in core_specs:
         proc = subprocess.run(
             [
                 sys.executable, os.path.abspath(__file__),
-                "--child", "--cores", str(cores), "--input", input_path,
+                "--child", "--cores", spec, "--input", input_path,
                 "--reps", str(args.reps),
             ],
             capture_output=True, text=True, cwd=REPO, env=child_env,
@@ -191,7 +211,7 @@ def main() -> None:
         ]
         if not line:
             sys.stderr.write(proc.stdout + "\n" + proc.stderr)
-            raise SystemExit(f"child (cores={cores}) produced no result")
+            raise SystemExit(f"child (cores={spec}) produced no result")
         results.append(json.loads(line[0][len("CHILD_RESULT "):]))
         print(json.dumps(results[-1]))
 
@@ -213,7 +233,7 @@ def main() -> None:
         "generated_at": datetime.now(timezone.utc).isoformat(),
     }
     os.makedirs(args.out, exist_ok=True)
-    pair = f"{core_levels[0]}_{core_levels[1]}"
+    pair = "_".join(core_specs)
     with open(os.path.join(args.out, f"scaling_{pair}.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
 
@@ -231,8 +251,8 @@ terms), reference analyzer, fields = (path, content).
 
 | parallelism | wall (s) | postings | postings/sec | docs/sec |
 |---|---|---|---|---|
-| local[{core_levels[0]}] | {results[0]["wall_sec"]} | {results[0]["num_postings"]:,} | {results[0]["postings_per_sec"]:,} | {results[0]["docs_per_sec"]:,} |
-| local[{core_levels[1]}] | {results[1]["wall_sec"]} | {results[1]["num_postings"]:,} | {results[1]["postings_per_sec"]:,} | {results[1]["docs_per_sec"]:,} |
+| {results[0]["master"]} | {results[0]["wall_sec"]} | {results[0]["num_postings"]:,} | {results[0]["postings_per_sec"]:,} | {results[0]["docs_per_sec"]:,} |
+| {results[1]["master"]} | {results[1]["wall_sec"]} | {results[1]["num_postings"]:,} | {results[1]["postings_per_sec"]:,} | {results[1]["docs_per_sec"]:,} |
 
 Raw Spark scaling (P_4N / P_N) / 4 = {eff:.3f}.
 

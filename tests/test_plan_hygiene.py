@@ -34,3 +34,42 @@ def test_no_quadratic_join_shapes(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in FORBIDDEN:
         assert bad not in plan, f"{name} plans a {bad}:\n{plan[:2000]}"
+
+
+def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
+    """The update-serving frames (masked fast path ∪ delta arm, batched
+    msearch with per-query arm union) must stay free of cartesian /
+    nested-loop shapes too — they exist only on maintained indexes, so
+    the gate sweep above never builds them."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame(
+            [(3, "alpha updated text")], "doc_id long, text string"
+        ),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    frames = [
+        eng.search("alpha", 5),
+        eng.search("alpha and beta", 5),
+        eng.msearch({"a": "alpha", "b": "beta and not gamma"}, top_k=5),
+        eng.prefix_search("alp*", top_k=5),
+        eng.current_corpus(),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in FORBIDDEN:
+            assert bad not in plan, f"update-serving plans a {bad}:\n{plan[:2000]}"
