@@ -769,6 +769,70 @@ class SearchEngine:
             agg = agg.join(F.broadcast(dead), "doc_id", "left_anti")
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
+    def search_after(
+        self,
+        query: str,
+        cursor: tuple[float, int] | None = None,
+        top_k: int = 10,
+    ) -> DataFrame:
+        """Cursor-based deep pagination (Elasticsearch ``search_after``
+        shape): returns the next ``top_k`` results STRICTLY AFTER
+        ``cursor`` = (score, doc_id) of the previous page's last row, in
+        the engine's total order (score desc, doc_id asc). Stateless and
+        O(page) per call — unlike offset pagination, page N never
+        re-materializes pages 1..N-1 through the limit, and because
+        (score, doc_id) is a TOTAL order the pages partition the result
+        set exactly (no doc skipped or repeated between pages) even
+        when scores tie. Extension beyond the reference (its API returns
+        one fixed top-k). Pass the cursor values exactly as collected
+        from the previous page — the comparison is on the same double
+        column, so no rounding drift."""
+        scored = self._scored(
+            parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        )
+        if cursor is not None:
+            c_score, c_doc = float(cursor[0]), int(cursor[1])
+            scored = scored.where(
+                (F.col("score") < F.lit(c_score))
+                | (
+                    (F.col("score") == F.lit(c_score))
+                    & (F.col("doc_id") > F.lit(c_doc))
+                )
+            )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+        )
+
+    def facet_counts(
+        self,
+        query: str,
+        corpus: DataFrame,
+        facet_col: str,
+        top_n: int = 20,
+        doc_id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Facet aggregation over the FULL match set (not just top-k):
+        (facet value, matching-doc count) for every doc matching
+        ``query``, ordered (count desc, value asc) limit ``top_n`` —
+        the search-analytics sidebar. One semi-join from the corpus to
+        the matched doc_ids (shuffle on doc_id, no row widening) then a
+        partial-aggregated groupBy on the facet column; at web scale
+        both keys are near-uniform so neither side broadcasts the
+        corpus. Update/delete-aware via the same masked+arm frame every
+        other surface uses."""
+        matched = self.search_df(query).select("doc_id")
+        return (
+            corpus.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                F.col(facet_col).alias("facet"),
+            )
+            .join(matched, "doc_id", "left_semi")
+            .groupBy("facet")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("facet"))
+            .limit(top_n)
+        )
+
     def term_stats(self) -> DataFrame:
         if not hasattr(self, "_term_stats"):
             self._term_stats = indexer.load_term_stats(

@@ -1505,11 +1505,20 @@ def update_docs(
        this list — exact, because an updated doc's current postings
        live entirely in delta segments.
 
-    Constraint (raises): every id must exist in the BASE index — docs
-    added via deltas can't be updated in place before a compaction.
-    Updating a tombstoned (deleted) base id RESURRECTS it with the new
-    content — upsert semantics, which also makes crashed-update replay
-    idempotent (the tombstone-only crash state looks like a deletion).
+    Ids may live in EITHER tier:
+    * base-resident ids take the tombstone + delta + updated_ids flow;
+    * delta-resident ids (docs added via ``add_docs`` after the last
+      compaction) need no tombstone at all — their old version is
+      retired PHYSICALLY by the same targeted delta-tier rebuild that
+      re-updates use, and the new version serves through the unified
+      blocks like any other delta add. (If such an id was also
+      tombstoned — added, deleted, now upserted back — it additionally
+      joins ``updated_ids`` so the resurrection arm overrides the
+      mask.)
+    Unknown ids (in neither tier) raise. Updating a tombstoned
+    (deleted) base id RESURRECTS it with the new content — upsert
+    semantics, which also makes crashed-update replay idempotent (the
+    tombstone-only crash state looks like a deletion).
 
     An id MAY be updated repeatedly between compactions: a re-update
     first retires the previous delta version through a targeted
@@ -1534,11 +1543,27 @@ def update_docs(
     base_lens = spark.read.schema(
         f"doc_id long, {', '.join(f'fl_{f} int' for f in range(nf))}"
     ).parquet(os.path.join(index_path, "doc_lens"))
-    if ids.join(base_lens, "doc_id", "left_anti").limit(1).count():
-        raise ValueError(
-            "update_docs: some doc_ids are not in the base index (docs "
-            "added via deltas need compact_index before in-place update)"
+    delta_ids = None
+    not_in_base = ids.join(base_lens, "doc_id", "left_anti")
+    if not_in_base.limit(1).count():
+        # ids outside the base must be delta-resident (added after the
+        # last compaction) — anything else is unknown and raises
+        staged = None
+        for d in _delta_dirs(index_path):
+            part = spark.read.parquet(os.path.join(d, "corpus")).select(
+                F.col(id_col).cast("long").alias("doc_id")
+            )
+            staged = part if staged is None else staged.unionByName(part)
+        missing = (
+            not_in_base if staged is None
+            else not_in_base.join(staged, "doc_id", "left_anti")
         )
+        if missing.limit(1).count():
+            raise ValueError(
+                "update_docs: some doc_ids exist in neither the base "
+                "index nor any delta segment — new docs are add_docs"
+            )
+        delta_ids = not_in_base.localCheckpoint()
     prev = load_updated_ids(spark, index_path)
     re_ids = None
     if prev is not None:
@@ -1552,18 +1577,26 @@ def update_docs(
     # This is also what makes replaying a CRASHED update idempotent:
     # the crash state "tombstone written, delta/updated_ids missing" is
     # indistinguishable from a deletion, and the replay must proceed.
+    retire = None  # ids whose CURRENT delta version must be retired
     if re_ids is not None:
-        # RE-update between compactions: retire the stale delta version
-        # first via a targeted delta-tier rebuild that excludes the
-        # re-updated ids (frozen stats — every other delta doc's score
-        # is bit-identical; cost bounded by the delta tier, the base
-        # index is untouched). After it each re-updated id again has
-        # ZERO delta versions, so the normal one-version-per-id flow
-        # below applies unchanged and the serving arm stays a single
-        # delta-wide compile.
-        re_ids = re_ids.localCheckpoint()  # pin before the tier rewrite
+        retire = re_ids.localCheckpoint()  # pin before the tier rewrite
+    if delta_ids is not None:
+        retire = (
+            delta_ids if retire is None
+            else retire.unionByName(delta_ids).distinct()
+        )
+    if retire is not None:
+        # Retire stale delta versions via a targeted delta-tier rebuild
+        # that excludes them (frozen stats — every other delta doc's
+        # score is bit-identical; cost bounded by the delta tier, the
+        # base index is untouched). After it each retired id has ZERO
+        # delta versions, so the one-version-per-id flow below applies
+        # unchanged and the serving arm stays a single delta-wide
+        # compile. Covers both RE-updates (old version = a previous
+        # update's delta) and updates of delta-ADDED docs (old version
+        # = the original add — no tombstone involved at all).
         _rebuild_deltas(
-            spark, index_path, _delta_dirs(index_path), exclude_ids=re_ids
+            spark, index_path, _delta_dirs(index_path), exclude_ids=retire
         )
 
     # Crash ordering: tombstone FIRST, delta second, updated_ids last —
@@ -1578,13 +1611,36 @@ def update_docs(
     # Replay of a crashed update (same `segment`) is idempotent: the
     # tombstone append dedupes at read, add_docs overwrites the slot,
     # the updated_ids append dedupes at read.
-    delete_docs(spark, index_path, ids)
+    # Only BASE-resident ids tombstone (their old version is masked,
+    # not removed); delta-resident ids' old versions are already gone
+    # via the rebuild above. updated_ids = base ids ∪ delta ids that
+    # carry a pre-existing tombstone (added→deleted→upserted: the arm
+    # must override the mask); plain delta-resident updates need
+    # neither mask nor arm.
+    base_ids = (
+        ids if delta_ids is None
+        else ids.join(delta_ids, "doc_id", "left_anti").localCheckpoint()
+    )
+    have_base = delta_ids is None or base_ids.limit(1).count() > 0
+    arm_ids = base_ids if have_base else None
+    if delta_ids is not None:
+        tomb = load_tombstones(spark, index_path)
+        if tomb is not None:
+            dead_delta = delta_ids.join(tomb, "doc_id", "left_semi")
+            if dead_delta.limit(1).count():
+                arm_ids = (
+                    dead_delta if arm_ids is None
+                    else arm_ids.unionByName(dead_delta).distinct()
+                )
+    if have_base:
+        delete_docs(spark, index_path, base_ids)
     delta_meta = add_docs(
         spark, index_path, new_docs, check_ids=False, segment=segment
     )
-    ids.coalesce(1).write.mode("append").parquet(
-        os.path.join(index_path, "updated_ids")
-    )
+    if arm_ids is not None:
+        arm_ids.coalesce(1).write.mode("append").parquet(
+            os.path.join(index_path, "updated_ids")
+        )
     return delta_meta
 
 

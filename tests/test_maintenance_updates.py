@@ -174,16 +174,33 @@ def test_random_update_sequences_match_rebuild(spark, tmp_path):
     vocab = ["spark", "join", "merge", "plan", "block", "qqv", "qqw"]
     out = _build(spark, tmp_path)
     current = {d: t for d, t in DOCS}
-    for step in range(4):
-        batch_ids = rng.sample(sorted(current), rng.randint(1, 3))
-        rows = []
-        for d in batch_ids:
-            text = " ".join(
-                rng.choice(vocab) for _ in range(rng.randint(3, 7))
-            )
-            current[d] = text
-            rows.append((d, text))
-        indexer.update_docs(spark, out, _df(spark, rows))
+    next_id = 100
+
+    def rand_text() -> str:
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 7)))
+
+    for step in range(6):
+        op = rng.random()
+        if op < 0.25:
+            # add a brand-new doc (delta tier)
+            text = rand_text()
+            indexer.add_docs(spark, out, _df(spark, [(next_id, text)]))
+            current[next_id] = text
+            next_id += 1
+        elif op < 0.40 and len(current) > 4:
+            # delete a doc (either tier)
+            victim = rng.choice(sorted(current))
+            indexer.delete_docs(spark, out, [victim])
+            del current[victim]
+        else:
+            # update 1-3 existing docs — base- or delta-resident
+            batch_ids = rng.sample(sorted(current), rng.randint(1, 3))
+            rows = []
+            for d in batch_ids:
+                text = rand_text()
+                current[d] = text
+                rows.append((d, text))
+            indexer.update_docs(spark, out, _df(spark, rows))
 
     eng = SearchEngine(spark, out, cache=False)
     for term in vocab:
@@ -240,3 +257,71 @@ def test_random_update_sequences_match_rebuild(spark, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in ef.search(q, 20).collect()]
         b = [(r["doc_id"], r["score"]) for r in ec.search(q, 20).collect()]
         assert a == b, f"query {q!r}: fresh {a} != compacted {b}"
+
+
+def test_update_delta_added_doc(spark, tmp_path):
+    """Updating a doc that was ADDED via add_docs (delta-resident, not
+    in base) retires the old delta version physically — no tombstone,
+    no updated_ids entry, so the engine keeps every fast path — and the
+    new version serves everywhere."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqfirst version here")]))
+    indexer.update_docs(
+        spark, out, _df(spark, [(100, "qqsecond version qqfresh")])
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng.updated_ids is None  # no arm machinery engaged
+    assert eng.tombstones is None  # and no mask either
+    assert [r["doc_id"] for r in eng.search("qqfresh", 10).collect()] == [100]
+    assert eng.search("qqfirst", 10).count() == 0
+    cur = {r["doc_id"]: r["text"] for r in eng.current_corpus().collect()}
+    assert cur[100] == "qqsecond version qqfresh"
+
+    # unknown id (in neither tier) still raises
+    with pytest.raises(ValueError):
+        indexer.update_docs(spark, out, _df(spark, [(555, "nope")]))
+
+
+def test_update_delta_added_then_deleted_doc(spark, tmp_path):
+    """added -> deleted -> update = upsert back: the pre-existing
+    tombstone stays, the id joins updated_ids so the resurrection arm
+    overrides the mask, and the doc serves its newest text."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(200, "qqghost original")]))
+    indexer.delete_docs(spark, out, [200])
+    indexer.update_docs(
+        spark, out, _df(spark, [(200, "qqghost qqrisen anew")])
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng.search("qqrisen", 10).collect()] == [200]
+    ranked = [r["doc_id"] for r in eng.search("qqghost", 10).collect()]
+    assert ranked.count(200) == 1  # exactly one live version
+    assert eng.search("original", 10).count() == 0
+    cur = {r["doc_id"]: r["text"] for r in eng.current_corpus().collect()}
+    assert cur[200] == "qqghost qqrisen anew"
+    # compaction folds it with no special casing
+    compacted = str(tmp_path / "compacted")
+    indexer.compact_index(spark, out, compacted)
+    ec = SearchEngine(spark, compacted, cache=False)
+    assert [r["doc_id"] for r in ec.search("qqrisen", 10).collect()] == [200]
+
+
+def test_update_mixed_base_and_delta_batch(spark, tmp_path):
+    """One update batch touching a base doc AND a delta-added doc takes
+    both flows at once; each serves its new version, neither leaks an
+    old one."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(300, "qqdelta doc text")]))
+    indexer.update_docs(
+        spark, out,
+        _df(spark, [(0, "qqbasenew spark"), (300, "qqdeltanew spark")]),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng.search("qqbasenew", 10).collect()] == [0]
+    assert [r["doc_id"] for r in eng.search("qqdeltanew", 10).collect()] == [300]
+    assert eng.search("qqdelta", 10).count() == 0  # old delta text gone
+    assert all(
+        r["doc_id"] != 0 for r in eng.search("shuffle", 10).collect()
+    )  # old base text masked
+    ranked = [r["doc_id"] for r in eng.search("spark", 20).collect()]
+    assert ranked.count(0) == 1 and ranked.count(300) == 1

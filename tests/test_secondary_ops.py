@@ -248,3 +248,76 @@ def test_listnet_training_learns(tmp_path):
     rel = x @ true_w
     pred = scorer.score(x)
     assert np.argmax(pred) in np.argsort(-rel)[:3]
+
+
+def test_search_after_pagination_partitions_results(spark, tmp_path):
+    """Cursor pagination: walking pages of 3 reproduces the full ranked
+    result exactly — no doc skipped or repeated across page boundaries,
+    including score ties — and stays correct on a maintained index."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [(i, "alpha common text" + (" beta" if i % 3 == 0 else ""))
+            for i in range(17)]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame([(5, "alpha updated")], "doc_id long, text string"),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    full = [(r["doc_id"], r["score"])
+            for r in eng.search("alpha", top_k=100).collect()]
+    assert len(full) == 17  # every doc matches; plenty of tied scores
+
+    paged, cursor = [], None
+    for _ in range(10):
+        rows = eng.search_after("alpha", cursor=cursor, top_k=3).collect()
+        if not rows:
+            break
+        paged.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert paged == full
+
+
+def test_facet_counts_full_match_set(spark, tmp_path):
+    """Facet counts aggregate over ALL matching docs (not top-k), with
+    (count desc, value asc) ordering, and respect deletes."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [(i, "common alpha" if i % 2 == 0 else "other beta",
+             ["en", "fr", "de"][i % 3]) for i in range(30)]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    got = [(r["facet"], r["doc_count"])
+           for r in eng.facet_counts("alpha", corpus, "lang").collect()]
+    expect: dict[str, int] = {}
+    for i, text, lang in docs:
+        if i % 2 == 0:
+            expect[lang] = expect.get(lang, 0) + 1
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+
+    # deletes shrink the counts
+    victims = [i for i in range(30) if i % 2 == 0 and i % 3 == 0][:2]
+    indexer.delete_docs(spark, out, victims)
+    eng2 = SearchEngine(spark, out, cache=False)
+    got2 = dict(
+        (r["facet"], r["doc_count"])
+        for r in eng2.facet_counts("alpha", eng2.current_corpus(), "lang").collect()
+    )
+    assert got2["en"] == expect["en"] - len(victims)
