@@ -30,6 +30,7 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_path: str, cache: bool = True):
         self.spark = spark
         self.index_path = index_path
+        self._cache = cache
         self.meta = indexer.load_meta(index_path)
         self.blocks = indexer.load_blocks(spark, index_path)
         if cache:
@@ -63,6 +64,29 @@ class SearchEngine:
             self.meta["num_postings"] = (
                 self.meta.get("num_postings", 0) + dm["num_postings"]
             )
+
+    def refresh(self) -> "SearchEngine":
+        """Re-read the index's maintenance state IN PLACE — the NRT
+        serving-loop primitive: after ``add_docs`` / ``delete_docs`` /
+        ``update_docs`` / ``merge_deltas`` (or a live-ingest micro-batch)
+        land on disk, ``refresh()`` makes this engine serve them without
+        constructing a new object or re-warming callers' references.
+        Drops every derived cache (persisted unified blocks, pre-sharded
+        WAND frame, block metadata, term stats, compilers, counts) and
+        re-runs initialization; returns self for chaining."""
+        if self._cache:
+            self.blocks.unpersist()
+        if hasattr(self, "_wand_sharded_df"):
+            self._wand_sharded_df.unpersist()
+        for attr in (
+            "_delta_blocks", "_base_blocks", "_upd_compiler",
+            "_tomb_count", "_upd_count", "_wand_sharded_df",
+            "_block_meta_cache", "_term_stats", "_kgram",
+        ):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        self.__init__(self.spark, self.index_path, cache=self._cache)
+        return self
 
     def search_df(self, query: str) -> DataFrame:
         """Full (unlimited) scored result set for ``query``."""

@@ -306,6 +306,73 @@ def build_ivf_index(
         json.dump(cents.tolist(), fh)
 
 
+def ivf_add(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+) -> None:
+    """FROZEN-CENTROID append — the vector-tier analog of the text
+    index's frozen-stats ``add_docs``: new vectors are assigned to the
+    centroids baked at build time and appended to the existing cell
+    directories, so the very next probe picks them up through the same
+    ``cell IN (...)`` partition pruning with no rebuild. Centroid
+    geometry is a statistic frozen at build (recall for the new vectors
+    degrades only if their distribution drifts off the trained
+    centroids); rebuilding via ``build_ivf_index`` with fresh k-means
+    is the compaction. ``quantized=True`` appends int8 codes to a
+    ``build_ivf_index_quantized`` index — assignment still runs on the
+    full-precision vectors, exactly like the build."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "centroids.json")) as fh:
+        cents = np.asarray(json.load(fh), dtype=np.float64)
+    assigned = ivf_assign(new_emb, cents, id_col, vec_col)
+    if quantized:
+        out = quantize_embeddings(
+            assigned, id_col="id", vec_col="v", keep=["cell"]
+        ).withColumnRenamed("id", id_col)
+    else:
+        out = assigned.withColumnRenamed("id", id_col).withColumnRenamed(
+            "v", vec_col
+        )
+    out.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_path, "cells")
+    )
+
+
+def ivf_delete(spark, index_path: str, ids) -> int:
+    """Tombstone vectors out of a persisted IVF index (append-only,
+    deduped at read — the same mask discipline as the text tier's
+    ``delete_docs``). Probes anti-join the mask broadcast-side; the
+    cell files are untouched until a rebuild."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+    else:
+        df = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    n = df.count()
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "tombstones")
+    )
+    return n
+
+
+def _ivf_tombstones(spark, index_path: str) -> DataFrame | None:
+    import os
+
+    path = os.path.join(index_path, "tombstones")
+    if not os.path.exists(path):
+        return None
+    return spark.read.schema("id long").parquet(path).distinct()
+
+
 def probe_cells(centroids, qvec, n_probe: int) -> list[int]:
     """The n_probe cells nearest the query (d2 asc, cell asc — same
     left-fold metric and tie-break as assignment)."""
@@ -341,8 +408,11 @@ def ivf_search(
         spark.read.parquet(os.path.join(index_path, "cells"))
         .where(F.col("cell").isin(probe))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("q", _qvec_lit(qvec))
     )
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), "id", "left_anti")
+    cand = cand.withColumn("q", _qvec_lit(qvec))
     cos = (
         F.expr(D.dot_product(D.SPARK, "v", "q"))
         / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
@@ -572,4 +642,7 @@ def ivf_search_quantized(
         .where(F.col("cell").isin(probe))
         .select(F.col(id_col).alias("id"), "qvec", "qnorm")
     )
+    tomb = _ivf_tombstones(spark, index_path)
+    if tomb is not None:
+        cand = cand.join(F.broadcast(tomb), "id", "left_anti")
     return quantized_cosine_topk(cand, q8, qn, k)

@@ -1016,3 +1016,124 @@ def test_real_media_features_and_resize(spark):
         yi = (np.arange(3) * h // 3).clip(0, h - 1)
         xi = (np.arange(4) * w // 4).clip(0, w - 1)
         assert np.array_equal(out, src[yi][:, xi])
+
+
+def test_ivf_add_and_delete_maintenance(spark, tmp_path):
+    """Frozen-centroid IVF maintenance: appended vectors serve through
+    the same partition-pruned probe immediately (no rebuild), deleted
+    ids vanish via the broadcast tombstone mask, and a full probe over
+    base ∪ added − deleted equals brute force over the same set."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, num_centroids=8, sample=200)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, cents)
+
+    # append: a vector identical to a known query retrieves itself top-1
+    new_rows = [(1000, rows[7][1]), (1001, [rng.gauss(0, 1) for _ in range(64)])]
+    SIM.ivf_add(
+        spark,
+        path,
+        spark.createDataFrame(new_rows, "vec_id long, embedding array<float>"),
+    )
+    qvec = rows[7][1]
+    got = SIM.ivf_search(spark, path, qvec, k=3, n_probe=len(cents)).collect()
+    assert {got[0]["id"], got[1]["id"]} == {7, 1000}  # both exact matches
+    # probe stays partition-pruned after the append
+    plan = (
+        SIM.ivf_search(spark, path, qvec, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell" in plan
+
+    # delete one of the twins: it disappears from the probe
+    SIM.ivf_delete(spark, path, [1000])
+    got2 = SIM.ivf_search(spark, path, qvec, k=3, n_probe=len(cents)).collect()
+    ids2 = [r["id"] for r in got2]
+    assert 1000 not in ids2 and ids2[0] == 7
+
+    # full probe over the maintained index == brute force over the
+    # equivalent frame (base ∪ adds − deletes)
+    current = spark.createDataFrame(
+        rows + [new_rows[1]], "vec_id long, embedding array<float>"
+    )
+    full = SIM.ivf_search(spark, path, qvec, k=6, n_probe=len(cents)).collect()
+    exact = SIM.brute_force_topk(current, qvec, k=6).collect()
+    assert [(r["id"], r["cos"]) for r in full] == [
+        (r["id"], r["cos"]) for r in exact
+    ]
+
+
+def test_ivf_add_quantized(spark, tmp_path):
+    """The quantized tier appends with the same frozen-centroid
+    semantics (assignment on full-precision vectors, int8 codes
+    stored); tombstones mask there too."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(emb, num_centroids=4, sample=150)
+    path = str(tmp_path / "ivfq")
+    SIM.build_ivf_index_quantized(emb, path, cents)
+    SIM.ivf_add(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(500, rows[3][1])], "vec_id long, embedding array<float>"
+        ),
+        quantized=True,
+    )
+    qvec = rows[3][1]
+    got = SIM.ivf_search_quantized(
+        spark, path, qvec, k=2, n_probe=len(cents)
+    ).collect()
+    assert {r["id"] for r in got} == {3, 500}
+    SIM.ivf_delete(spark, path, [500])
+    got2 = SIM.ivf_search_quantized(
+        spark, path, qvec, k=2, n_probe=len(cents)
+    ).collect()
+    assert 500 not in {r["id"] for r in got2}
+
+
+def test_engine_refresh_picks_up_maintenance(spark, tmp_path):
+    """engine.refresh() re-reads deltas/tombstones/updated_ids in place
+    — the NRT serving-loop primitive — including dropping the persisted
+    blocks cache so new delta postings serve immediately."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"shared term doc{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out)  # cache=True — the hard case
+    assert eng.search("shared", 10).count() == 6
+
+    indexer.add_docs(
+        spark, out,
+        spark.createDataFrame([(100, "shared qqnew")], "doc_id long, text string"),
+    )
+    indexer.delete_docs(spark, out, [2])
+    eng.refresh()
+    got = {r["doc_id"] for r in eng.search("shared", 10).collect()}
+    assert 100 in got and 2 not in got and len(got) == 6
+    assert [r["doc_id"] for r in eng.search("qqnew", 5).collect()] == [100]
+
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame([(0, "qqupdated only")], "doc_id long, text string"),
+    )
+    eng.refresh()
+    assert [r["doc_id"] for r in eng.search("qqupdated", 5).collect()] == [0]
+    assert all(r["doc_id"] != 0 for r in eng.search("shared", 10).collect())
