@@ -827,6 +827,35 @@ class SearchEngine:
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
         )
 
+    def filtered_search(
+        self,
+        query: str,
+        corpus: DataFrame,
+        predicate,
+        top_k: int = 10,
+        doc_id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Metadata-filtered search: the top ``top_k`` of ``query``
+        restricted to corpus rows satisfying ``predicate`` (a SQL
+        string or Column — e.g. ``"lang = 'en' AND source != 'spam'"``).
+        The filter runs on the corpus scan (predicate pushdown applies)
+        and restricts the scored frame via a doc_id semi-join — scores
+        are the UNfiltered BM25 (Lucene's filter-context semantics:
+        filters select, they never score), so the same doc ranks
+        identically under any filter that admits it. At scale both
+        sides shuffle on doc_id; a selective filter side is
+        broadcast-eligible and AQE decides. Update/delete-aware via the
+        same masked+arm frame as every surface."""
+        allowed = corpus.where(predicate).select(
+            F.col(doc_id_col).cast("long").alias("doc_id")
+        )
+        return (
+            self.search_df(query)
+            .join(allowed, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
     def facet_counts(
         self,
         query: str,

@@ -321,3 +321,48 @@ def test_facet_counts_full_match_set(spark, tmp_path):
         for r in eng2.facet_counts("alpha", eng2.current_corpus(), "lang").collect()
     )
     assert got2["en"] == expect["en"] - len(victims)
+
+
+def test_filtered_search_filter_context_semantics(spark, tmp_path):
+    """Metadata filters SELECT but never SCORE (Lucene filter-context):
+    a filtered result is exactly the unfiltered ranking restricted to
+    the admitted doc set, scores unchanged; deletes still mask."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [(i, "alpha shared" + (" rare" if i in (4, 9) else ""),
+             ["en", "fr"][i % 2]) for i in range(12)]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("alpha or rare", 100).collect()
+    }
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.filtered_search(
+            "alpha or rare", corpus, "lang = 'en'", top_k=100
+        ).collect()
+    ]
+    assert all(d % 2 == 0 for d, _ in got)
+    assert {d for d, _ in got} == {d for d in unfiltered if d % 2 == 0}
+    assert all(s == unfiltered[d] for d, s in got)  # scores untouched
+    # ranking order is the unfiltered order restricted to the filter set
+    want_order = [d for d in sorted(
+        unfiltered, key=lambda d: (-unfiltered[d], d)
+    ) if d % 2 == 0]
+    assert [d for d, _ in got] == want_order
+    # deletes mask inside the filter too
+    indexer.delete_docs(spark, out, [4])
+    eng2 = SearchEngine(spark, out, cache=False)
+    got2 = {r["doc_id"] for r in eng2.filtered_search(
+        "alpha or rare", corpus, "lang = 'en'", top_k=100
+    ).collect()}
+    assert 4 not in got2 and got2 == {d for d, _ in got} - {4}
