@@ -332,6 +332,20 @@ def ivf_add(
 
     with open(os.path.join(index_path, "centroids.json")) as fh:
         cents = np.asarray(json.load(fh), dtype=np.float64)
+    # tier guard: appending the wrong payload shape would not fail loudly
+    # (probes read with an enforced schema and would silently null the
+    # missing columns) — check the existing cells' schema up front
+    existing = new_emb.sparkSession.read.parquet(
+        os.path.join(index_path, "cells")
+    )
+    is_quantized_index = "qvec" in existing.columns
+    if is_quantized_index != quantized:
+        raise ValueError(
+            f"ivf_add: index at {index_path} is "
+            f"{'quantized' if is_quantized_index else 'full-precision'} "
+            f"but quantized={quantized} was passed — the appended rows "
+            "would be unreadable by its probes"
+        )
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
     if quantized:
         out = quantize_embeddings(

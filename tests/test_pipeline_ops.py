@@ -1137,3 +1137,23 @@ def test_engine_refresh_picks_up_maintenance(spark, tmp_path):
     eng.refresh()
     assert [r["doc_id"] for r in eng.search("qqupdated", 5).collect()] == [0]
     assert all(r["doc_id"] != 0 for r in eng.search("shared", 10).collect())
+
+
+def test_ivf_add_tier_guard(spark, tmp_path):
+    """Appending the wrong precision tier raises instead of silently
+    writing rows the probes would null out."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.fixed_vec_centroids(emb, 2)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, cents)
+    with pytest.raises(ValueError):
+        SIM.ivf_add(spark, path, emb.limit(1), quantized=True)
+    qpath = str(tmp_path / "ivfq")
+    SIM.build_ivf_index_quantized(emb, qpath, cents)
+    with pytest.raises(ValueError):
+        SIM.ivf_add(spark, qpath, emb.limit(1), quantized=False)
+
