@@ -1,0 +1,227 @@
+"""Interactive serving REPL — parity with the reference's serve loop
+(``sea/main.py:52-131``): load the engine once, then answer queries in
+exact / semantic / combined mode with an LTR toggle, plus the Spark-side
+extensions the reference doesn't have (cursor pagination, metadata
+filters, facet sidebars, maintenance status).
+
+    python jobs/serve.py --index /path/idx [--corpus c.parquet]
+        [--embeddings e.parquet] [--ltr-weights w.npz] [--cores 8]
+
+Commands at the prompt (any other line is a query):
+    mode:exact | mode:semantic | mode:combined   select search mode
+    enable:ltr | disable:ltr                     toggle the re-ranker
+    topk:N                                       result page size
+    filter:<sql-predicate> | filter:off          metadata filter (needs --corpus)
+    facet:<column> | facet:off                   facet counts per query (needs --corpus)
+    next                                         next page of the last query
+    status                                       index maintenance state
+    refresh                                      re-read deltas/tombstones
+    exit
+
+Semantic/combined modes embed the query with the deterministic
+feature-hash embedder (``hash_embed_text``) — pair them with a corpus
+embedded by ``text_analysis.hash_embeddings`` (the honest stand-in for
+a learned model, which this environment doesn't ship; the reference
+loads a sentence-transformer at ``sea/engine.pyx:161-176``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cs_search_engine_architecture_spark.engine import SearchEngine  # noqa: E402
+from cs_search_engine_architecture_spark.operators.text_analysis import (  # noqa: E402
+    hash_embed_text,
+)
+from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
+
+
+def _print_rows(rows, corpus_text: dict | None) -> None:
+    for r in rows:
+        d = r.asDict()
+        doc_id = d.pop("doc_id")
+        fields = "  ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in d.items()
+        )
+        line = f"  #{doc_id}  {fields}"
+        if corpus_text and doc_id in corpus_text:
+            line += f"  | {corpus_text[doc_id][:80]}"
+        print(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--embeddings", default=None)
+    ap.add_argument("--ltr-weights", default=None)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="spark-sea-serve",
+        master=f"local[{args.cores}]" if args.cores else None,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    eng = SearchEngine(spark, args.index)
+    corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    print(f"loaded in {(time.time() - t0) * 1000:.1f} ms")
+
+    mode, ltr_on, top_k = "exact", False, 10
+    filt: str | None = None
+    facet: str | None = None
+    last_query: str | None = None
+    cursor = None
+    while True:
+        try:
+            line = input(f"({mode}{'+ltr' if ltr_on else ''}) search: ")
+        except EOFError:
+            break
+        line = line.strip()
+        if not line:
+            continue
+        low = line.lower()
+        if low == "exit":
+            break
+        if low.startswith("mode:"):
+            want = low.split(":", 1)[1]
+            if want not in ("exact", "semantic", "combined"):
+                print("- modes: exact, semantic, combined")
+                continue
+            if want in ("semantic", "combined") and emb is None:
+                print("- semantic modes need --embeddings")
+                continue
+            if want == "combined" and not ltr_on and args.ltr_weights:
+                ltr_on = True
+                print("- enabled ltr (combined mode reranks)")
+            mode = want
+            print(f"- switched to {mode}")
+            continue
+        if low == "enable:ltr":
+            if not args.ltr_weights:
+                print("- no --ltr-weights given")
+                continue
+            ltr_on = True
+            print("- ltr enabled")
+            continue
+        if low == "disable:ltr":
+            ltr_on = False
+            if mode == "combined":
+                mode = "exact"
+                print("- combined needs ltr; back to exact")
+            print("- ltr disabled")
+            continue
+        if low.startswith("topk:"):
+            top_k = max(1, int(low.split(":", 1)[1]))
+            print(f"- top_k = {top_k}")
+            continue
+        if low.startswith("filter:"):
+            pred = line.split(":", 1)[1]
+            if pred.lower() == "off":
+                filt = None
+                print("- filter off")
+            elif corpus is None:
+                print("- filters need --corpus")
+            else:
+                filt = pred
+                print(f"- filter: {filt}")
+            continue
+        if low.startswith("facet:"):
+            col = line.split(":", 1)[1]
+            if col.lower() == "off":
+                facet = None
+                print("- facets off")
+            elif corpus is None:
+                print("- facets need --corpus")
+            else:
+                facet = col
+                print(f"- facet column: {facet}")
+            continue
+        if low == "status":
+            import json as _json
+
+            from cs_search_engine_architecture_spark.operators import indexer
+
+            print(_json.dumps({
+                "num_postings": eng.meta.get("num_postings"),
+                "tombstones": eng._num_tombstones(),
+                "updated_docs": eng._num_updated(),
+                "delta_segments": len(indexer.load_delta_metas(eng.index_path)),
+            }))
+            continue
+        if low == "refresh":
+            eng.refresh()
+            print("- refreshed")
+            continue
+        if low == "next":
+            if last_query is None or mode != "exact":
+                print("- pagination follows an exact-mode query")
+                continue
+            query = last_query
+        else:
+            query, cursor = line, None
+            last_query = line
+
+        t0 = time.time()
+        paged = False
+        if mode == "exact":
+            if filt is not None:
+                # filters don't paginate (a 'next' would silently drop
+                # the predicate) — raise topk instead
+                res = eng.filtered_search(query, corpus, filt, top_k)
+            elif ltr_on and low != "next":
+                res = eng.search(
+                    query, top_k, ltr_enabled=True,
+                    ltr_weights=args.ltr_weights,
+                )
+            else:
+                res = eng.search_after(query, cursor=cursor, top_k=top_k)
+                paged = True
+            rows = res.collect()
+            if paged and rows:
+                cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+        elif mode == "semantic":
+            rows = eng.semantic_search(
+                emb, hash_embed_text(query), top_k
+            ).collect()
+        else:
+            rows = eng.combined_search(
+                query, emb, hash_embed_text(query), top_k,
+                ltr_weights=args.ltr_weights if ltr_on else None,
+            ).collect()
+        took = (time.time() - t0) * 1000
+
+        text_map = None
+        if corpus is not None and rows:
+            ids = [r["doc_id"] for r in rows]
+            tcol = next(
+                (c for c in corpus.columns if c in ("text", "content")), None
+            )
+            if tcol:
+                text_map = {
+                    r["doc_id"]: r[tcol]
+                    for r in corpus.where(
+                        corpus["doc_id"].isin(ids)
+                    ).select("doc_id", tcol).collect()
+                }
+        _print_rows(rows, text_map)
+        if facet is not None and mode == "exact":
+            fc = eng.facet_counts(query, corpus, facet, top_n=8).collect()
+            print("  facets: " + ", ".join(
+                f"{r['facet']}={r['doc_count']}" for r in fc
+            ))
+        print(f"- {len(rows)} rows in {took:.1f} ms"
+              + ("  (type 'next' for more)" if paged else ""))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
