@@ -366,3 +366,40 @@ def test_filtered_search_filter_context_semantics(spark, tmp_path):
         "alpha or rare", corpus, "lang = 'en'", top_k=100
     ).collect()}
     assert 4 not in got2 and got2 == {d for d, _ in got} - {4}
+
+
+def test_serve_repl_smoke(spark, tmp_path):
+    """jobs/serve.py driven end-to-end through a pipe: mode/topk/filter/
+    facet/next/status/refresh commands all execute against a real index
+    and the process exits cleanly."""
+    import subprocess
+    import sys
+    import os
+
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    out = str(tmp_path / "idx")
+    docs = [(i, "alpha beta" + (" gamma" if i % 2 else ""),
+             ["en", "fr"][i % 2]) for i in range(8)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "topk:3\nalpha\nnext\nfilter:lang = 'en'\nalpha\nfilter:off\n"
+        "facet:lang\nalpha or gamma\nstatus\nrefresh\nexit\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "serve.py"),
+         "--index", out, "--corpus", src, "--cores", "2"],
+        input=script, capture_output=True, text=True, timeout=240, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "rows in" in proc.stdout
+    assert "facets:" in proc.stdout
+    assert '"tombstones": 0' in proc.stdout
+    assert "- refreshed" in proc.stdout
