@@ -78,6 +78,12 @@ class SearchEngine:
             self.blocks.unpersist()
         if hasattr(self, "_wand_sharded_df"):
             self._wand_sharded_df.unpersist()
+        if hasattr(self, "_kgram"):
+            # the k-gram spelling indexes are persist()ed per threshold
+            # — delattr alone would strand them in the CacheManager and
+            # leak storage memory on every refresh of a long-lived server
+            for df in self._kgram.values():
+                df.unpersist()
         for attr in (
             "_delta_blocks", "_base_blocks", "_upd_compiler",
             "_tomb_count", "_upd_count", "_wand_sharded_df",

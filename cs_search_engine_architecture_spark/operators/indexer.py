@@ -1259,36 +1259,37 @@ def compact_index(
     return build_index(spark, corpus, out_path, **kwargs)
 
 
-# reserved slot for an in-flight delta-tier rebuild — never served
-_MERGE_TMP_SLOT = 99_999
+# staging dir for an in-flight delta-tier rebuild. Deliberately OUTSIDE
+# the numeric delta_* namespace: live-ingest segments are numbered
+# LIVE_SEGMENT_BASE + batch_id with no upper bound, so ANY reserved
+# numeric slot could eventually collide with a real segment (and a
+# recovery pass would then delete live data); a name the delta glob
+# cannot match never can.
+_MERGE_TMP_RELDIR = os.path.join("work", "merge_tmp_segment")
 
 
 def _delta_dirs(index_path: str) -> list[str]:
     """Ordered delta-segment dirs under the index (empty when none).
-    The reserved merge-tmp slot is excluded: an in-flight (or crashed)
-    rebuild must never be served alongside the dirs it was built from —
-    that would double-score every delta doc (fail-open)."""
+    An in-flight rebuild's staging dir lives under ``work/`` and is
+    structurally invisible here — no crash state can serve the merged
+    copy alongside the dirs it was built from (which would double-score
+    every delta doc)."""
     import glob as _glob
 
-    tmp = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
-    return sorted(
-        d
-        for d in _glob.glob(os.path.join(index_path, "delta_[0-9]*"))
-        if os.path.abspath(d) != os.path.abspath(tmp)
-    )
+    return sorted(_glob.glob(os.path.join(index_path, "delta_[0-9]*")))
 
 
 def _recover_merge(index_path: str) -> None:
     """Finish or roll back a crashed ``_rebuild_deltas``. The commit
-    marker (written AFTER the tmp segment is complete, removed after the
-    rename) decides which: marker present -> the merge was committed,
-    finish it (remove surviving old dirs, rename tmp to slot 0); marker
-    absent -> the tmp is uncommitted scratch, drop it (the old dirs are
-    still authoritative and intact). Either way every serving state in
-    between is consistent because ``_delta_dirs`` never lists the tmp."""
+    marker (written AFTER the staged segment is complete, removed after
+    the rename) decides which: marker present -> the merge was
+    committed, finish it (remove surviving old dirs, move the staged
+    segment to slot 0); marker absent -> the staging dir is uncommitted
+    scratch, drop it (the old dirs are still authoritative and
+    intact)."""
     import shutil
 
-    tmp = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
+    tmp = os.path.join(index_path, _MERGE_TMP_RELDIR)
     marker = os.path.join(index_path, "work", "merge_commit")
     if os.path.exists(marker):
         if os.path.exists(os.path.join(tmp, "meta.json")):
@@ -1312,6 +1313,7 @@ def add_docs(
     new_docs: DataFrame,
     check_ids: bool = True,
     segment: int | None = None,
+    out_dir: str | None = None,
 ) -> dict:
     """Append ``new_docs`` as a delta segment with FROZEN-STATS scoring.
 
@@ -1327,9 +1329,12 @@ def add_docs(
     table — the union of base + delta scans with the same pushdown.
 
     ``check_ids`` rejects doc_ids that already exist (adds are inserts;
-    express updates as delete + compact). Returns the delta's meta."""
-    if segment != _MERGE_TMP_SLOT:
-        # (the tmp-slot caller IS the rebuild — don't recover under it)
+    express updates as delete + compact). ``out_dir`` overrides the
+    on-disk location (used only by ``_rebuild_deltas`` to stage its
+    merge OUTSIDE the servable ``delta_*`` namespace); when set,
+    recovery is skipped — the rebuild IS the recovery-protected
+    operation. Returns the delta's meta."""
+    if out_dir is None:
         _recover_merge(index_path)
     meta = load_meta(index_path)
     fields = meta["fields"]
@@ -1341,7 +1346,7 @@ def add_docs(
     # appending a duplicate) — the live-ingest path keys this on the
     # Structured Streaming batch_id
     seg = len(deltas) if segment is None else int(segment)
-    out = os.path.join(index_path, f"delta_{seg:05d}")
+    out = out_dir or os.path.join(index_path, f"delta_{seg:05d}")
 
     if check_ids:
         existing = load_doc_lens(spark, index_path, nf).select("doc_id")
@@ -1681,11 +1686,19 @@ def _rebuild_deltas(
     seam ``update_docs`` uses to retire a re-updated doc's STALE delta
     version without touching the base index — cost is bounded by the
     delta tier's size, not the corpus). Crash-safe ordering: the merged
-    segment is built first (under a temporary high slot), the old dirs
-    are removed, then the merged dir takes slot 0. Returns the merged
-    meta, or None when exclusion empties the tier (all dirs removed)."""
+    segment is staged OUTSIDE the servable namespace
+    (``work/merge_tmp_segment``), the commit marker flips, the old dirs
+    are removed, then the staged dir takes slot 0. Returns the merged
+    meta; None when there is nothing to rebuild (empty tier — e.g. a
+    crashed replay already consumed the dirs) or when exclusion empties
+    the tier (all dirs removed)."""
     import shutil
 
+    if not deltas:
+        # replaying a crashed re-update whose rebuild already emptied
+        # the tier: nothing left to retire — the caller proceeds to
+        # re-stage the new version
+        return None
     corpus = spark.read.parquet(os.path.join(deltas[0], "corpus"))
     for d in deltas[1:]:
         corpus = corpus.unionByName(
@@ -1714,19 +1727,17 @@ def _rebuild_deltas(
             shutil.rmtree(d)
         shutil.rmtree(staging, ignore_errors=True)
         return None
+    tmp_dir = os.path.join(index_path, _MERGE_TMP_RELDIR)
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # stale scratch
     meta = add_docs(
         spark, index_path, merged_src, check_ids=False,
-        segment=_MERGE_TMP_SLOT,
+        segment=0, out_dir=tmp_dir,
     )
-    tmp_dir = os.path.join(index_path, f"delta_{_MERGE_TMP_SLOT:05d}")
-    meta["segment"] = 0
-    with open(os.path.join(tmp_dir, "meta.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
     # commit point: marker present == "tmp is authoritative". A crash
     # before this line leaves the old dirs authoritative (recovery
-    # drops the tmp); after it, recovery finishes the swap. The tmp
-    # slot itself is never listed by _delta_dirs, so no crash state
-    # serves both copies.
+    # drops the staging dir); after it, recovery finishes the swap. The
+    # staging dir lives under work/ where _delta_dirs can't see it, so
+    # no crash state serves both copies.
     marker = os.path.join(index_path, "work", "merge_commit")
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:

@@ -136,6 +136,38 @@ def unregister_decode_hook(mime: str) -> None:
     _DECODE_HOOKS.pop(mime, None)
 
 
+def _resize_frames(blobs: DataFrame, width: int, height: int, decode):
+    """Shared resize plumbing: ``decode(mime, payload) -> (H, W, 3)``
+    per row, nearest-neighbor resample, BMP re-encode — one mapInPandas
+    batch iterator serving both the BMP path and the hook-decoded
+    compressed path. Returns (doc_id, payload, width, height)."""
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]"):
+        for pdf in it:
+            ids, payloads = [], []
+            for did, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                pixels = _resample_nearest(
+                    decode(mime, bytes(payload)), width, height
+                )
+                payloads.append(encode_bmp(pixels))
+                ids.append(int(did))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    return blobs.select("doc_id", "mime", "payload").mapInPandas(
+        batches, "doc_id long, payload binary, width int, height int"
+    )
+
+
 def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing for COMPRESSED formats (JPEG/PNG/...): decodes
     through the ``register_decode_hook`` registry, then reuses the BMP
@@ -145,45 +177,23 @@ def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:
     With no hook registered for a payload's mime ->
     NotImplementedError at the point a real backend is needed.
     Uncompressed BMP payloads never need a hook: ``resize_bmp_images``
-    below decodes/resamples/encodes for real (pure numpy)."""
-    import pandas as pd
-
+    below decodes/resamples/encodes for real (pure numpy). Returns
+    (doc_id, payload, width, height)."""
     hooks = dict(_DECODE_HOOKS)  # snapshot; ships to executors
 
-    def batches(it):
-        for pdf in it:
-            out_rows = []
-            for did, mime, payload in zip(
-                pdf["doc_id"], pdf["mime"], pdf["payload"]
-            ):
-                decode = hooks.get(mime)
-                if decode is None:
-                    raise NotImplementedError(
-                        f"no decode hook registered for {mime!r}: resize "
-                        "of compressed formats requires an image codec "
-                        "(PIL/libvips) not present in this container — "
-                        "register_decode_hook(mime, fn) plugs one in; "
-                        "image/bmp payloads resize without a hook via "
-                        "resize_bmp_images"
-                    )
-                pixels = _resample_nearest(
-                    decode(bytes(payload)), width, height
-                )
-                out_rows.append((int(did), encode_bmp(pixels)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(
-                        [r[0] for r in out_rows], dtype="int64"
-                    ),
-                    "payload": pd.Series(
-                        [r[1] for r in out_rows], dtype="object"
-                    ),
-                }
+    def decode(mime, payload):
+        fn = hooks.get(mime)
+        if fn is None:
+            raise NotImplementedError(
+                f"no decode hook registered for {mime!r}: resize of "
+                "compressed formats requires an image codec (PIL/"
+                "libvips) not present in this container — "
+                "register_decode_hook(mime, fn) plugs one in; image/bmp "
+                "payloads resize without a hook via resize_bmp_images"
             )
+        return fn(payload)
 
-    return blobs.select("doc_id", "mime", "payload").mapInPandas(
-        batches, "doc_id long, payload binary"
-    )
+    return _resize_frames(blobs, width, height, decode)
 
 
 # --------------------------------------------------------------------------
@@ -401,29 +411,9 @@ def resize_bmp_images(
     round trip a production image pipeline runs, minus only the
     compressed-codec call."""
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, payloads = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_bmp(bytes(payload))
-                payloads.append(
-                    encode_bmp(_resample_nearest(img, width, height))
-                )
-                ids.append(int(doc_id))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": payloads,
-                    "width": pd.Series([width] * len(ids), dtype="int32"),
-                    "height": pd.Series([height] * len(ids), dtype="int32"),
-                }
-            )
-
-    return (
-        blobs.where(F.col("mime") == "image/bmp")
-        .select("doc_id", "payload")
-        .mapInPandas(
-            batches,
-            "doc_id long, payload binary, width int, height int",
-        )
+    return _resize_frames(
+        blobs.where(F.col("mime") == "image/bmp"),
+        width,
+        height,
+        lambda mime, payload: decode_bmp(payload),
     )

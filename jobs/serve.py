@@ -34,9 +34,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cs_search_engine_architecture_spark.engine import SearchEngine  # noqa: E402
-from cs_search_engine_architecture_spark.operators.text_analysis import (  # noqa: E402
-    hash_embed_text,
-)
 from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
 
 
@@ -119,7 +116,11 @@ def main() -> None:
             print("- ltr disabled")
             continue
         if low.startswith("topk:"):
-            top_k = max(1, int(low.split(":", 1)[1]))
+            try:
+                top_k = max(1, int(low.split(":", 1)[1]))
+            except ValueError:
+                print("- topk wants an integer, e.g. topk:20")
+                continue
             print(f"- top_k = {top_k}")
             continue
         if low.startswith("filter:"):
@@ -161,8 +162,13 @@ def main() -> None:
             print("- refreshed")
             continue
         if low == "next":
-            if last_query is None or mode != "exact":
-                print("- pagination follows an exact-mode query")
+            # 'next' only continues a plain exact-mode page walk: with a
+            # filter it would re-serve page 1 forever (filters don't
+            # paginate), and after an LTR page it would silently restart
+            # an UNreranked BM25 walk — refuse both instead
+            if last_query is None or mode != "exact" or cursor is None:
+                print("- pagination follows a plain exact-mode query "
+                      "(no filter, ltr off)")
                 continue
             query = last_query
         else:
@@ -171,31 +177,17 @@ def main() -> None:
 
         t0 = time.time()
         paged = False
-        if mode == "exact":
-            if filt is not None:
-                # filters don't paginate (a 'next' would silently drop
-                # the predicate) — raise topk instead
-                res = eng.filtered_search(query, corpus, filt, top_k)
-            elif ltr_on and low != "next":
-                res = eng.search(
-                    query, top_k, ltr_enabled=True,
-                    ltr_weights=args.ltr_weights,
-                )
-            else:
-                res = eng.search_after(query, cursor=cursor, top_k=top_k)
-                paged = True
-            rows = res.collect()
-            if paged and rows:
-                cursor = (rows[-1]["score"], rows[-1]["doc_id"])
-        elif mode == "semantic":
-            rows = eng.semantic_search(
-                emb, hash_embed_text(query), top_k
-            ).collect()
-        else:
-            rows = eng.combined_search(
-                query, emb, hash_embed_text(query), top_k,
-                ltr_weights=args.ltr_weights if ltr_on else None,
-            ).collect()
+        try:
+            rows, paged, cursor = _run_query(
+                eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
+                corpus, args,
+            )
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:  # bad predicate/column/query — keep serving
+            print(f"- query failed: {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:200]}")
+            continue
         took = (time.time() - t0) * 1000
 
         text_map = None
@@ -213,14 +205,51 @@ def main() -> None:
                 }
         _print_rows(rows, text_map)
         if facet is not None and mode == "exact":
-            fc = eng.facet_counts(query, corpus, facet, top_n=8).collect()
-            print("  facets: " + ", ".join(
-                f"{r['facet']}={r['doc_count']}" for r in fc
-            ))
+            try:
+                fc = eng.facet_counts(query, corpus, facet, top_n=8).collect()
+                print("  facets: " + ", ".join(
+                    f"{r['facet']}={r['doc_count']}" for r in fc
+                ))
+            except Exception as exc:
+                print(f"- facet failed: {str(exc).splitlines()[0][:120]}")
         print(f"- {len(rows)} rows in {took:.1f} ms"
               + ("  (type 'next' for more)" if paged else ""))
 
     spark.stop()
+
+
+def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
+               corpus, args):
+    """One query execution — returns (rows, paged, cursor)."""
+    from cs_search_engine_architecture_spark.operators.text_analysis import (
+        hash_embed_text as _embed,
+    )
+
+    paged = False
+    if mode == "exact":
+        if filt is not None:
+            # filters don't paginate (a 'next' would silently drop
+            # the predicate) — raise topk instead
+            res = eng.filtered_search(query, corpus, filt, top_k)
+        elif ltr_on and low != "next":
+            res = eng.search(
+                query, top_k, ltr_enabled=True,
+                ltr_weights=args.ltr_weights,
+            )
+        else:
+            res = eng.search_after(query, cursor=cursor, top_k=top_k)
+            paged = True
+        rows = res.collect()
+        if paged and rows:
+            cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    elif mode == "semantic":
+        rows = eng.semantic_search(emb, _embed(query), top_k).collect()
+    else:
+        rows = eng.combined_search(
+            query, emb, _embed(query), top_k,
+            ltr_weights=args.ltr_weights if ltr_on else None,
+        ).collect()
+    return rows, paged, cursor
 
 
 if __name__ == "__main__":

@@ -125,11 +125,11 @@ def test_merge_recovery_drops_uncommitted_tmp(spark, tmp_path):
     never served and the next maintenance op removes it."""
     out = _build(spark, tmp_path)
     indexer.add_docs(spark, out, _df(spark, [(100, "qqx one")]))
-    tmp = os.path.join(out, f"delta_{indexer._MERGE_TMP_SLOT:05d}")
+    tmp = os.path.join(out, indexer._MERGE_TMP_RELDIR)
     os.makedirs(tmp)
     with open(os.path.join(tmp, "junk"), "w") as fh:
         fh.write("partial")
-    assert tmp not in indexer._delta_dirs(out)
+    assert tmp not in indexer._delta_dirs(out)  # structurally invisible
     eng = SearchEngine(spark, out, cache=False)  # serves fine, ignores tmp
     assert eng.search("qqx", 5).count() == 1
     indexer.add_docs(spark, out, _df(spark, [(101, "qqy two")]))
@@ -150,7 +150,7 @@ def test_merge_recovery_finishes_committed_swap(spark, tmp_path):
     meta = indexer.merge_deltas(spark, out)
     assert meta is not None
     final = os.path.join(out, "delta_00000")
-    tmp = os.path.join(out, f"delta_{indexer._MERGE_TMP_SLOT:05d}")
+    tmp = os.path.join(out, indexer._MERGE_TMP_RELDIR)
     os.rename(final, tmp)
     marker = os.path.join(out, "work", "merge_commit")
     os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -325,3 +325,22 @@ def test_update_mixed_base_and_delta_batch(spark, tmp_path):
     )  # old base text masked
     ranked = [r["doc_id"] for r in eng.search("spark", 20).collect()]
     assert ranked.count(0) == 1 and ranked.count(300) == 1
+
+
+def test_reupdate_replay_after_emptied_tier(spark, tmp_path):
+    """Crash replay edge: a re-update whose rebuild already emptied the
+    delta tier (the updated doc was the ONLY delta doc) must replay
+    cleanly — _rebuild_deltas on an empty dir list is a no-op, not an
+    IndexError."""
+    out = _build(spark, tmp_path)
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqv1 text")]))
+    # fabricate the crash state: the re-update's rebuild ran (tier
+    # emptied — doc 0's v1 was the only delta doc) but the process died
+    # before the new delta landed
+    for d in indexer._delta_dirs(out):
+        shutil.rmtree(d)
+    # replay the re-update end to end
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqv2 text")]))
+    eng = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng.search("qqv2", 5).collect()] == [0]
+    assert eng.search("qqv1", 5).count() == 0
