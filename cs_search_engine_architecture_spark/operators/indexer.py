@@ -80,6 +80,13 @@ DEFAULT_NUM_BUCKETS = 64
 # corpus and the per-group applyInPandas overhead dominated the build
 # (measured 6x groups and 4x encode time at 2.5x docs).
 DEFAULT_GROUP_TARGET = 1 << 13  # target postings per hot-term salt group
+
+# target postings per ENCODE task: sizes the wide shuffle from the
+# measured staged postings (256k rows/task keeps the Arrow->pandas
+# batches and per-task heap flat as the corpus grows; a 10^11-posting
+# corpus caps at 4096 tasks locally — on a real cluster raise the cap
+# with the executor count)
+ENCODE_POSTINGS_PER_TASK = 1 << 18
 DEFAULT_GROUP_SPAN = DEFAULT_GROUP_TARGET  # back-compat alias (target)
 DEFAULT_HOT_DF = 1 << 13  # salt terms with more postings than this
 # WAND write-time layout: blocks never cross a doc-shard boundary
@@ -863,9 +870,29 @@ def _finalize_index(
             )
         )
     else:
-        blocks_id = stripped.groupBy("term_id", "doc_group").applyInPandas(
-            _make_block_encoder_id(block_size, nf, shard_span),
-            BLOCKS_ID_SCHEMA,
+        # Size the ENCODE shuffle from the MEASURED staged postings
+        # rather than the session's global shuffle.partitions: this
+        # stage's per-task cost is per-ROW (Arrow->pandas crossing +
+        # numpy encode), so byte-based sizing — a static global, or
+        # AQE's byte advisory over the compact binary shuffle data —
+        # undersizes it once the corpus outgrows the session default
+        # (measured at 46.5M postings / local[32]: 505k postings/s at
+        # 64 tasks -> 800k at 128; raising AQE initialPartitionNum
+        # instead did NOT help because the byte advisory re-coalesced).
+        # The explicit repartition is on the group keys, so it
+        # SATISFIES the groupBy's clustering (no second exchange), and
+        # AQE never coalesces a user-numbered shuffle.
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            min(4096, -(-int(num_postings) // ENCODE_POSTINGS_PER_TASK)),
+        )
+        blocks_id = (
+            stripped.repartition(n_parts, "term_id", "doc_group")
+            .groupBy("term_id", "doc_group")
+            .applyInPandas(
+                _make_block_encoder_id(block_size, nf, shard_span),
+                BLOCKS_ID_SCHEMA,
+            )
         )
     # re-attach the term string + bucket at BLOCK granularity (~1/128 of
     # the posting count; AQE broadcasts term_stats for small vocabs,
