@@ -60,7 +60,9 @@ class SearchEngine:
         # delta segments (add_docs) contribute postings to the WAND/
         # block-max routing threshold; world stats stay frozen (see
         # indexer.add_docs)
-        for dm in indexer.load_delta_metas(index_path):
+        delta_metas = indexer.load_delta_metas(index_path)
+        self.has_delta = bool(delta_metas)
+        for dm in delta_metas:
             self.meta["num_postings"] = (
                 self.meta.get("num_postings", 0) + dm["num_postings"]
             )
@@ -88,6 +90,11 @@ class SearchEngine:
             "_delta_blocks", "_base_blocks", "_upd_compiler",
             "_tomb_count", "_upd_count", "_wand_sharded_df",
             "_block_meta_cache", "_term_stats", "_kgram",
+            # _doc_lens feeds LTR features (field lengths) and _df_cache
+            # the WAND/join routing heuristic — both change when
+            # maintenance lands; serving either stale is a wrong feature
+            # value / mis-route on a long-lived server
+            "_doc_lens", "_df_cache",
         ):
             if hasattr(self, attr):
                 delattr(self, attr)
@@ -140,17 +147,34 @@ class SearchEngine:
             return masked
         return masked.unionByName(self._update_arm(ast))
 
-    def _update_arm(self, ast) -> DataFrame:
-        """The delta-only resurrection arm: compile ``ast`` over delta
-        blocks alone (an updated doc's complete current postings live
-        there) and keep only in-place-updated docs."""
+    def _delta_compiler(self) -> QueryCompiler:
         if not hasattr(self, "_upd_compiler"):
             self._upd_compiler = QueryCompiler(
                 self.spark, self._delta_blocks_df(), self.num_buckets
             )
-        return self._upd_compiler.compile(ast).join(
+        return self._upd_compiler
+
+    def _update_arm(self, ast) -> DataFrame:
+        """The delta-only resurrection arm: compile ``ast`` over delta
+        blocks alone (an updated doc's complete current postings live
+        there) and keep only in-place-updated docs."""
+        return self._delta_compiler().compile(ast).join(
             F.broadcast(self.updated_ids), "doc_id", "left_semi"
         )
+
+    def _delta_arm(self, ast) -> DataFrame:
+        """ALL live delta docs scored by a delta-only compile, dead ids
+        masked — the companion arm for kernels that run over BASE blocks
+        only (WAND under a populated delta tier): every delta doc's
+        complete current postings live in the delta segments (adds are
+        staged there wholesale; an updated doc's stale delta versions
+        are physically retired), so base-kernel ∪ this arm covers every
+        live doc exactly once."""
+        arm = self._delta_compiler().compile(ast)
+        dead = self._dead_ids()
+        if dead is not None:
+            arm = arm.join(F.broadcast(dead), "doc_id", "left_anti")
+        return arm
 
     def _term_frame(self, build) -> DataFrame:
         """Update-aware per-term postings frame: ``build(blocks)`` runs
@@ -230,13 +254,34 @@ class SearchEngine:
         # WAND pays 2 extra driver round-trips; below ~1M postings the
         # join path's single job is cheaper (same scale gate as the
         # single-term block-max path — at cluster scale WAND always wins).
-        # WAND stays OFF while updates are pending: its kernel's coverage
-        # bounds assume one term's blocks are doc-disjoint, which two
-        # live versions of a doc violate — the join path (with arm) is
-        # exact; merge/compact restores WAND routing.
-        if not upd and self.meta.get("num_postings", 0) >= 1_000_000:
+        # With a populated delta tier (adds and/or pending updates) the
+        # kernel runs over BASE blocks only — the kernel's coverage
+        # bounds assume one term's blocks are doc-disjoint, which an
+        # updated doc's two live versions (base old + delta new) would
+        # violate, and delta block ranges can interleave base ranges.
+        # Base blocks always satisfy the bound (one build, one version
+        # per doc), so: exact base top-k from the kernel, tombstones
+        # masked (old versions of updated docs die here), then the
+        # delta arm (a delta-only compile of the SAME ast — every delta
+        # doc's complete postings live there) unions in and the union
+        # re-limits. WAND routing therefore survives adds AND pending
+        # in-place updates; merge/compact only shrink the arm.
+        if self.meta.get("num_postings", 0) >= 1_000_000:
             from cs_search_engine_architecture_spark.operators import wand
 
+            def _finish_wand(raw: DataFrame) -> DataFrame:
+                if not self.has_delta:
+                    return _finish(raw)
+                out = self._mask(raw).unionByName(self._delta_arm(ast))
+                return (
+                    out.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(top_k)
+                )
+
+            kernel_blocks = (
+                self._base_blocks_df() if self.has_delta else self.blocks
+            )
+            arm_tag = "+delta_arm" if self.has_delta else ""
             span = self.meta.get("wand_shard_span")
             flat_or = self._flat_op_terms(ast, "or")
             if flat_or:
@@ -246,13 +291,13 @@ class SearchEngine:
                 # NO per-query exchange
                 self.last_strategy = (
                     "wand_or_sharded" if span else "wand_or"
-                )
+                ) + arm_tag
                 if span:
-                    return _finish(wand.wand_or_topk_sharded(
+                    return _finish_wand(wand.wand_or_topk_sharded(
                         self._wand_sharded(), flat_or, k_fetch, span
                     ))
-                return _finish(wand.wand_or_topk(
-                    self.spark, self.blocks, self.num_buckets, flat_or,
+                return _finish_wand(wand.wand_or_topk(
+                    self.spark, kernel_blocks, self.num_buckets, flat_or,
                     k_fetch,
                 ))
             flat_and = self._flat_op_terms(ast, "and")
@@ -268,14 +313,14 @@ class SearchEngine:
                 ):
                     self.last_strategy = (
                         "wand_and_sharded" if span else "wand_and"
-                    )
+                    ) + arm_tag
                     if span:
-                        return _finish(wand.wand_and_topk_sharded(
+                        return _finish_wand(wand.wand_and_topk_sharded(
                             self._wand_sharded(), flat_and, k_fetch, span
                         ))
-                    return _finish(wand.wand_and_topk(
-                        self.spark, self.blocks, self.num_buckets, flat_and,
-                        k_fetch,
+                    return _finish_wand(wand.wand_and_topk(
+                        self.spark, kernel_blocks, self.num_buckets,
+                        flat_and, k_fetch,
                     ))
         self.last_strategy = "join_masked_update_arm" if upd else "join"
         return (
@@ -310,7 +355,11 @@ class SearchEngine:
         """Cached shard-partitioned blocks frame (one exchange at first
         use, then every WAND query is exchange-free — the persisted
         HashPartitioning(shard) satisfies the kernel's required
-        distribution)."""
+        distribution). BASE blocks only when a delta tier exists — the
+        kernel's doc-disjointness bound holds for one build's blocks;
+        delta docs serve through ``_delta_arm`` (see ``search``). A
+        delta landing after this frame was built is invisible to it:
+        ``refresh()`` rebuilds the layout."""
         if not hasattr(self, "_wand_sharded_df"):
             from cs_search_engine_architecture_spark.operators.wand import (
                 preshard_blocks,
@@ -319,8 +368,9 @@ class SearchEngine:
             n_parts = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
+            src = self._base_blocks_df() if self.has_delta else self.blocks
             self._wand_sharded_df = preshard_blocks(
-                self.blocks, self.meta["wand_shard_span"], n_parts
+                src, self.meta["wand_shard_span"], n_parts
             ).persist()
         return self._wand_sharded_df
 
@@ -561,9 +611,7 @@ class SearchEngine:
             "terms": self._leaf_terms(query),
             "num_postings": self.meta.get("num_postings", 0),
             "tombstones": self._num_tombstones(),
-            "updated_docs": (
-                0 if self.updated_ids is None else self.updated_ids.count()
-            ),
+            "updated_docs": self._num_updated(),
             "delta_segments": len(indexer.load_delta_metas(self.index_path)),
             "physical_plan": df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
@@ -700,9 +748,11 @@ class SearchEngine:
         bounds both the driver list and the scan's OR-chain. Extension
         beyond the reference (its parser has no wildcard syntax).
 
-        Staleness note: expansion reads the BASE term dictionary, so
-        terms that first appear in delta segments (add_docs) expand only
-        after compaction — same frozen-dictionary family as suggest()."""
+        Expansion reads the delta-aware dictionary (``term_stats``), so
+        a term that first appears via add_docs / live ingest expands
+        as soon as the engine sees the segment (refresh/reload) — no
+        compaction needed; its postings serve from the delta blocks
+        through the same shared scan."""
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
         pref = prefix.rstrip("*")
@@ -893,10 +943,40 @@ class SearchEngine:
         )
 
     def term_stats(self) -> DataFrame:
+        """Serving-time term dictionary: base stats unioned with the
+        delta segments' (df summed across tiers, idf FROZEN — the base
+        value, or the df=0 idf a delta scored an unseen term with). The
+        delta union keeps the expansion surfaces (prefix_search /
+        fuzzy_search / suggest) live for terms that first appear via
+        add_docs / live ingest BEFORE the next compaction; scoring never
+        reads this frame (scores are baked into the blocks), so gate
+        semantics are untouched."""
         if not hasattr(self, "_term_stats"):
-            self._term_stats = indexer.load_term_stats(
-                self.spark, self.index_path
-            )
+            base = indexer.load_term_stats(self.spark, self.index_path)
+            delta = indexer.load_delta_term_stats(self.spark, self.index_path)
+            if delta is None:
+                self._term_stats = base
+            else:
+                d = delta.groupBy("term").agg(
+                    F.sum("df_local").alias("df_delta"),
+                    F.min("idf").alias("idf_delta"),
+                    F.min("term_id").alias("term_id_delta"),
+                )
+                self._term_stats = base.join(d, "term", "full_outer").select(
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("df_delta"), F.lit(0))
+                    ).alias("df"),
+                    F.coalesce("idf", "idf_delta").alias("idf"),
+                    F.coalesce("term_id", "term_id_delta").alias("term_id"),
+                    F.coalesce(
+                        F.col("term_bucket"),
+                        F.pmod(
+                            F.xxhash64("term"), F.lit(self.num_buckets)
+                        ).cast("int"),
+                    ).alias("term_bucket"),
+                )
         return self._term_stats
 
     def kgram_index(self, exclude_threshold: int | None = None) -> DataFrame:

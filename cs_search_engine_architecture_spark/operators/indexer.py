@@ -1138,6 +1138,26 @@ def load_doc_lens(
     return out
 
 
+def load_delta_term_stats(
+    spark: SparkSession, index_path: str
+) -> DataFrame | None:
+    """Union of the delta segments' frozen-stats term maps (None when no
+    deltas). Schema ``term, df_local, idf, term_id``: ``df_local`` is the
+    segment-local document frequency; ``idf`` is the FROZEN value the
+    segment scored with (base idf for known terms, the df=0 idf for
+    terms unseen at the last compaction)."""
+    dirs = _delta_dirs(index_path)
+    if not dirs:
+        return None
+    schema = "term string, df_local long, idf double, term_id long"
+    out = spark.read.schema(schema).parquet(os.path.join(dirs[0], "term_stats"))
+    for d in dirs[1:]:
+        out = out.unionByName(
+            spark.read.schema(schema).parquet(os.path.join(d, "term_stats"))
+        )
+    return out
+
+
 def load_delta_doc_lens(
     spark: SparkSession, index_path: str, num_fields: int
 ) -> DataFrame | None:
@@ -1310,20 +1330,35 @@ def _recover_merge(index_path: str) -> None:
     """Finish or roll back a crashed ``_rebuild_deltas``. The commit
     marker (written AFTER the staged segment is complete, removed after
     the rename) decides which: marker present -> the merge was
-    committed, finish it (remove surviving old dirs, move the staged
-    segment to slot 0); marker absent -> the staging dir is uncommitted
-    scratch, drop it (the old dirs are still authoritative and
-    intact)."""
+    committed, finish it; marker absent -> the staging dir is
+    uncommitted scratch, drop it (the old dirs are still authoritative
+    and intact). The marker's CONTENT distinguishes the two committed
+    shapes: ``empty`` means exclusion emptied the tier (remove every
+    delta dir, nothing staged — a crash mid-removal must not leave a
+    partial tier of stale excluded rows behind a live ``updated_ids``);
+    anything else is the normal swap (remove old dirs, move the staged
+    segment to slot 0 — but only while the staged segment still exists:
+    a crash between the rename and the marker removal leaves the
+    committed ``delta_00000`` in place and nothing else to do)."""
     import shutil
 
     tmp = os.path.join(index_path, _MERGE_TMP_RELDIR)
     marker = os.path.join(index_path, "work", "merge_commit")
     if os.path.exists(marker):
-        if os.path.exists(os.path.join(tmp, "meta.json")):
+        with open(marker) as fh:
+            mode = fh.read().strip()
+        if mode == "empty":
+            for d in _delta_dirs(index_path):
+                shutil.rmtree(d)
+        elif os.path.exists(os.path.join(tmp, "meta.json")):
             for d in _delta_dirs(index_path):
                 shutil.rmtree(d)
             os.rename(tmp, os.path.join(index_path, "delta_00000"))
         os.remove(marker)
+        shutil.rmtree(
+            os.path.join(index_path, "work", "merge_corpus"),
+            ignore_errors=True,
+        )
     elif os.path.exists(tmp):
         shutil.rmtree(tmp)
 
@@ -1575,33 +1610,43 @@ def update_docs(
     base_lens = spark.read.schema(
         f"doc_id long, {', '.join(f'fl_{f} int' for f in range(nf))}"
     ).parquet(os.path.join(index_path, "doc_lens"))
+    # ids with rows PHYSICALLY staged anywhere in the delta tier — the
+    # ground truth for what must be retired before re-staging. Deriving
+    # retirement from updated_ids/base residency instead is wrong: a
+    # base doc that was updated, then deleted (delete_docs retires it
+    # from updated_ids but leaves its delta rows masked), then upserted
+    # here would keep its STALE delta version alive — the resurrection
+    # arm then double-serves both versions (old text searchable, the
+    # doc twice in one top-k).
+    staged = None
+    for d in _delta_dirs(index_path):
+        part = spark.read.parquet(os.path.join(d, "corpus")).select(
+            F.col(id_col).cast("long").alias("doc_id")
+        )
+        staged = part if staged is None else staged.unionByName(part)
     delta_ids = None
     not_in_base = ids.join(base_lens, "doc_id", "left_anti")
     if not_in_base.limit(1).count():
         # ids outside the base must be delta-resident (added after the
         # last compaction) — anything else is unknown and raises
-        staged = None
-        for d in _delta_dirs(index_path):
-            part = spark.read.parquet(os.path.join(d, "corpus")).select(
-                F.col(id_col).cast("long").alias("doc_id")
-            )
-            staged = part if staged is None else staged.unionByName(part)
         missing = (
             not_in_base if staged is None
             else not_in_base.join(staged, "doc_id", "left_anti")
         )
         if missing.limit(1).count():
-            raise ValueError(
-                "update_docs: some doc_ids exist in neither the base "
-                "index nor any delta segment — new docs are add_docs"
-            )
+            if segment is None:
+                raise ValueError(
+                    "update_docs: some doc_ids exist in neither the base "
+                    "index nor any delta segment — new docs are add_docs"
+                )
+            # explicit `segment` == the documented crash-replay protocol:
+            # a delta-resident update whose previous attempt retired the
+            # old version (tier rebuild) but died before the new segment
+            # landed leaves the ids temporarily in NEITHER tier (the
+            # fail-closed state). Re-stage them as plain delta rows —
+            # the old version is already physically gone, so no
+            # tombstone/arm is needed.
         delta_ids = not_in_base.localCheckpoint()
-    prev = load_updated_ids(spark, index_path)
-    re_ids = None
-    if prev is not None:
-        re_ids = ids.join(prev, "doc_id", "left_semi")
-        if re_ids.limit(1).count() == 0:
-            re_ids = None
     # A tombstoned-but-not-updated id is NOT rejected: updating it
     # resurrects the doc with the new content (upsert semantics — the
     # existing tombstone keeps masking the old base version, the delta
@@ -1609,14 +1654,13 @@ def update_docs(
     # This is also what makes replaying a CRASHED update idempotent:
     # the crash state "tombstone written, delta/updated_ids missing" is
     # indistinguishable from a deletion, and the replay must proceed.
-    retire = None  # ids whose CURRENT delta version must be retired
-    if re_ids is not None:
-        retire = re_ids.localCheckpoint()  # pin before the tier rewrite
-    if delta_ids is not None:
-        retire = (
-            delta_ids if retire is None
-            else retire.unionByName(delta_ids).distinct()
-        )
+    retire = None  # ids whose stale delta rows must be retired
+    if staged is not None:
+        retire = ids.join(staged, "doc_id", "left_semi")
+        if retire.limit(1).count():
+            retire = retire.localCheckpoint()  # pin before the rewrite
+        else:
+            retire = None
     if retire is not None:
         # Retire stale delta versions via a targeted delta-tier rebuild
         # that excludes them (frozen stats — every other delta doc's
@@ -1749,9 +1793,19 @@ def _rebuild_deltas(
     merged_src = spark.read.parquet(staging)
     if merged_src.limit(1).count() == 0:
         # exclusion emptied the tier: the only delta rows were the
-        # stale versions being retired — dropping the dirs IS the goal
+        # stale versions being retired — dropping the dirs IS the goal.
+        # Same marker discipline as the swap path: commit ("empty", no
+        # staged segment) BEFORE the removal loop, so a crash mid-loop
+        # replays the removal at the next maintenance entry instead of
+        # leaving surviving dirs of only-stale rows that the
+        # still-present updated_ids arm would serve.
+        marker = os.path.join(index_path, "work", "merge_commit")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("empty")
         for d in deltas:
             shutil.rmtree(d)
+        os.remove(marker)
         shutil.rmtree(staging, ignore_errors=True)
         return None
     tmp_dir = os.path.join(index_path, _MERGE_TMP_RELDIR)

@@ -106,6 +106,10 @@ def main() -> None:
                 print("- no --ltr-weights given")
                 continue
             ltr_on = True
+            # kill any in-flight page walk: 'next' would otherwise pass
+            # the guard and silently continue an UNreranked BM25 cursor
+            # walk under a '+ltr' prompt
+            cursor = None
             print("- ltr enabled")
             continue
         if low == "disable:ltr":
@@ -121,17 +125,20 @@ def main() -> None:
             except ValueError:
                 print("- topk wants an integer, e.g. topk:20")
                 continue
+            cursor = None  # page size changed — walk restarts fresh
             print(f"- top_k = {top_k}")
             continue
         if low.startswith("filter:"):
             pred = line.split(":", 1)[1]
             if pred.lower() == "off":
                 filt = None
+                cursor = None  # filter context changed — walk restarts
                 print("- filter off")
             elif corpus is None:
                 print("- filters need --corpus")
             else:
                 filt = pred
+                cursor = None
                 print(f"- filter: {filt}")
             continue
         if low.startswith("facet:"):

@@ -344,3 +344,212 @@ def test_reupdate_replay_after_emptied_tier(spark, tmp_path):
     eng = SearchEngine(spark, out, cache=False)
     assert [r["doc_id"] for r in eng.search("qqv2", 5).collect()] == [0]
     assert eng.search("qqv1", 5).count() == 0
+
+
+# ------------------------------------------------------------ round 5
+
+
+def test_update_delete_upsert_same_base_id(spark, tmp_path):
+    """update -> delete -> upsert of the SAME base id: the delete
+    retires the id from updated_ids but its stale delta rows stay on
+    disk (masked); the upsert must physically retire them — retirement
+    is derived from ids with rows STAGED in the delta tier, not from
+    updated_ids/base residency — or the resurrection arm double-serves
+    both delta versions (old text searchable, the doc twice in one
+    top-k, duplicate current_corpus rows)."""
+    out = _build(spark, tmp_path)
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqmidlife spark crisis")]))
+    indexer.delete_docs(spark, out, [0])
+    eng0 = SearchEngine(spark, out, cache=False)
+    assert eng0.search("qqmidlife", 10).count() == 0  # properly dead
+    indexer.update_docs(spark, out, _df(spark, [(0, "qqreborn spark phoenix")]))
+    eng = SearchEngine(spark, out, cache=False)
+    # old delta text must be gone, new text served exactly once
+    assert eng.search("qqmidlife", 10).count() == 0
+    assert [r["doc_id"] for r in eng.search("qqreborn", 10).collect()] == [0]
+    ranked = [r["doc_id"] for r in eng.search("spark", 20).collect()]
+    assert ranked.count(0) == 1
+    cur = [r for r in eng.current_corpus().collect() if r["doc_id"] == 0]
+    assert len(cur) == 1 and cur[0]["text"] == "qqreborn spark phoenix"
+    # compaction folds the final state with no special casing
+    compacted = str(tmp_path / "compacted_udu")
+    indexer.compact_index(spark, out, compacted)
+    ec = SearchEngine(spark, compacted, cache=False)
+    assert [r["doc_id"] for r in ec.search("qqreborn", 10).collect()] == [0]
+    assert ec.search("qqmidlife", 10).count() == 0
+
+
+def test_empty_tier_removal_crash_replays(spark, tmp_path, monkeypatch):
+    """The exclusion-empties-tier branch of _rebuild_deltas commits via
+    the marker BEFORE removing dirs: a crash mid-removal leaves dirs of
+    only-stale rows, and recovery at the next maintenance entry finishes
+    the removal instead of serving them through the updated_ids arm."""
+    import shutil as _shutil
+
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqtier one text")]))
+    indexer.add_docs(spark, out, _df(spark, [(101, "qqtier two text")]))
+    # update both delta-resident docs -> the rebuild excludes BOTH ids,
+    # the staged union is empty -> empty-tier branch fires. Crash after
+    # the FIRST delta dir is removed.
+    real_rmtree = _shutil.rmtree
+    state = {"removed": 0}
+
+    def crashing_rmtree(path, *a, **kw):
+        p = str(path)
+        if "/delta_" in p:
+            if state["removed"] >= 1:
+                raise RuntimeError("simulated crash mid-removal")
+            state["removed"] += 1
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        indexer.update_docs(
+            spark, out,
+            _df(spark, [(100, "qqnew one"), (101, "qqnew two")]),
+        )
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    # crash state: marker present, one stale delta dir survives
+    assert os.path.exists(os.path.join(out, "work", "merge_commit"))
+    assert len(indexer._delta_dirs(out)) == 1
+    # recovery at the next maintenance entry finishes the removal
+    indexer._recover_merge(out)
+    assert indexer._delta_dirs(out) == []
+    assert not os.path.exists(os.path.join(out, "work", "merge_commit"))
+    # a plain (non-replay) update of the now-vanished ids still raises…
+    with pytest.raises(ValueError, match="neither the base"):
+        indexer.update_docs(
+            spark, out, _df(spark, [(100, "qqnew one"), (101, "qqnew two")])
+        )
+    # …and the replay protocol (explicit segment) lands them cleanly
+    indexer.update_docs(
+        spark, out,
+        _df(spark, [(100, "qqnew one"), (101, "qqnew two")]), segment=0,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng.search("qqtier", 10).count() == 0
+    got = sorted(r["doc_id"] for r in eng.search("qqnew", 10).collect())
+    assert got == [100, 101]
+
+
+def test_refresh_serves_current_doc_lens_and_dfs(spark, tmp_path):
+    """refresh() must drop _doc_lens and _df_cache: after update_docs a
+    stale cached doc_lens feeds PRE-update field lengths into LTR
+    features for updated docs (a real wrong feature value)."""
+    out = _build(spark, tmp_path)
+    eng = SearchEngine(spark, out, cache=False)
+    eng.doc_lens().collect()          # warm the field-length cache
+    eng._term_dfs(["spark", "join"])  # warm the df cache
+    long_text = " ".join(["spark"] * 25 + ["qqlong"])
+    indexer.update_docs(spark, out, _df(spark, [(0, long_text)]))
+    eng.refresh()
+    fresh = SearchEngine(spark, out, cache=False)
+    got = sorted(tuple(r) for r in eng.doc_lens().collect())
+    want = sorted(tuple(r) for r in fresh.doc_lens().collect())
+    assert got == want
+    # the refreshed df cache sees the delta-aware dictionary
+    assert eng._term_dfs(["qqlong"]) == fresh._term_dfs(["qqlong"])
+    assert eng._term_dfs(["qqlong"])["qqlong"] == 1
+    # LTR features after refresh == a fresh engine's (field lengths!)
+    a = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in eng.ltr_features("spark").collect()
+    )
+    b = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+        for r in fresh.ltr_features("spark").collect()
+    )
+    assert a == b
+
+
+def test_refresh_after_compact_resets_expansion(spark, tmp_path):
+    """In-place compaction swap + refresh(): the cached k-gram index and
+    term dictionary must rebuild — a compacted-away term may not keep
+    expanding from the stale caches."""
+    import shutil as _shutil
+
+    out = _build(spark, tmp_path)
+    eng = SearchEngine(spark, out, cache=False)
+    # doc 7 holds 'varint'; warm the expansion caches with it present
+    assert eng.fuzzy_search("varint", exclude_threshold=1).count() > 0
+    assert [r["term"] for r in eng.term_stats().where(
+        F.col("term") == "varint").collect()] == ["varint"]
+    indexer.delete_docs(spark, out, [7])
+    compacted = str(tmp_path / "compact_swap")
+    # compact against the CURRENT corpus (rows minus the deletion)
+    indexer.compact_index(
+        spark, out, compacted, corpus=_df(spark, DOCS[:7]),
+    )
+    _shutil.rmtree(out)
+    _shutil.move(compacted, out)
+    eng.refresh()
+    fresh = SearchEngine(spark, out, cache=False)
+    assert eng.fuzzy_search("varint", exclude_threshold=1).count() == 0
+    assert fresh.fuzzy_search("varint", exclude_threshold=1).count() == 0
+    assert eng.term_stats().where(F.col("term") == "varint").count() == 0
+
+
+def test_delta_terms_visible_to_expansion_surfaces(spark, tmp_path):
+    """A term that first appears via add_docs expands through
+    prefix_search / fuzzy_search / the dictionary BEFORE compaction
+    (delta-aware term_stats: df summed across tiers, idf frozen)."""
+    import math
+
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqnovel spark term")]))
+    eng = SearchEngine(spark, out, cache=False)
+    # dictionary row: new term, df from the delta, frozen df=0 idf
+    row = eng.term_stats().where(F.col("term") == "qqnovel").collect()
+    assert len(row) == 1 and row[0]["df"] == 1
+    n_base = len(DOCS)
+    assert row[0]["idf"] == pytest.approx(math.log((n_base + 0.5) / 0.5))
+    # a base term present in the delta sums df across tiers
+    spark_df = eng.term_stats().where(F.col("term") == "spark").collect()
+    assert spark_df[0]["df"] == 4  # 3 base docs (0, 4, 6) + 1 delta doc
+    # prefix expansion reaches the delta-only term pre-compaction
+    got = [r["doc_id"] for r in eng.prefix_search("qqnov*", 5).collect()]
+    assert got == [100]
+    # fuzzy expansion sees it too (typo within jaccard reach)
+    fz = [r["doc_id"] for r in eng.fuzzy_search(
+        "qqnovel", exclude_threshold=1, top_k=5).collect()]
+    assert 100 in fz
+
+
+def test_wand_routing_survives_deltas_and_updates(spark, tmp_path):
+    """WAND strategies stay ON with a populated delta tier and pending
+    in-place updates: the kernel runs over BASE blocks (doc-disjointness
+    bound holds), tombstones mask, the delta arm unions in — results
+    equal the compiled join path exactly."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "spark join qqadded")]))
+    indexer.update_docs(
+        spark, out, _df(spark, [(0, "spark join qqupdated wide plans")])
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    eng.meta["num_postings"] = 5_000_000  # force WAND routing
+    for q, prefix in [
+        ("spark or join", "wand_or"),
+        ("spark and join", "wand_and"),
+    ]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, 20).collect()
+        ]
+        assert eng.last_strategy.startswith(prefix), eng.last_strategy
+        assert eng.last_strategy.endswith("+delta_arm"), eng.last_strategy
+        from cs_search_engine_architecture_spark.plans.query_parser import (
+            parse_query,
+        )
+
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng._scored(parse_query(q, analyzer="simple"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+            .collect()
+        ]
+        assert got == want, f"{q}: wand {got} != join {want}"
+        # the updated doc serves its NEW version exactly once
+        assert [d for d, _ in got].count(0) == 1
+        assert 100 in [d for d, _ in got]
