@@ -1240,13 +1240,24 @@ def compact_index(
     index_path: str,
     out_path: str,
     corpus: DataFrame | None = None,
+    stage_corpus_as: str | None = None,
     **build_kwargs,
 ) -> dict:
     """Rebuild ``index_path`` minus its tombstones into ``out_path`` with
     FRESH corpus statistics (df/idf/avgdl recomputed over the survivors —
     the semantic difference from the tombstone mask, which keeps stale
     stats). ``corpus`` defaults to re-reading the manifest's source
-    parquet; build parameters default to the old index's meta."""
+    parquet; build parameters default to the old index's meta.
+
+    ``stage_corpus_as``: when set, the SURVIVING corpus (base minus
+    tombstones plus delta rows — which the original source parquet does
+    not contain) is staged to ``<out_path>/source_corpus`` and the new
+    manifest's ``corpus_path`` records ``stage_corpus_as`` — the path
+    that dir will live at when the caller swaps the index into place
+    (``compact_in_place`` passes the FINAL serving path). Without it the
+    manifest keeps the old source path, whose rows go stale the moment
+    deltas were folded in — ``current_corpus``/snippets on the compacted
+    index would then miss every delta-added doc."""
     _recover_merge(index_path)
     meta = load_meta(index_path)
     if corpus is None:
@@ -1303,6 +1314,11 @@ def compact_index(
     if meta.get("bm25_k") is not None:
         kwargs["k"] = meta["bm25_k"]
     kwargs.update(build_kwargs)
+    if stage_corpus_as is not None:
+        staged = os.path.join(out_path, "source_corpus")
+        corpus.write.mode("overwrite").parquet(staged)
+        corpus = spark.read.parquet(staged)
+        kwargs["corpus_path"] = os.path.join(stage_corpus_as, "source_corpus")
     return build_index(spark, corpus, out_path, **kwargs)
 
 
@@ -1830,3 +1846,128 @@ def _rebuild_deltas(
     os.remove(marker)
     shutil.rmtree(staging, ignore_errors=True)
     return meta
+
+
+# ------------------------------------------------------- auto-maintenance
+#
+# The policy layer over the maintenance primitives: nothing above decides
+# WHEN to merge or compact, yet the measured update-serving ratios
+# (BENCH/BASELINE.md: ~1.6x single, ~1.33x batch under pending updates)
+# stay bounded only if a live ingest/update loop periodically folds its
+# delta tier. Thresholds follow the Lucene/ES tiered-merge intuition:
+# many small segments -> cheap same-stats merge; a masked fraction large
+# enough to distort over-fetch and stats -> full fresh-stats compaction.
+
+
+def _compact_paths(index_path: str) -> tuple[str, str, str]:
+    base = index_path.rstrip("/")
+    return (base + ".compact_tmp", base + ".compact_trash",
+            base + ".compact_commit")
+
+
+def _recover_compact(index_path: str) -> None:
+    """Finish or roll back a crashed ``compact_in_place``. Marker absent:
+    the staged rebuild is scratch — drop it. Marker present: the swap was
+    committed — finish whichever renames remain (each rename is atomic;
+    the staged index is complete before the marker is written)."""
+    import shutil
+
+    tmp, trash, marker = _compact_paths(index_path)
+    if os.path.exists(marker):
+        if os.path.exists(os.path.join(tmp, "meta.json")):
+            if os.path.exists(index_path):
+                shutil.rmtree(trash, ignore_errors=True)
+                os.rename(index_path, trash)
+            os.rename(tmp, index_path)
+        shutil.rmtree(trash, ignore_errors=True)
+        os.remove(marker)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+
+
+def compact_in_place(
+    spark: SparkSession, index_path: str, **build_kwargs
+) -> dict:
+    """``compact_index`` whose output REPLACES ``index_path`` (the
+    serving path keeps its name — callers re-read via
+    ``SearchEngine.refresh()``). Crash-safe: the fresh index is staged
+    at a sibling ``.compact_tmp``, a commit marker flips, then two
+    atomic renames swap it in; ``_recover_compact`` (run at every
+    maintenance entry) finishes or rolls back any interrupted state."""
+    import shutil
+
+    _recover_compact(index_path)
+    tmp, trash, marker = _compact_paths(index_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    meta = compact_index(
+        spark, index_path, tmp, stage_corpus_as=index_path, **build_kwargs
+    )
+    with open(marker, "w") as fh:
+        fh.write("1")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(index_path, trash)
+    os.rename(tmp, index_path)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.remove(marker)
+    return meta
+
+
+def maintenance_status(spark: SparkSession, index_path: str) -> dict:
+    """Counts the policy decides on (and ``jobs/maintain.py status``
+    prints)."""
+    meta = load_meta(index_path)
+    deltas = load_delta_metas(index_path)
+    tomb = load_tombstones(spark, index_path)
+    upd = load_updated_ids(spark, index_path)
+    return {
+        "base_documents": meta["num_documents"],
+        "base_postings": meta["num_postings"],
+        "delta_segments": len(deltas),
+        "delta_documents": sum(d["num_documents"] for d in deltas),
+        "delta_postings": sum(d["num_postings"] for d in deltas),
+        "tombstones": 0 if tomb is None else tomb.count(),
+        "updated_docs": 0 if upd is None else upd.count(),
+    }
+
+
+def auto_maintain(
+    spark: SparkSession,
+    index_path: str,
+    max_delta_segments: int = 4,
+    max_masked_fraction: float = 0.10,
+    **compact_kwargs,
+) -> dict:
+    """One policy tick: decide and run the maintenance the index needs.
+
+    * masked fraction (tombstones + updated ids, i.e. rows every query
+      must over-fetch past and anti-join away) above
+      ``max_masked_fraction`` of the total corpus -> in-place
+      COMPACTION (fresh stats, tier folded, masks zeroed) — subsumes a
+      merge;
+    * else delta-segment count above ``max_delta_segments`` -> MERGE
+      (one segment, scores bit-identical, base untouched);
+    * else no-op.
+
+    Returns the decision plus before/after status; callers serving the
+    index should ``refresh()`` afterwards. Idempotent and crash-safe
+    (every primitive it calls recovers its own interrupted state)."""
+    _recover_compact(index_path)
+    _recover_merge(index_path)
+    before = maintenance_status(spark, index_path)
+    total_docs = max(
+        before["base_documents"] + before["delta_documents"], 1
+    )
+    masked = before["tombstones"] + before["updated_docs"]
+    actions: list[str] = []
+    if masked > max_masked_fraction * total_docs:
+        compact_in_place(spark, index_path, **compact_kwargs)
+        actions.append("compact")
+    elif before["delta_segments"] > max_delta_segments:
+        merge_deltas(spark, index_path)
+        actions.append("merge")
+    return {
+        "actions": actions,
+        "before": before,
+        "after": maintenance_status(spark, index_path),
+    }

@@ -6,11 +6,17 @@
     spark-submit jobs/maintain.py merge   --index /path/idx
     spark-submit jobs/maintain.py compact --index /path/idx --out /path/idx2 \
         [--corpus /path/corpus.parquet]
+    spark-submit jobs/maintain.py auto    --index /path/idx \
+        [--max-delta-segments 4] [--max-masked-fraction 0.1]
     spark-submit jobs/maintain.py status  --index /path/idx
 
 Adds are frozen-stats delta segments, deletes are query-time tombstone
 masks, compact folds both into a fresh-stats rebuild (see
-``operators/indexer.py``)."""
+``operators/indexer.py``). ``auto`` is the POLICY tick for a live loop:
+in-place compaction when the masked fraction (tombstones + updated ids)
+crosses the threshold, a bit-identical merge when the delta tier
+fragments past the segment cap, else a no-op — run it on a schedule (or
+from the serve REPL) to keep update-serving overhead bounded."""
 
 from __future__ import annotations
 
@@ -29,8 +35,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "action",
-        choices=["add", "delete", "update", "merge", "compact", "status"],
+        choices=[
+            "add", "delete", "update", "merge", "compact", "auto", "status",
+        ],
     )
+    ap.add_argument("--max-delta-segments", type=int, default=4)
+    ap.add_argument("--max-masked-fraction", type=float, default=0.10)
     ap.add_argument("--index", required=True)
     ap.add_argument("--docs", default=None, help="parquet of new docs (add)")
     ap.add_argument("--doc-ids", default=None, help="comma-separated ids (delete)")
@@ -87,20 +97,17 @@ def main() -> None:
             "num_postings": meta["num_postings"],
             "out": args.out,
         }))
+    elif args.action == "auto":
+        out = indexer.auto_maintain(
+            spark, args.index,
+            max_delta_segments=args.max_delta_segments,
+            max_masked_fraction=args.max_masked_fraction,
+        )
+        print(json.dumps({"action": "auto", **out}))
     else:  # status
-        meta = indexer.load_meta(args.index)
-        tomb = indexer.load_tombstones(spark, args.index)
-        upd = indexer.load_updated_ids(spark, args.index)
-        deltas = indexer.load_delta_metas(args.index)
         print(json.dumps({
             "action": "status",
-            "base_documents": meta["num_documents"],
-            "base_postings": meta["num_postings"],
-            "delta_segments": len(deltas),
-            "delta_documents": sum(d["num_documents"] for d in deltas),
-            "delta_postings": sum(d["num_postings"] for d in deltas),
-            "tombstones": 0 if tomb is None else tomb.count(),
-            "updated_docs": 0 if upd is None else upd.count(),
+            **indexer.maintenance_status(spark, args.index),
         }))
     spark.stop()
 

@@ -16,6 +16,7 @@ Commands at the prompt (any other line is a query):
     next                                         next page of the last query
     status                                       index maintenance state
     refresh                                      re-read deltas/tombstones
+    auto                                         policy tick: merge/compact if thresholds crossed, then refresh
     exit
 
 Semantic/combined modes embed the query with the deterministic
@@ -166,7 +167,26 @@ def main() -> None:
             continue
         if low == "refresh":
             eng.refresh()
+            cursor = None  # maintenance may reorder pages — walk restarts
             print("- refreshed")
+            continue
+        if low == "auto":
+            import json as _json
+
+            from cs_search_engine_architecture_spark.operators import indexer
+
+            try:
+                out = indexer.auto_maintain(spark, eng.index_path)
+            except Exception as exc:
+                print(f"- auto-maintain failed: {type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}")
+                continue
+            if out["actions"]:
+                eng.refresh()
+                cursor = None
+            print(_json.dumps(
+                {"actions": out["actions"], "after": out["after"]}
+            ))
             continue
         if low == "next":
             # 'next' only continues a plain exact-mode page walk: with a

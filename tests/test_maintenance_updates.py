@@ -553,3 +553,67 @@ def test_wand_routing_survives_deltas_and_updates(spark, tmp_path):
         # the updated doc serves its NEW version exactly once
         assert [d for d, _ in got].count(0) == 1
         assert 100 in [d for d, _ in got]
+
+
+def test_auto_maintain_policy_converges(spark, tmp_path):
+    """The policy tick: no-op below thresholds; merge when the delta
+    tier fragments past the segment cap; in-place compaction when the
+    masked fraction crosses — converging to 1 segment / 0 masks, with
+    the staged source_corpus keeping delta-added docs visible to
+    current_corpus after the fold."""
+    out = _build(spark, tmp_path)
+    assert indexer.auto_maintain(spark, out)["actions"] == []
+    # fragment the delta tier past the cap -> one bit-identical merge
+    for i in range(5):
+        indexer.add_docs(spark, out, _df(spark, [(100 + i, f"qqseg{i} text")]))
+    res = indexer.auto_maintain(spark, out, max_delta_segments=4)
+    assert res["actions"] == ["merge"]
+    assert res["after"]["delta_segments"] == 1
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng.search("qqseg3", 5).count() == 1
+    # mask fraction past the threshold -> in-place compaction to clean
+    indexer.update_docs(
+        spark, out,
+        _df(spark, [(0, "qqnewzero text"), (1, "qqnewone text")]),
+    )
+    res = indexer.auto_maintain(spark, out, max_masked_fraction=0.10)
+    assert res["actions"] == ["compact"]
+    after = res["after"]
+    assert after["delta_segments"] == 0
+    assert after["tombstones"] == 0 and after["updated_docs"] == 0
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng2.search("qqnewzero", 5).collect()] == [0]
+    assert eng2.search("qqseg2", 5).count() == 1
+    cur = {r["doc_id"]: r["text"] for r in eng2.current_corpus().collect()}
+    assert cur[103] == "qqseg3 text" and cur[0] == "qqnewzero text"
+    assert len(cur) == len(DOCS) + 5
+    # clean index: the next tick is a no-op again
+    assert indexer.auto_maintain(spark, out)["actions"] == []
+
+
+def test_compact_in_place_crash_recovery(spark, tmp_path):
+    """compact_in_place's two crash shapes: an uncommitted staged
+    rebuild is scratch (dropped); a committed-but-unswapped one is
+    finished by the next maintenance entry."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "qqcip staged text")]))
+    tmp, trash, marker = indexer._compact_paths(out)
+    # A: no marker -> staged dir is scratch
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk"), "w") as fh:
+        fh.write("partial")
+    indexer._recover_compact(out)
+    assert not os.path.exists(tmp)
+    # B: complete staged rebuild + marker, crash before the renames
+    indexer.compact_index(spark, out, tmp, stage_corpus_as=out)
+    with open(marker, "w") as fh:
+        fh.write("1")
+    res = indexer.auto_maintain(spark, out)  # entry point runs recovery
+    assert res["actions"] == []  # recovered index is already clean
+    assert not os.path.exists(tmp) and not os.path.exists(trash)
+    assert not os.path.exists(marker)
+    assert indexer.load_delta_metas(out) == []
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng.search("qqcip", 5).count() == 1
+    cur = {r["doc_id"]: r["text"] for r in eng.current_corpus().collect()}
+    assert cur[100] == "qqcip staged text" and len(cur) == len(DOCS) + 1
