@@ -96,6 +96,30 @@ def main() -> None:
     t0 = time.time()
     code_eng.search_collect("index or spark or data", 10)  # WAND path
     timings["q_code_wand_or"] = round(time.time() - t0, 3)
+    extras["wand_strategy"] = code_eng.last_strategy
+
+    # WAND survives a pending in-place update (round-5): the kernel runs
+    # over base blocks, the delta arm unions in — strategy stays wand_*
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        update_docs as _update_docs,
+    )
+
+    upd_code = os.path.join(work, "code_idx_upd")
+    shutil.copytree(os.path.join(work, "code_idx"), upd_code)
+    _update_docs(
+        spark,
+        upd_code,
+        spark.createDataFrame(
+            [(0, "bench/updated.py", "updated spark index data content")],
+            "doc_id long, path string, content string",
+        ),
+    )
+    uceng = SearchEngine(spark, upd_code)
+    uceng.search_collect("spark", 5)  # warm
+    t0 = time.time()
+    uceng.search_collect("index or spark or data", 10)
+    timings["q_code_wand_or_updated"] = round(time.time() - t0, 3)
+    extras["wand_updated_strategy"] = uceng.last_strategy
 
     # -- 2. documents fixture: gate index + query set
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -1879,11 +1879,24 @@ def _recover_compact(index_path: str) -> None:
                 shutil.rmtree(trash, ignore_errors=True)
                 os.rename(index_path, trash)
             os.rename(tmp, index_path)
+        _carry_runtime_state(trash, index_path)
         shutil.rmtree(trash, ignore_errors=True)
         os.remove(marker)
     else:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
+
+
+def _carry_runtime_state(old_dir: str, index_path: str) -> None:
+    """Move loader-invisible runtime state that nests under the index
+    dir but is no part of the rebuild — the live-ingest Structured
+    Streaming checkpoint (``stream_live/``) — from the swapped-out copy
+    into the new one. Losing it would reset the stream's committed-
+    batch log and re-ingest every source row as a duplicate delta."""
+    old_stream = os.path.join(old_dir, "stream_live")
+    new_stream = os.path.join(index_path, "stream_live")
+    if os.path.isdir(old_stream) and not os.path.exists(new_stream):
+        os.rename(old_stream, new_stream)
 
 
 def compact_in_place(
@@ -1908,6 +1921,7 @@ def compact_in_place(
     shutil.rmtree(trash, ignore_errors=True)
     os.rename(index_path, trash)
     os.rename(tmp, index_path)
+    _carry_runtime_state(trash, index_path)
     shutil.rmtree(trash, ignore_errors=True)
     os.remove(marker)
     return meta

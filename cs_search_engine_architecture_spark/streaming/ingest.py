@@ -222,9 +222,28 @@ class LiveStreamingIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def ingest_available(self, stream_df: DataFrame) -> None:
+    def ingest_available(
+        self, stream_df: DataFrame, auto_maintain: bool = False,
+        **policy,
+    ) -> dict | None:
+        """Drain everything available, then (optionally) run one
+        ``indexer.auto_maintain`` policy tick. The tick runs at this
+        QUIESCENT point only — never inside ``_process_batch``: under
+        foreachBatch's at-least-once semantics a merge that consumed an
+        UNcommitted batch's segment would double-serve its docs when
+        the batch replays (the replay writes a fresh delta into its
+        slot while the merged copy already carries the rows). After
+        ``awaitTermination`` every drained batch is committed, so
+        folding the tier is safe — and an in-place compaction carries
+        the stream's checkpoint across the swap (see
+        ``indexer._carry_runtime_state``)."""
         q = self.start(stream_df, available_now=True)
         q.awaitTermination()
+        if not auto_maintain:
+            return None
+        from cs_search_engine_architecture_spark.operators import indexer
+
+        return indexer.auto_maintain(self.spark, self.index_path, **policy)
 
     def compact(self, out_path: str, **kwargs) -> dict:
         """Fold base + all live deltas (- tombstones) into a

@@ -62,12 +62,17 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         ),
     )
     eng = SearchEngine(spark, out, cache=False)
+    eng.meta["num_postings"] = 5_000_000  # force WAND routing (r5 path)
+    wand_or = eng.search("alpha or beta", 5)
+    assert eng.last_strategy.endswith("+delta_arm"), eng.last_strategy
+    eng.meta["num_postings"] = 60
     frames = [
         eng.search("alpha", 5),
         eng.search("alpha and beta", 5),
         eng.msearch({"a": "alpha", "b": "beta and not gamma"}, top_k=5),
         eng.prefix_search("alp*", top_k=5),
         eng.current_corpus(),
+        wand_or,  # base-kernel ∪ delta-arm union under pending updates
     ]
     for df in frames:
         plan = df._jdf.queryExecution().executedPlan().toString()

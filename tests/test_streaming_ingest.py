@@ -156,3 +156,75 @@ def test_live_ingest_queryable_between_batches(spark, docs):
     want = [(r["doc_id"], r["score"]) for r in ef.search("data or code", 10).collect()]
     assert got == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_live_ingest_auto_maintain_quiescent(spark, docs):
+    """The policy tick at the quiescent point of a live-ingest loop:
+    merge when the tier fragments, in-place compaction when the masked
+    fraction crosses — and the Structured Streaming checkpoint SURVIVES
+    the compaction swap (a lost checkpoint would re-ingest every old
+    wave as duplicate deltas on the next drain)."""
+    from cs_search_engine_architecture_spark.operators import indexer
+    from cs_search_engine_architecture_spark.streaming.ingest import (
+        LiveStreamingIndexer,
+    )
+
+    base = "/tmp/spark_sea_test_live_auto"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    idx = os.path.join(base, "idx")
+    base_docs = docs.where("doc_id < 200")
+    base_src = os.path.join(base, "base_corpus.parquet")
+    base_docs.write.parquet(base_src)
+    build_index(
+        spark, base_docs, idx, fields=["text"], analyzer="simple",
+        num_buckets=8, corpus_path=base_src,
+    )
+    live = LiveStreamingIndexer(spark, idx)
+
+    def _arrive(frame, tag):
+        tmp = os.path.join(base, f"stage_{tag}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, part), os.path.join(src, f"{tag}_{part}")
+                )
+        shutil.rmtree(tmp)
+
+    stream = lambda: stream_corpus(spark, src, SCHEMA)  # noqa: E731
+    for i, (lo, hi) in enumerate([(200, 250), (250, 300), (300, 350)]):
+        _arrive(docs.where(f"doc_id >= {lo} AND doc_id < {hi}"), f"w{i}")
+        live.ingest_available(stream())
+    assert len(indexer._delta_dirs(idx)) >= 3
+    # quiescent tick: tier fragmented past the cap -> one merge
+    res = live.ingest_available(
+        stream(), auto_maintain=True, max_delta_segments=2
+    )
+    assert res["actions"] == ["merge"]
+    assert len(indexer._delta_dirs(idx)) == 1
+    # masked fraction past the threshold -> in-place compaction
+    indexer.delete_docs(spark, idx, list(range(200, 240)))
+    res = live.ingest_available(
+        stream(), auto_maintain=True, max_masked_fraction=0.05
+    )
+    assert res["actions"] == ["compact"]
+    assert res["after"]["delta_segments"] == 0
+    assert res["after"]["tombstones"] == 0
+    # the checkpoint survived the swap: a NEW wave drains WITHOUT
+    # replaying the old (now-compacted) waves as duplicates
+    _arrive(docs.where("doc_id >= 350 AND doc_id < 400"), "w4")
+    live.ingest_available(stream())
+    eng = SearchEngine(spark, idx, cache=False)
+    cur = [r["doc_id"] for r in eng.current_corpus().collect()]
+    assert len(cur) == len(set(cur)), "duplicate rows: checkpoint lost"
+    got = set(cur)
+    want = (
+        set(range(0, 200)) - set()  # base survivors
+    ) | set(range(240, 350)) | set(range(350, 400))
+    want -= set(range(200, 240))  # deleted wave-1 prefix
+    assert got == want
+    ids = {r["doc_id"] for r in eng.search_df("data or code").collect()}
+    assert ids <= got
+    shutil.rmtree(base, ignore_errors=True)
