@@ -890,6 +890,7 @@ class SearchEngine:
         predicate,
         top_k: int = 10,
         doc_id_col: str = "doc_id",
+        cursor: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Metadata-filtered search: the top ``top_k`` of ``query``
         restricted to corpus rows satisfying ``predicate`` (a SQL
@@ -901,15 +902,28 @@ class SearchEngine:
         identically under any filter that admits it. At scale both
         sides shuffle on doc_id; a selective filter side is
         broadcast-eligible and AQE decides. Update/delete-aware via the
-        same masked+arm frame as every surface."""
+        same masked+arm frame as every surface.
+
+        ``cursor`` composes filters with ``search_after`` pagination:
+        because filter-context scores ARE the unfiltered scores, the
+        (score desc, doc_id asc) total order restricted to the admitted
+        set is still a total order — the same strictly-after predicate
+        partitions the filtered result set exactly across pages."""
         allowed = corpus.where(predicate).select(
             F.col(doc_id_col).cast("long").alias("doc_id")
         )
+        scored = self.search_df(query).join(allowed, "doc_id", "left_semi")
+        if cursor is not None:
+            c_score, c_doc = float(cursor[0]), int(cursor[1])
+            scored = scored.where(
+                (F.col("score") < F.lit(c_score))
+                | (
+                    (F.col("score") == F.lit(c_score))
+                    & (F.col("doc_id") > F.lit(c_doc))
+                )
+            )
         return (
-            self.search_df(query)
-            .join(allowed, "doc_id", "left_semi")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(top_k)
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
         )
 
     def facet_counts(
@@ -919,6 +933,7 @@ class SearchEngine:
         facet_col: str,
         top_n: int = 20,
         doc_id_col: str = "doc_id",
+        predicate=None,
     ) -> DataFrame:
         """Facet aggregation over the FULL match set (not just top-k):
         (facet value, matching-doc count) for every doc matching
@@ -928,8 +943,13 @@ class SearchEngine:
         partial-aggregated groupBy on the facet column; at web scale
         both keys are near-uniform so neither side broadcasts the
         corpus. Update/delete-aware via the same masked+arm frame every
-        other surface uses."""
+        other surface uses. ``predicate`` restricts the counted set to
+        the filter context (the standard faceted-search sidebar: counts
+        over query ∩ active filters) — applied on the corpus scan, so
+        pushdown prunes before the semi-join."""
         matched = self.search_df(query).select("doc_id")
+        if predicate is not None:
+            corpus = corpus.where(predicate)
         return (
             corpus.select(
                 F.col(doc_id_col).cast("long").alias("doc_id"),

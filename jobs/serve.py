@@ -189,13 +189,13 @@ def main() -> None:
             ))
             continue
         if low == "next":
-            # 'next' only continues a plain exact-mode page walk: with a
-            # filter it would re-serve page 1 forever (filters don't
-            # paginate), and after an LTR page it would silently restart
-            # an UNreranked BM25 walk — refuse both instead
+            # 'next' continues an exact-mode page walk (filtered or
+            # not); after an LTR page it would silently restart an
+            # UNreranked BM25 walk, so LTR toggles reset the cursor and
+            # the guard refuses until a fresh query
             if last_query is None or mode != "exact" or cursor is None:
-                print("- pagination follows a plain exact-mode query "
-                      "(no filter, ltr off)")
+                print("- pagination follows an exact-mode query "
+                      "(ltr off)")
                 continue
             query = last_query
         else:
@@ -233,7 +233,11 @@ def main() -> None:
         _print_rows(rows, text_map)
         if facet is not None and mode == "exact":
             try:
-                fc = eng.facet_counts(query, corpus, facet, top_n=8).collect()
+                # facets respect the active filter context (sidebar
+                # counts = query ∩ filters, like every search UI)
+                fc = eng.facet_counts(
+                    query, corpus, facet, top_n=8, predicate=filt
+                ).collect()
                 print("  facets: " + ", ".join(
                     f"{r['facet']}={r['doc_count']}" for r in fc
                 ))
@@ -254,15 +258,18 @@ def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
 
     paged = False
     if mode == "exact":
-        if filt is not None:
-            # filters don't paginate (a 'next' would silently drop
-            # the predicate) — raise topk instead
-            res = eng.filtered_search(query, corpus, filt, top_k)
-        elif ltr_on and low != "next":
+        if ltr_on and low != "next":
             res = eng.search(
                 query, top_k, ltr_enabled=True,
                 ltr_weights=args.ltr_weights,
             )
+        elif filt is not None:
+            # filter-context scores are the unfiltered scores, so the
+            # cursor's total order partitions the filtered set exactly
+            res = eng.filtered_search(
+                query, corpus, filt, top_k, cursor=cursor
+            )
+            paged = True
         else:
             res = eng.search_after(query, cursor=cursor, top_k=top_k)
             paged = True

@@ -403,3 +403,64 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert "facets:" in proc.stdout
     assert '"tombstones": 0' in proc.stdout
     assert "- refreshed" in proc.stdout
+
+
+def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
+    """Round-5 serving composition: (a) filtered_search(cursor=...) —
+    filter-context scores are the unfiltered scores, so the strictly-
+    after predicate partitions the FILTERED result set exactly across
+    pages; (b) facet_counts(predicate=...) counts query ∩ filter."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [
+        (i, "alpha shared" + (" rare" if i % 5 == 0 else ""),
+         ["en", "fr"][i % 2], f"s{i % 3}")
+        for i in range(30)
+    ]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    full = [
+        (r["doc_id"], r["score"])
+        for r in eng.filtered_search(
+            "alpha or rare", corpus, "lang = 'en'", top_k=100
+        ).collect()
+    ]
+    assert len(full) == 15  # every even doc matches 'alpha'
+    pages, cursor = [], None
+    for _ in range(4):
+        rows = eng.filtered_search(
+            "alpha or rare", corpus, "lang = 'en'", top_k=4, cursor=cursor
+        ).collect()
+        if not rows:
+            break
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert pages == full  # pages partition the filtered set exactly
+    # filtered facets: counts over query ∩ predicate
+    fc = {
+        r["facet"]: r["doc_count"]
+        for r in eng.facet_counts(
+            "alpha or rare", corpus, "source", predicate="lang = 'en'"
+        ).collect()
+    }
+    want: dict = {}
+    for i, text, lang, source in docs:
+        if lang == "en":
+            want[source] = want.get(source, 0) + 1
+    assert fc == want
+    # unfiltered facets unchanged by the new parameter's default
+    fc_all = {
+        r["facet"]: r["doc_count"]
+        for r in eng.facet_counts("alpha or rare", corpus, "lang").collect()
+    }
+    assert fc_all == {"en": 15, "fr": 15}
