@@ -764,15 +764,31 @@ class SearchEngine:
             .limit(max_expansion)
             .collect()
         )
-        terms = [r["term"] for r in matched]
+        return self._expansion_topk([r["term"] for r in matched], top_k)
+
+    def _expansion_topk(
+        self,
+        terms: list[str],
+        top_k: int,
+        exclude_doc_id: int | None = None,
+    ) -> DataFrame:
+        """Serve a dictionary-expanded OR disjunction (score = sum of the
+        matched terms' BM25) through the batch operator's ONE shared
+        scan — the common tail of ``prefix_search`` / ``wildcard_search``
+        / ``more_like_this``. ``exclude_doc_id`` drops one source doc
+        (more-like-this never returns its seed); the fetch over-allocates
+        by 1 so the exclusion cannot shrink the top-k."""
+        from cs_search_engine_architecture_spark.operators import msearch as ms
+
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        fetch = top_k + (1 if exclude_doc_id is not None else 0)
         out = ms.batched_topk(
             self.spark,
             self.blocks,
             self.num_buckets,
             [("q", "or", terms)],
-            top_k,
+            fetch,
             exclude=self.tombstones,
         ).select("doc_id", "score")
         if self.updated_ids is not None:
@@ -787,17 +803,98 @@ class SearchEngine:
                 self._delta_blocks_df(),
                 self.num_buckets,
                 [("q", "or", terms)],
-                top_k,
+                fetch,
                 exclude=self._dead_ids(),
             ).select("doc_id", "score").join(
                 F.broadcast(self.updated_ids), "doc_id", "left_semi"
             )
-            out = (
-                out.unionByName(arm)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(top_k)
-            )
-        return out
+            out = out.unionByName(arm)
+        if exclude_doc_id is not None:
+            out = out.where(F.col("doc_id") != F.lit(int(exclude_doc_id)))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+    def wildcard_search(
+        self, pattern: str, top_k: int = 10, max_expansion: int = 128
+    ) -> DataFrame:
+        """General wildcard search (Lucene ``WildcardQuery`` shape):
+        ``*`` matches any run, ``?`` exactly one character, anywhere in
+        the pattern (``b?g``, ``*ing``, ``a*c``). Expansion is a
+        vocabulary-sized dictionary scan (``term_stats`` with an
+        anchored regex — same cost envelope as ``prefix_search``; a
+        leading wildcard forfeits the range pushdown but still only
+        touches the dictionary, never the postings), capped
+        rarest-first at ``max_expansion``, then served as ONE
+        shared-scan disjunction. Extension beyond the reference (its
+        parser has no wildcard syntax)."""
+        import re as _re
+
+        regex = "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+        matched = (
+            self.term_stats()
+            .where(F.col("term").rlike(f"^{regex}$"))
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return self._expansion_topk([r["term"] for r in matched], top_k)
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        top_k: int = 10,
+        max_terms: int = 25,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """Lucene ``MoreLikeThis`` shape: fetch the seed doc's text (one
+        indexed-corpus row — ``current_corpus`` is update-aware, so an
+        in-place-updated seed expands from its CURRENT text), pick its
+        ``max_terms`` highest tf·idf terms (ties → term asc; idf from
+        the engine's frozen-stats dictionary), and serve them as ONE
+        shared-scan disjunction with the seed excluded. Driver cost is
+        one row fetch + one vocabulary-pruned dictionary probe —
+        independent of corpus size; the query side is the same batched
+        scan every expansion surface uses. Extension beyond the
+        reference (no equivalent API)."""
+        from cs_search_engine_architecture_spark.functions.tokenizer import (
+            tokenize,
+        )
+
+        src = corpus if corpus is not None else self.current_corpus()
+        id_col = self.meta.get("doc_id_col", "doc_id")
+        fields = self.meta["fields"]
+        rows = (
+            src.where(F.col(id_col) == F.lit(int(doc_id)))
+            .select(*fields)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        analyzer = self.meta.get("analyzer", "reference")
+        tf: dict[str, int] = {}
+        for fld in fields:
+            toks, _ = tokenize(rows[0][fld] or "", analyzer=analyzer)
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+        if not tf:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf = {
+            r["term"]: float(r["idf"])
+            for r in self.term_stats()
+            .where(F.col("term").isin(list(tf)))
+            .select("term", "idf")
+            .collect()
+        }
+        ranked = sorted(
+            ((t, tf[t] * idf[t]) for t in tf if t in idf),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        terms = [t for t, _ in ranked[:max_terms]]
+        return self._expansion_topk(terms, top_k, exclude_doc_id=doc_id)
 
     def fuzzy_search(
         self,
@@ -1479,4 +1576,62 @@ class SearchEngine:
             .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
             .limit(top_k)
             .select("doc_id", "ltr_score", "bm25", "similarity", "provenance")
+        )
+
+    def combined_search_rrf(
+        self, query: str, embeddings: DataFrame, qvec,
+        top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
+        sem_k: int | None = None, rrf_k: int = 60,
+    ) -> DataFrame:
+        """Hybrid fusion by Reciprocal Rank Fusion (Cormack et al.,
+        SIGIR'09 — the standard score-free alternative to the
+        reference's LTR rerank): score(d) = Σ_arms 1/(rrf_k + rank_d),
+        ranks taken within each arm under the engine's total order
+        (score desc, doc_id asc). Rank-based fusion is immune to the
+        arms' incomparable score scales (BM25 vs cosine), and the
+        scores are exactly reproducible — each contribution is one IEEE
+        double division on integer operands, summed in a fixed
+        exact-then-semantic order, so the oracle mirrors it bit-for-bit.
+        The windows run over the ≤ pre_select_k + sem_k union rows
+        (serving-sized, never corpus-sized). Returns
+        (doc_id, score, provenance). Extension beyond the reference."""
+        sem_k = sem_k if sem_k is not None else pre_select_k
+        union = self._hybrid_union(
+            query, embeddings, qvec, pre_select_k, sem_k, id_col
+        )
+        we = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ws = Window.orderBy(F.desc("similarity"), F.asc("doc_id"))
+        exact_r = (
+            union.where(F.col("provenance") != "semantic")
+            .withColumn("r_exact", F.row_number().over(we))
+            .select("doc_id", "r_exact")
+        )
+        sem_r = (
+            union.where(F.col("provenance") != "exact")
+            .withColumn("r_sem", F.row_number().over(ws))
+            .select("doc_id", "r_sem")
+        )
+        k0 = F.lit(float(rrf_k))
+        return (
+            exact_r.join(sem_r, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (k0 + F.col("r_exact")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (k0 + F.col("r_sem")), F.lit(0.0)
+                    )
+                ).alias("score"),
+                F.when(
+                    F.col("r_exact").isNotNull() & F.col("r_sem").isNotNull(),
+                    F.lit("both"),
+                )
+                .when(F.col("r_exact").isNotNull(), F.lit("exact"))
+                .otherwise(F.lit("semantic"))
+                .alias("provenance"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
         )

@@ -946,21 +946,30 @@ SQL_SPELL_SUGGEST = _sql_spell_suggest()
 HYBRID_QUERY_TERMS = ("spark", "data")
 HYBRID_PRE_K = 10
 HYBRID_TOP_K = 15
+HYBRID_RRF_K = 60
 
 
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite hybrid gate: the score-sum union (``combined_search``
+    without LTR — reference parity) UNION the Reciprocal-Rank-Fusion
+    variant (``combined_search_rrf`` — rank-based fusion, score =
+    1/(60+rank_exact) + 1/(60+rank_sem)). RRF scores are divisions on
+    integer ranks summed in a fixed order, so the oracle mirrors them
+    bit-for-bit; both parts rank on the raw double and project the
+    float32 cast."""
     eng = gate_engine(spark, sf_dir)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    fscore = F.col("score").cast("float").cast("double").alias("score")
     out = eng.combined_search(
         " or ".join(HYBRID_QUERY_TERMS), emb, qvec,
         top_k=HYBRID_TOP_K, pre_select_k=HYBRID_PRE_K,
-    )
-    return out.select(
-        "doc_id",
-        F.col("score").cast("float").cast("double").alias("score"),
-        "provenance",
-    )
+    ).select(F.lit("union").alias("part"), "doc_id", fscore, "provenance")
+    rrf = eng.combined_search_rrf(
+        " or ".join(HYBRID_QUERY_TERMS), emb, qvec,
+        top_k=HYBRID_TOP_K, pre_select_k=HYBRID_PRE_K, rrf_k=HYBRID_RRF_K,
+    ).select(F.lit("rrf").alias("part"), "doc_id", fscore, "provenance")
+    return out.unionByName(rrf)
 
 
 def _hybrid_cte_prefix() -> str:
@@ -1011,12 +1020,39 @@ joined AS (
 
 def _sql_hybrid_search() -> str:
     return f"""
-WITH {_hybrid_cte_prefix()}
-SELECT doc_id,
-       CAST(CAST(bm25 + similarity AS REAL) AS DOUBLE) AS score,
-       provenance
-FROM joined
-ORDER BY bm25 + similarity DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+WITH {_hybrid_cte_prefix()},
+u AS (
+  SELECT 'union' AS part, doc_id,
+         CAST(CAST(bm25 + similarity AS REAL) AS DOUBLE) AS score,
+         provenance
+  FROM joined
+  ORDER BY bm25 + similarity DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+),
+rex AS (SELECT doc_id,
+        row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS re
+        FROM exact),
+rse AS (SELECT doc_id,
+        row_number() OVER (ORDER BY similarity DESC, doc_id ASC) AS rs
+        FROM sem),
+rrf AS (
+  SELECT COALESCE(rex.doc_id, rse.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST({HYBRID_RRF_K} + re AS DOUBLE),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / CAST({HYBRID_RRF_K} + rs AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS score_raw,
+         CASE WHEN re IS NOT NULL AND rs IS NOT NULL THEN 'both'
+              WHEN re IS NOT NULL THEN 'exact' ELSE 'semantic'
+         END AS provenance
+  FROM rex FULL OUTER JOIN rse ON rex.doc_id = rse.doc_id
+),
+r AS (
+  SELECT 'rrf' AS part, doc_id,
+         CAST(CAST(score_raw AS REAL) AS DOUBLE) AS score, provenance
+  FROM rrf
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+)
+SELECT * FROM u
+UNION ALL SELECT * FROM r
 """
 
 
@@ -1782,39 +1818,60 @@ LIMIT 10
 
 
 def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wildcard ``b*`` search: dictionary expansion over term_stats,
-    served as one shared-scan disjunction (sum-of-BM25 OR semantics).
-    The oracle expands with ``LIKE 'b%'`` and replays the same algebra;
-    the fixture prefix matches exactly two terms (batch, big) so the
-    double-precision sum stays order-insensitive on both sides."""
+    """Composite dictionary-expansion gate: ``prefix_search("b")``
+    (expansion via ``LIKE 'b%'`` — exactly two fixture terms, batch/big)
+    UNION ``wildcard_search("*a*e")`` (leading + inner wildcard through
+    the general regex path — exactly two fixture terms, table/value).
+    Both serve as one shared-scan disjunction (sum-of-BM25 OR
+    semantics); ≤2 matched terms per doc keeps the double sum
+    order-insensitive on both sides. The oracle replays the same
+    algebra with ``LIKE 'b%'`` / ``LIKE '%a%e'`` expansions."""
     eng = gate_engine(spark, sf_dir)
-    return eng.prefix_search("b", top_k=10).select(
-        "doc_id", F.col("score").cast("float").cast("double").alias("score")
+    fscore = F.col("score").cast("float").cast("double").alias("score")
+    pre = eng.prefix_search("b", top_k=10).select(
+        F.lit("prefix").alias("part"), "doc_id", fscore
     )
+    wild = eng.wildcard_search("*a*e", top_k=10).select(
+        F.lit("wildcard").alias("part"), "doc_id", fscore
+    )
+    return pre.unionByName(wild)
 
 
-SQL_PREFIX_SEARCH = f"""
-WITH toks AS ({TOKS_CTE}),
-n AS (SELECT count(*) AS n FROM documents),
-avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
-tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        WHERE term LIKE 'b%' GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
-sc AS (
+def _sql_expansion_arm(part: str, like: str) -> str:
+    """Shared oracle fragment: BM25 OR-sum over the terms matching
+    ``like``, top-10 ordered on the RAW double sum (the engine's
+    ordering key) with the float32 cast applied at projection only."""
+    return f"""
+tfs_{part} AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term LIKE '{like}' GROUP BY doc_id, term),
+dfs_{part} AS (SELECT term, count(*) AS df FROM tfs_{part} GROUP BY term),
+sc_{part} AS (
   SELECT t.doc_id,
     CAST(
       ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
       * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
       / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
     AS REAL) AS score
-  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
-)
-SELECT doc_id,
-       CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
-FROM sc GROUP BY doc_id
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+  FROM tfs_{part} t JOIN dl USING (doc_id) JOIN dfs_{part} d ON d.term = t.term
+),
+top_{part} AS (
+  SELECT '{part}' AS part, doc_id,
+         CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM sc_{part} GROUP BY doc_id
+  ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC
+  LIMIT 10
+)"""
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+{_sql_expansion_arm("prefix", "b%")},
+{_sql_expansion_arm("wildcard", "%a%e")}
+SELECT * FROM top_prefix
+UNION ALL SELECT * FROM top_wildcard
 """
 
 
@@ -2349,6 +2406,7 @@ FROM documents
 
 
 SERVING_QUERY = "spark or data"  # 2 distinct terms: order-insensitive sum
+MLT_DOC_ID = 0  # more-like-this seed for the serving_surfaces composite
 
 
 def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,7 +2446,18 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("page2").alias("part"), F.lit("").alias("fkey"),
         "doc_id", fscore, zero.alias("cnt"),
     )
-    return filtered.unionByName(facets).unionByName(p1).unionByName(p2)
+    # more_like_this: seed doc 0's top-2 tf·idf terms (margins between
+    # rank 2 and 3 are ~0.03 at the gate SF — far beyond any ln() ulp
+    # divergence between the JVM and DuckDB), served seed-excluded; ≤2
+    # matched terms per doc keeps the sum order-insensitive
+    mlt = eng.more_like_this(MLT_DOC_ID, top_k=10, max_terms=2).select(
+        F.lit("mlt").alias("part"), F.lit("").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
+    return (
+        filtered.unionByName(facets).unionByName(p1).unionByName(p2)
+        .unionByName(mlt)
+    )
 
 
 # scored = the engine's OR-sum frame for SERVING_QUERY (same expression
@@ -2439,10 +2508,41 @@ pages AS (
   SELECT CASE WHEN rk <= 10 THEN 'page1' ELSE 'page2' END AS part,
          '' AS fkey, doc_id, score, CAST(0 AS BIGINT) AS cnt
   FROM ranked WHERE rk <= 20
+),
+mtf AS (SELECT term, count(*) AS tf FROM toks
+        WHERE doc_id = {MLT_DOC_ID} GROUP BY term),
+mdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+msel AS (
+  SELECT m.term FROM mtf m JOIN mdf d USING (term)
+  ORDER BY m.tf * ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5)) DESC,
+           m.term ASC
+  LIMIT 2
+),
+mtfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         WHERE term IN (SELECT term FROM msel) GROUP BY doc_id, term),
+mdfs AS (SELECT term, count(*) AS df FROM mtfs GROUP BY term),
+msc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM mtfs t JOIN dl USING (doc_id) JOIN mdfs d ON d.term = t.term
+  WHERE t.doc_id != {MLT_DOC_ID}
+),
+mlt AS (
+  SELECT 'mlt' AS part, '' AS fkey, doc_id,
+         CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM msc GROUP BY doc_id
+  ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC
+  LIMIT 10
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
 UNION ALL SELECT * FROM pages
+UNION ALL SELECT * FROM mlt
 """
 
 

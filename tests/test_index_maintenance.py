@@ -478,3 +478,82 @@ def test_update_docs_in_place(spark, tmp_path):
     assert ec.updated_ids is None  # fresh index: fast paths restored
     assert [r["doc_id"] for r in ec.search("qqnewterm", 10).collect()] == [0]
     assert all(r["doc_id"] != 0 for r in ec.search("shuffle", 10).collect())
+
+
+def test_wildcard_search_matches_or_expansion(spark, tmp_path):
+    """wildcard_search must equal the explicit OR over the dictionary
+    terms its pattern matches (differential target: fnmatch — an
+    independent glob implementation), with '?' = exactly one char and
+    '*' allowed anywhere (leading included)."""
+    import fnmatch
+    import re
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    vocab = sorted(r["term"] for r in eng.term_stats().collect())
+    for pattern in ("s*k", "*oin", "?ig", "m*e", "*a*e?"):
+        rx = re.compile(fnmatch.translate(pattern))
+        matched = [t for t in vocab if rx.match(t)]
+        if matched:
+            want = {
+                (r["doc_id"], round(r["score"], 6))
+                for r in eng.search(" or ".join(matched), 10).collect()
+            }
+        else:
+            want = set()
+        got = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in eng.wildcard_search(pattern, 10).collect()
+        }
+        assert got == want, pattern
+    # '?' consumes exactly one char: no vocab term is 9 chars starting
+    # 'shufflee', so this must be empty (while 'shuffle*' is not)
+    assert eng.wildcard_search("shufflee?", 10).count() == 0
+
+
+def test_more_like_this_matches_manual_expansion(spark, tmp_path):
+    """more_like_this(seed) must equal the OR search over the seed's
+    top tf·idf terms (manually recomputed from tokenize + term_stats)
+    with the seed excluded, honour max_terms, and return empty for a
+    missing seed id."""
+    from cs_search_engine_architecture_spark.functions.tokenizer import (
+        tokenize,
+    )
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    seed = 6  # "spark spark spark repeated for frequency"
+    toks, _ = tokenize(dict(DOCS)[seed], analyzer="simple")
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    idf = {r["term"]: r["idf"] for r in eng.term_stats().collect()}
+    ranked = sorted(
+        ((t, tf[t] * idf[t]) for t in tf), key=lambda kv: (-kv[1], kv[0])
+    )
+    for max_terms in (2, 25):
+        terms = [t for t, _ in ranked[:max_terms]]
+        want = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in eng.search(" or ".join(terms), 11).collect()
+            if r["doc_id"] != seed
+        }
+        # re-limit: the engine fetches k+1 then drops the seed
+        want = set(sorted(want, key=lambda x: (-x[1], x[0]))[:10])
+        got = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in eng.more_like_this(
+                seed, 10, max_terms=max_terms, corpus=corpus
+            ).collect()
+        }
+        assert got == want, max_terms
+        assert seed not in {d for d, _ in got}
+    assert eng.more_like_this(999, 10, corpus=corpus).count() == 0

@@ -464,3 +464,38 @@ def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
         for r in eng.facet_counts("alpha or rare", corpus, "lang").collect()
     }
     assert fc_all == {"en": 15, "fr": 15}
+
+
+def test_combined_search_rrf_matches_manual_ranks(spark, engine, embeddings):
+    """RRF fusion must equal 1/(k0+rank_exact) + 1/(k0+rank_sem) with
+    ranks recomputed manually from the two arms under the engine's
+    total order, and label provenance by arm membership."""
+    qvec = [
+        float(x)
+        for x in embeddings.where("vec_id = 3").collect()[0]["embedding"]
+    ]
+    pre_k, rrf_k, top_k = 10, 60, 15
+    exact = engine.search("spark or window", pre_k).collect()
+    sem = engine.semantic_search(embeddings, qvec, pre_k).collect()
+    re_rank = {r["doc_id"]: i + 1 for i, r in enumerate(exact)}
+    rs_rank = {r["doc_id"]: i + 1 for i, r in enumerate(sem)}
+    expect = {
+        d: (1.0 / (rrf_k + re_rank[d]) if d in re_rank else 0.0)
+        + (1.0 / (rrf_k + rs_rank[d]) if d in rs_rank else 0.0)
+        for d in set(re_rank) | set(rs_rank)
+    }
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    out = engine.combined_search_rrf(
+        "spark or window", embeddings, qvec,
+        top_k=top_k, pre_select_k=pre_k, rrf_k=rrf_k,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [d for d, _ in top]
+    for r, (_, es) in zip(out, top):
+        assert r["score"] == pytest.approx(es, rel=1e-12)
+    for r in out:
+        d = r["doc_id"]
+        want_prov = (
+            "both" if d in re_rank and d in rs_rank
+            else "exact" if d in re_rank else "semantic"
+        )
+        assert r["provenance"] == want_prov
