@@ -142,6 +142,15 @@ def main() -> None:
         eng.search_collect(q, 10)
         timings[name] = round(time.time() - t0, 3)
 
+    # positional proximity (ordered slop) and boosted disjunction —
+    # the round-5 serving extensions, on the same warm index
+    t0 = time.time()
+    eng.proximity_search("window order", 30, top_k=10).collect()
+    timings["q_proximity"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    eng.boosted_search({"spark": 2.0, "data": 0.5}, top_k=10).collect()
+    timings["q_boosted"] = round(time.time() - t0, 3)
+
     # batched multi-query: the whole QUERIES list in ONE job (shared
     # postings scan + one shuffle) — compare against the sum of the
     # individual latencies above

@@ -768,7 +768,7 @@ class SearchEngine:
 
     def _expansion_topk(
         self,
-        terms: list[str],
+        terms: list[str] | dict[str, float],
         top_k: int,
         exclude_doc_id: int | None = None,
     ) -> DataFrame:
@@ -841,6 +841,92 @@ class SearchEngine:
             .collect()
         )
         return self._expansion_topk([r["term"] for r in matched], top_k)
+
+    def regexp_search(
+        self, regex: str, top_k: int = 10, max_expansion: int = 128
+    ) -> DataFrame:
+        """Lucene ``RegexpQuery`` shape: the pattern is a full regular
+        expression matched against WHOLE dictionary terms (anchored on
+        both ends, like Lucene). Same cost envelope as
+        ``wildcard_search`` — a vocabulary-sized dictionary scan
+        (delta-aware ``term_stats``), never the postings; the expansion
+        is capped rarest-first and served as ONE shared-scan
+        disjunction. Extension beyond the reference."""
+        matched = (
+            self.term_stats()
+            .where(F.col("term").rlike(f"^(?:{regex})$"))
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(max_expansion)
+            .collect()
+        )
+        return self._expansion_topk([r["term"] for r in matched], top_k)
+
+    def boosted_search(
+        self, boosts: dict[str, float], top_k: int = 10
+    ) -> DataFrame:
+        """Per-term boosted disjunction (Lucene ``term^boost`` shape):
+        score(d) = Σ_t boost_t · BM25_t(d) over the matched terms,
+        served through the batch operator's ONE shared scan (boosts
+        ride the broadcast query map's ``weight`` column — the same
+        mechanism integer term multiplicity already uses). Maintenance-
+        aware via the `_expansion_topk` tail (tombstone mask + delta
+        resurrection arm). Extension beyond the reference (its parser
+        has no boost syntax)."""
+        return self._expansion_topk(
+            {t: float(w) for t, w in boosts.items()}, top_k
+        )
+
+    def proximity_search(
+        self,
+        phrase: str | list[str],
+        slop: int,
+        top_k: int = 10,
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Proximity query (Lucene ``"a b"~N`` shape, slop measured in
+        the engine's CHAR-offset position units — ``slop=10`` ordered
+        reproduces the reference's fixed phrase window exactly).
+        ordered=True chains the phrase position-window joins with the
+        window widened to ``slop``; ordered=False matches a doc iff
+        some choice of one position per term has max−min ≤ slop
+        (n-way doc join + nested JVM-side ``exists``, no explosion).
+        Score = sum of the matched terms' BM25 (phrase parity).
+
+        ``phrase`` may be the raw quoted-phrase text (analyzed exactly
+        like a phrase query) or a pre-analyzed term list. Serves
+        through the masked join path — update-aware like every other
+        compiled query (the delta compiler understands the same AST
+        node). Extension beyond the reference parser."""
+        if isinstance(phrase, str):
+            ast0 = parse_query(
+                f'"{phrase}"', analyzer=self.meta.get("analyzer", "reference")
+            )
+            values = (
+                list(ast0["values"])
+                if ast0 and ast0["type"] == "phrase"
+                else ([ast0["value"]] if ast0 else [])
+            )
+        else:
+            values = list(phrase)
+        if not values:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        ast = {
+            "type": "proximity",
+            "values": values,
+            "slop": int(slop),
+            "ordered": bool(ordered),
+        }
+        self.last_strategy = (
+            "proximity_join_update_arm"
+            if self.updated_ids is not None
+            else "proximity_join"
+        )
+        return (
+            self._scored(ast)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
 
     def more_like_this(
         self,

@@ -173,8 +173,26 @@ UNION
 
 
 def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite positional gate: the reference phrase window
+    (``"window order"``, fixed char window 0..10) plus the two
+    slop-parameterized proximity extensions over the SAME term pair —
+    ordered slop=30 (phrase chain, widened window) and unordered
+    slop=30 (|Δp| ≤ 30 — catches reversed-order occurrences the
+    ordered arm can't). All three arms score sum-of-BM25 over the two
+    terms (2 addends — order-insensitive on both sides) and rank by
+    the engine's raw-double order."""
     eng = gate_engine(spark, sf_dir)
-    return eng.search_df('"window order"').select("doc_id")
+    fscore = F.col("score").cast("float").cast("double").alias("score")
+    phrase = eng.search('"window order"', top_k=10).select(
+        F.lit("phrase").alias("part"), "doc_id", fscore
+    )
+    prox_o = eng.proximity_search("window order", 30, top_k=10).select(
+        F.lit("prox_ordered").alias("part"), "doc_id", fscore
+    )
+    prox_u = eng.proximity_search(
+        "window order", 30, top_k=10, ordered=False
+    ).select(F.lit("prox_unordered").alias("part"), "doc_id", fscore)
+    return phrase.unionByName(prox_o).unionByName(prox_u)
 
 
 def _pos_cte(name: str, term: str) -> str:
@@ -196,10 +214,48 @@ def _pos_cte(name: str, term: str) -> str:
 
 
 # the reference's phrase constraint: consecutive phrase terms' char
-# positions within 0 <= p2 - p1 <= 10 (sea/posting_list.pyx:23-44, k=10)
-SQL_PHRASE_WINDOW = f"""WITH {_pos_cte("w", "window")}, {_pos_cte("o", "order")}
-SELECT DISTINCT w.doc_id FROM w JOIN o ON w.doc_id = o.doc_id
-WHERE o.p - w.p BETWEEN 0 AND 10
+# positions within 0 <= p2 - p1 <= 10 (sea/posting_list.pyx:23-44, k=10);
+# the proximity arms replay the same join with the window widened to 30
+# (ordered) / |Δp| <= 30 (unordered). Scored like every BM25 arm: per-term
+# float32 score, raw-double sum drives the ranking.
+SQL_PHRASE_WINDOW = f"""
+WITH toks AS ({TOKS_CTE}),
+n AS (SELECT count(*) AS n FROM documents),
+avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+{_pos_cte("w", "window")}, {_pos_cte("o", "order")},
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('window', 'order') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+sc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+m_phrase AS (SELECT DISTINCT w.doc_id FROM w JOIN o ON w.doc_id = o.doc_id
+             WHERE o.p - w.p BETWEEN 0 AND 10),
+m_prox_o AS (SELECT DISTINCT w.doc_id FROM w JOIN o ON w.doc_id = o.doc_id
+             WHERE o.p - w.p BETWEEN 0 AND 30),
+m_prox_u AS (SELECT DISTINCT w.doc_id FROM w JOIN o ON w.doc_id = o.doc_id
+             WHERE abs(o.p - w.p) <= 30)
+(SELECT 'phrase' AS part, doc_id,
+        CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+ FROM sc WHERE doc_id IN (SELECT doc_id FROM m_phrase) GROUP BY doc_id
+ ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC LIMIT 10)
+UNION ALL
+(SELECT 'prox_ordered' AS part, doc_id,
+        CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+ FROM sc WHERE doc_id IN (SELECT doc_id FROM m_prox_o) GROUP BY doc_id
+ ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC LIMIT 10)
+UNION ALL
+(SELECT 'prox_unordered' AS part, doc_id,
+        CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+ FROM sc WHERE doc_id IN (SELECT doc_id FROM m_prox_u) GROUP BY doc_id
+ ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC LIMIT 10)
 """
 
 
@@ -1821,11 +1877,13 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite dictionary-expansion gate: ``prefix_search("b")``
     (expansion via ``LIKE 'b%'`` — exactly two fixture terms, batch/big)
     UNION ``wildcard_search("*a*e")`` (leading + inner wildcard through
-    the general regex path — exactly two fixture terms, table/value).
-    Both serve as one shared-scan disjunction (sum-of-BM25 OR
-    semantics); ≤2 matched terms per doc keeps the double sum
+    the general regex path — exactly two fixture terms, table/value)
+    UNION ``regexp_search("(qu|val)[a-z]+")`` (full-regex dictionary
+    scan, Lucene RegexpQuery anchoring — exactly two fixture terms,
+    query/value). All serve as one shared-scan disjunction (sum-of-BM25
+    OR semantics); ≤2 matched terms per doc keeps the double sum
     order-insensitive on both sides. The oracle replays the same
-    algebra with ``LIKE 'b%'`` / ``LIKE '%a%e'`` expansions."""
+    algebra with ``LIKE`` / ``regexp_full_match`` expansions."""
     eng = gate_engine(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
     pre = eng.prefix_search("b", top_k=10).select(
@@ -1834,16 +1892,27 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wild = eng.wildcard_search("*a*e", top_k=10).select(
         F.lit("wildcard").alias("part"), "doc_id", fscore
     )
-    return pre.unionByName(wild)
+    rex = eng.regexp_search("(qu|val)[a-z]+", top_k=10).select(
+        F.lit("regexp").alias("part"), "doc_id", fscore
+    )
+    return pre.unionByName(wild).unionByName(rex)
 
 
-def _sql_expansion_arm(part: str, like: str) -> str:
+def _sql_expansion_arm(
+    part: str, like: str, regex: str | None = None
+) -> str:
     """Shared oracle fragment: BM25 OR-sum over the terms matching
-    ``like``, top-10 ordered on the RAW double sum (the engine's
-    ordering key) with the float32 cast applied at projection only."""
+    ``like`` (or ``regex`` via regexp_full_match — Lucene anchoring),
+    top-10 ordered on the RAW double sum (the engine's ordering key)
+    with the float32 cast applied at projection only."""
+    cond = (
+        f"regexp_full_match(term, '{regex}')"
+        if regex is not None
+        else f"term LIKE '{like}'"
+    )
     return f"""
 tfs_{part} AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        WHERE term LIKE '{like}' GROUP BY doc_id, term),
+        WHERE {cond} GROUP BY doc_id, term),
 dfs_{part} AS (SELECT term, count(*) AS df FROM tfs_{part} GROUP BY term),
 sc_{part} AS (
   SELECT t.doc_id,
@@ -1869,9 +1938,11 @@ n AS (SELECT count(*) AS n FROM documents),
 avgdl AS (SELECT count(*) / (SELECT n FROM n) AS avgdl FROM toks),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 {_sql_expansion_arm("prefix", "b%")},
-{_sql_expansion_arm("wildcard", "%a%e")}
+{_sql_expansion_arm("wildcard", "%a%e")},
+{_sql_expansion_arm("regexp", "", regex="(qu|val)[a-z]+")}
 SELECT * FROM top_prefix
 UNION ALL SELECT * FROM top_wildcard
+UNION ALL SELECT * FROM top_regexp
 """
 
 
@@ -2410,13 +2481,15 @@ MLT_DOC_ID = 0  # more-like-this seed for the serving_surfaces composite
 
 
 def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite gate for the round-4 serving surfaces (one row under
-    the 50-row cap): filter-context search (``filtered_search`` — the
+    """Composite gate for the serving surfaces (one row under the
+    50-row cap): filter-context search (``filtered_search`` — the
     predicate selects, never scores), facet counts over the FULL match
-    set (``facet_counts``), and a 2-page ``search_after`` cursor walk
+    set (``facet_counts``), a 2-page ``search_after`` cursor walk
     whose stitched pages must partition the top-20 exactly (the oracle
     labels rank 1-10 page1, 11-20 page2 — a skipped or repeated doc
-    between pages hash-mismatches)."""
+    between pages hash-mismatches), ``more_like_this`` (seed-excluded
+    tf·idf expansion), and ``boosted_search`` (per-term weights riding
+    the shared-scan weight column)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2454,9 +2527,16 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mlt").alias("part"), F.lit("").alias("fkey"),
         "doc_id", fscore, zero.alias("cnt"),
     )
+    # boosted disjunction over the same query terms (spark^2.0 data^0.5):
+    # score = Σ boost·BM25 — 2 addends keeps the weighted double sum
+    # order-insensitive on both sides
+    boosted = eng.boosted_search({"spark": 2.0, "data": 0.5}, top_k=10).select(
+        F.lit("boosted").alias("part"), F.lit("").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
-        .unionByName(mlt)
+        .unionByName(mlt).unionByName(boosted)
     )
 
 
@@ -2538,11 +2618,30 @@ mlt AS (
   FROM msc GROUP BY doc_id
   ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC
   LIMIT 10
+),
+bsc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score,
+    CASE t.term WHEN 'spark' THEN 2.0 ELSE 0.5 END AS w
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+),
+boosted AS (
+  SELECT 'boosted' AS part, '' AS fkey, doc_id,
+         CAST(CAST(SUM(CAST(score AS DOUBLE) * w) AS REAL) AS DOUBLE) AS score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM bsc GROUP BY doc_id
+  ORDER BY SUM(CAST(score AS DOUBLE) * w) DESC, doc_id ASC
+  LIMIT 10
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
 UNION ALL SELECT * FROM pages
 UNION ALL SELECT * FROM mlt
+UNION ALL SELECT * FROM boosted
 """
 
 

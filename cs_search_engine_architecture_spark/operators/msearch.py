@@ -378,9 +378,15 @@ def batched_topk(
     for plan in plans:
         query_id, mode, terms = plan[0], plan[1], plan[2]
         negs = plan[3] if len(plan) > 3 else []
-        distinct: dict[str, int] = {}
-        for t in terms:
-            distinct[t] = distinct.get(t, 0) + 1
+        if isinstance(terms, dict):
+            # explicit per-term boosts (engine.boosted_search): the dict
+            # IS the weight column — fractional boosts ride the same
+            # broadcast map integer multiplicity uses
+            distinct: dict[str, float] = {t: float(w) for t, w in terms.items()}
+        else:
+            distinct = {}
+            for t in terms:
+                distinct[t] = distinct.get(t, 0) + 1
         required = len(distinct) if mode in ("and", "and_not") else 0
         for t, w in distinct.items():
             rows.append((query_id, t, float(w), required, 0))

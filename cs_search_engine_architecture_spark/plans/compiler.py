@@ -71,11 +71,99 @@ class QueryCompiler:
             )
         return cur.select("doc_id", "score")
 
+    def _proximity(
+        self, values: list[str], slop: int, ordered: bool
+    ) -> DataFrame:
+        """Slop-parameterized proximity match (extension beyond the
+        reference parser — Lucene ``"a b"~N`` shape, with the engine's
+        char-offset position model).
+
+        ordered=True: the phrase chain with the window widened to
+        ``slop`` — consecutive terms must appear in order with each
+        char gap in [0, slop] (slop == PHRASE_K reproduces ``_phrase``
+        exactly). ordered=False: one n-way doc join with a nested
+        ``exists`` over every term's position array — the doc matches
+        iff SOME choice of one position per term has every pairwise
+        char distance ≤ slop (max−min ≤ slop). Duplicate terms may
+        reuse one position (|p−p| = 0) — the SQL-join oracle has the
+        same property, so both sides agree. Score = strict left fold
+        of the matched terms' BM25 in query order (phrase parity)."""
+        if ordered:
+            cur = self._leaf(values[0], with_positions=True)
+            for term in values[1:]:
+                nxt = (
+                    self._leaf(term, with_positions=True)
+                    .withColumnRenamed("score", "_s2")
+                    .withColumnRenamed("positions", "_p2")
+                )
+                window_ok = F.exists(
+                    "_p2",
+                    lambda q: F.exists(
+                        "positions",
+                        lambda p: (q - p >= 0) & (q - p <= slop),
+                    ),
+                )
+                cur = (
+                    cur.join(nxt, "doc_id")
+                    .where(window_ok)
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.col("_s2")).alias("score"),
+                        F.col("_p2").alias("positions"),
+                    )
+                )
+            return cur.select("doc_id", "score")
+
+        n = len(values)
+        cur = self._leaf(values[0], with_positions=True).select(
+            "doc_id",
+            F.col("score").alias("_s0"),
+            F.col("positions").alias("_pos0"),
+        )
+        for i, term in enumerate(values[1:], start=1):
+            nxt = self._leaf(term, with_positions=True).select(
+                "doc_id",
+                F.col("score").alias(f"_s{i}"),
+                F.col("positions").alias(f"_pos{i}"),
+            )
+            cur = cur.join(nxt, "doc_id")
+
+        def exists_chain(i: int, chosen: list) -> "F.Column":
+            if i == n:
+                cond = F.lit(True)
+                for a in range(n):
+                    for b in range(a + 1, n):
+                        cond = cond & (
+                            F.abs(chosen[a] - chosen[b]) <= F.lit(slop)
+                        )
+                return cond
+            # NB: single-parameter lambda — pyspark treats a 2nd lambda
+            # parameter as the (element, index) HOF form. ``i``/``chosen``
+            # are per-call recursion arguments, so capture is safe.
+            return F.exists(
+                f"_pos{i}", lambda v: exists_chain(i + 1, chosen + [v])
+            )
+
+        score = F.col("_s0")
+        for i in range(1, n):
+            score = score + F.col(f"_s{i}")
+        return (
+            cur.where(exists_chain(0, []))
+            .select("doc_id", score.alias("score"))
+        )
+
     def _eval(self, node: dict) -> tuple[DataFrame, bool]:
         if node["type"] == "token":
             return self._leaf(node["value"]), False
         if node["type"] == "phrase":
             return self._phrase(node["values"]), False
+        if node["type"] == "proximity":
+            return (
+                self._proximity(
+                    node["values"], node["slop"], node.get("ordered", True)
+                ),
+                False,
+            )
 
         op = node["operator"]
         if op == "not":

@@ -557,3 +557,190 @@ def test_more_like_this_matches_manual_expansion(spark, tmp_path):
         assert got == want, max_terms
         assert seed not in {d for d, _ in got}
     assert eng.more_like_this(999, 10, corpus=corpus).count() == 0
+
+
+def test_regexp_search_matches_or_expansion(spark, tmp_path):
+    """regexp_search must equal the explicit OR over the dictionary
+    terms the anchored pattern fullmatches (differential target:
+    python re.fullmatch — an independent regex engine)."""
+    import re
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    vocab = sorted(r["term"] for r in eng.term_stats().collect())
+    for pattern in ("s.*k", "(hash|merge)", "jo.n", "[a-z]{3}", "zz+"):
+        matched = [t for t in vocab if re.fullmatch(pattern, t)]
+        if matched:
+            want = {
+                (r["doc_id"], round(r["score"], 6))
+                for r in eng.search(" or ".join(matched), 10).collect()
+            }
+        else:
+            want = set()
+        got = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in eng.regexp_search(pattern, 10).collect()
+        }
+        assert got == want, pattern
+
+
+def test_boosted_search_weighted_sum(spark, tmp_path):
+    """boosted_search: all-1.0 boosts must equal the plain OR search;
+    non-uniform boosts must equal the manually recomputed
+    Σ boost·BM25 over per-term single-term scores."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    plain = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.search("spark or join", 10).collect()
+    }
+    unit = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.boosted_search({"spark": 1.0, "join": 1.0}, 10).collect()
+    }
+    assert unit == plain
+
+    per_term = {}
+    for t in ("spark", "join"):
+        for r in eng.search(t, 10).collect():
+            per_term.setdefault(r["doc_id"], {})[t] = r["score"]
+    boosts = {"spark": 2.0, "join": 0.25}
+    want = {
+        (d, round(sum(boosts[t] * s for t, s in ts.items()), 6))
+        for d, ts in per_term.items()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.boosted_search(boosts, 10).collect()
+    }
+    assert got == want
+
+
+PROX_DOCS = [
+    (0, "alpha beta gamma delta"),
+    (1, "beta alpha something else alpha"),
+    (2, "alpha xx xx xx xx xx xx xx beta"),
+    (3, "gamma delta epsilon"),
+    (4, "alphabet soup beta"),
+]
+
+
+def _prox_oracle(terms, slop, ordered):
+    """Independent brute-force proximity match over PROX_DOCS: char
+    positions via re.finditer, ordered = consecutive gaps in [0, slop],
+    unordered = some choice with max-min <= slop."""
+    import itertools
+    import re
+
+    out = set()
+    for doc_id, text in PROX_DOCS:
+        pos = {
+            t: [
+                m.start()
+                for m in re.finditer(r"[a-z0-9]+", text.lower())
+                if m.group() == t
+            ]
+            for t in set(terms)
+        }
+        if any(not pos[t] for t in terms):
+            continue
+        ok = False
+        for combo in itertools.product(*(pos[t] for t in terms)):
+            if ordered:
+                ok = all(
+                    0 <= combo[i + 1] - combo[i] <= slop
+                    for i in range(len(terms) - 1)
+                )
+            else:
+                ok = max(combo) - min(combo) <= slop
+            if ok:
+                break
+        if ok:
+            out.add(doc_id)
+    return out
+
+
+def test_proximity_search_matches_bruteforce(spark, tmp_path):
+    """proximity_search vs an independent char-position brute force,
+    ordered and unordered, several slops and arities; ordered slop=10
+    must equal the reference phrase window exactly."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(PROX_DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    cases = [
+        (["alpha", "beta"], 10, True),
+        (["alpha", "beta"], 10, False),
+        (["alpha", "beta"], 40, True),
+        (["alpha", "beta"], 40, False),
+        (["beta", "alpha"], 12, True),
+        (["alpha", "beta", "gamma"], 40, False),
+        (["alpha", "beta", "gamma"], 12, True),
+    ]
+    for terms, slop, ordered in cases:
+        want = _prox_oracle(terms, slop, ordered)
+        got = {
+            r["doc_id"]
+            for r in eng.proximity_search(
+                terms, slop, top_k=10, ordered=ordered
+            ).collect()
+        }
+        assert got == want, (terms, slop, ordered)
+
+    phrase = {
+        r["doc_id"] for r in eng.search_df('"alpha beta"').collect()
+    }
+    prox10 = {
+        r["doc_id"] for r in eng.proximity_search("alpha beta", 10).collect()
+    }
+    assert prox10 == phrase
+    # scores are phrase parity: sum of the matched terms' BM25
+    ps = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.search('"alpha beta"', 10).collect()
+    }
+    xs = {
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.proximity_search("alpha beta", 10, top_k=10).collect()
+    }
+    assert xs == ps
+
+
+def test_proximity_search_under_updates(spark, tmp_path):
+    """proximity must be update-aware: an in-place update that moves
+    the terms together starts matching (delta arm), one that moves
+    them apart stops matching (tombstone mask kills the old version)."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(PROX_DOCS, "doc_id long, text string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    indexer.update_docs(
+        spark, out,
+        spark.createDataFrame(
+            [(3, "gamma alpha beta epsilon"),   # now matches tight
+             (0, "alpha far far far far far far far far far beta")],
+            "doc_id long, text string",
+        ),
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    got = {
+        r["doc_id"]
+        for r in eng.proximity_search("alpha beta", 10, top_k=10).collect()
+    }
+    assert 3 in got          # resurrected from the delta arm
+    assert 0 not in got      # old adjacent version masked
+    assert eng.last_strategy == "proximity_join_update_arm"

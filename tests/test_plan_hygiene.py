@@ -71,6 +71,10 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         eng.search("alpha and beta", 5),
         eng.msearch({"a": "alpha", "b": "beta and not gamma"}, top_k=5),
         eng.prefix_search("alp*", top_k=5),
+        eng.regexp_search("al.*", top_k=5),
+        eng.boosted_search({"alpha": 2.0, "beta": 0.5}, top_k=5),
+        eng.proximity_search("alpha beta", 12, top_k=5),
+        eng.proximity_search("alpha beta", 12, top_k=5, ordered=False),
         eng.current_corpus(),
         wand_or,  # base-kernel ∪ delta-arm union under pending updates
     ]

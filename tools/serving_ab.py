@@ -116,6 +116,18 @@ def main() -> None:
             lambda: eng.msearch(PHRASES8, top_k=10).collect(),
         ))
         out.append((
+            "q_proximity",
+            lambda: eng.proximity_search(
+                "window order", 30, top_k=10
+            ).collect(),
+        ))
+        out.append((
+            "q_boosted",
+            lambda: eng.boosted_search(
+                {"spark": 2.0, "data": 0.5}, top_k=10
+            ).collect(),
+        ))
+        out.append((
             "q_single_updated", lambda: ueng.search_collect("spark", 10)
         ))
         out.append((
