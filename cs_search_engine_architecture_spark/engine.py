@@ -1145,6 +1145,130 @@ class SearchEngine:
             .limit(top_n)
         )
 
+    def count(self, query: str) -> int:
+        """Total-hit count of ``query`` (Lucene
+        ``TotalHitCountCollector`` shape): the size of the FULL masked
+        match set — no top-k, no scores collected. Uses the same
+        masked + update-arm frame as every surface, so deletes/updates
+        are exact; the count job never materializes scores to the
+        driver (one long per partition)."""
+        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        if not ast:
+            return 0
+        return self._scored(ast).count()
+
+    def explain_score(self, query: str, doc_id: int) -> dict:
+        """Per-term score breakdown for ONE document (Lucene
+        ``IndexSearcher.explain`` shape — extension beyond the
+        reference): for each leaf term of ``query``, the doc's stored
+        BM25 contribution plus the dictionary's df/idf; ``total`` is
+        the strict left-fold sum in query-term order (the compiler's
+        OR accumulation order). Update-aware: postings come through
+        ``_term_frame`` (an updated doc explains from its CURRENT
+        version), and a deleted doc reports ``alive: False`` with no
+        contributions. Driver cost: one bucket-pruned postings probe
+        filtered to one doc_id + one vocab-pruned dictionary probe."""
+        from cs_search_engine_architecture_spark.operators import msearch as ms
+
+        doc_id = int(doc_id)
+        terms = self._leaf_terms(query)
+        out: dict = {"doc_id": doc_id, "alive": True, "total": 0.0,
+                     "terms": {}}
+        dead = self._dead_ids()
+        if dead is not None and dead.where(
+            F.col("doc_id") == F.lit(doc_id)
+        ).count() > 0:
+            out["alive"] = False
+            return out
+        if not terms:
+            return out
+        frame = self._term_frame(
+            lambda b: ms.multi_term_postings(b, terms, self.num_buckets)
+        )
+        scores = {
+            r["term"]: float(r["score"])
+            for r in frame.where(F.col("doc_id") == F.lit(doc_id)).collect()
+        }
+        stats = {
+            r["term"]: (int(r["df"]), float(r["idf"]))
+            for r in self.term_stats()
+            .where(F.col("term").isin(terms))
+            .select("term", "df", "idf")
+            .collect()
+        }
+        total = 0.0
+        for t in terms:
+            entry: dict = {}
+            if t in stats:
+                entry["df"], entry["idf"] = stats[t]
+            if t in scores:
+                entry["score"] = scores[t]
+                total = total + scores[t]
+            out["terms"][t] = entry
+        out["total"] = total
+        return out
+
+    def significant_terms(
+        self,
+        query: str,
+        corpus: DataFrame | None = None,
+        top_n: int = 10,
+        min_doc_count: int = 2,
+        doc_id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch shape): terms
+        over-represented in the query's match set vs the whole corpus,
+        scored with the JLH heuristic
+        ``(fg_pct − bg_pct) · (fg_pct / bg_pct)`` where
+        fg_pct = fg_df / |matches| and bg_pct = df / N. Returns
+        (term, fg_count, score) ordered (score desc, term asc).
+
+        Shape at scale: the match set is query-bounded; the matched
+        docs are re-tokenized row-locally (semi-join corpus→matches on
+        doc_id — never the full corpus), the per-term foreground
+        counts are one bounded shuffle, and the background df comes
+        from the vocabulary-sized dictionary — no postings-wide scan.
+        Every arithmetic step is a single IEEE double op on integer
+        operands in a fixed order, so the DuckDB oracle is bit-exact.
+        Update/delete-aware via the masked match set and the
+        update-aware ``current_corpus``."""
+        matched = self.search_df(query).select("doc_id")
+        src = corpus if corpus is not None else self.current_corpus()
+        sub = (
+            src.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                *self.meta["fields"],
+            )
+            .join(matched, "doc_id", "left_semi")
+        )
+        fg_total = sub.count()
+        if fg_total == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_count long, score double"
+            )
+        n_docs = int(self.meta["num_documents"])
+        fg = (
+            indexer.tokenize_postings(
+                sub, self.meta["fields"],
+                analyzer=self.meta.get("analyzer", "reference"),
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_count"))
+            .where(F.col("fg_count") >= F.lit(int(min_doc_count)))
+        )
+        fg_pct = F.col("fg_count").cast("double") / F.lit(float(fg_total))
+        bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+        return (
+            fg.join(self.term_stats().select("term", "df"), "term")
+            .select(
+                "term",
+                "fg_count",
+                ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(top_n)
+        )
+
     def term_stats(self) -> DataFrame:
         """Serving-time term dictionary: base stats unioned with the
         delta segments' (df summed across tiers, idf FROZEN — the base

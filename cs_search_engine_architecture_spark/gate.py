@@ -2488,8 +2488,9 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose stitched pages must partition the top-20 exactly (the oracle
     labels rank 1-10 page1, 11-20 page2 — a skipped or repeated doc
     between pages hash-mismatches), ``more_like_this`` (seed-excluded
-    tf·idf expansion), and ``boosted_search`` (per-term weights riding
-    the shared-scan weight column)."""
+    tf·idf expansion), ``boosted_search`` (per-term weights riding
+    the shared-scan weight column), and ``significant_terms`` (JLH
+    over-representation score on the full match set)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2534,9 +2535,19 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("boosted").alias("part"), F.lit("").alias("fkey"),
         "doc_id", fscore, zero.alias("cnt"),
     )
+    # significant-terms aggregation over the match set (JLH score —
+    # every step a single IEEE double op on integer operands, so the
+    # oracle mirrors it bit-for-bit)
+    sig = eng.significant_terms(
+        SERVING_QUERY, docs, top_n=5, min_doc_count=2
+    ).select(
+        F.lit("sigterms").alias("part"), F.col("term").alias("fkey"),
+        zero.alias("doc_id"), fscore,
+        F.col("fg_count").cast("long").alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
-        .unionByName(mlt).unionByName(boosted)
+        .unionByName(mlt).unionByName(boosted).unionByName(sig)
     )
 
 
@@ -2636,12 +2647,35 @@ boosted AS (
   FROM bsc GROUP BY doc_id
   ORDER BY SUM(CAST(score AS DOUBLE) * w) DESC, doc_id ASC
   LIMIT 10
+),
+fgt AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM scored),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg FROM toks
+       WHERE doc_id IN (SELECT doc_id FROM scored)
+       GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+sig AS (
+  SELECT 'sigterms' AS part, f.term AS fkey, CAST(0 AS BIGINT) AS doc_id,
+    CAST(CAST(
+      ((CAST(f.fg AS DOUBLE) / (SELECT c FROM fgt)
+        - CAST(d.df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+       * ((CAST(f.fg AS DOUBLE) / (SELECT c FROM fgt))
+          / (CAST(d.df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))))
+    AS REAL) AS DOUBLE) AS score,
+    CAST(f.fg AS BIGINT) AS cnt
+  FROM fg f JOIN mdf d ON d.term = f.term
+  ORDER BY
+      ((CAST(f.fg AS DOUBLE) / (SELECT c FROM fgt)
+        - CAST(d.df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+       * ((CAST(f.fg AS DOUBLE) / (SELECT c FROM fgt))
+          / (CAST(d.df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))))
+      DESC, f.term ASC
+  LIMIT 5
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
 UNION ALL SELECT * FROM pages
 UNION ALL SELECT * FROM mlt
 UNION ALL SELECT * FROM boosted
+UNION ALL SELECT * FROM sig
 """
 
 

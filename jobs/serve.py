@@ -153,6 +153,44 @@ def main() -> None:
                 facet = col
                 print(f"- facet column: {facet}")
             continue
+        if low.startswith("count:"):
+            q = line.split(":", 1)[1].strip()
+            if not q:
+                print("- usage: count:<query>")
+                continue
+            print(f"- total hits: {eng.count(q)}")
+            continue
+        if low.startswith("explain:"):
+            # explain:<doc_id> <query> — per-term score breakdown
+            rest = line.split(":", 1)[1].strip()
+            try:
+                did_s, q = rest.split(None, 1)
+                did = int(did_s)
+            except ValueError:
+                print("- usage: explain:<doc_id> <query>")
+                continue
+            import json as _json
+
+            print(_json.dumps(eng.explain_score(q, did)))
+            continue
+        if low.startswith("sig:"):
+            q = line.split(":", 1)[1].strip()
+            if not q:
+                print("- usage: sig:<query>")
+                continue
+            try:
+                rows = eng.significant_terms(
+                    q, corpus, top_n=10
+                ).collect()
+            except Exception as exc:
+                print(f"- significant_terms failed: "
+                      f"{type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}")
+                continue
+            for r in rows:
+                print(f"  {r['term']:<20} fg={r['fg_count']:<6} "
+                      f"score={r['score']:.6f}")
+            continue
         if low == "status":
             import json as _json
 

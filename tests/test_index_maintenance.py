@@ -744,3 +744,104 @@ def test_proximity_search_under_updates(spark, tmp_path):
     assert 3 in got          # resurrected from the delta arm
     assert 0 not in got      # old adjacent version masked
     assert eng.last_strategy == "proximity_join_update_arm"
+
+
+def test_count_and_explain_score(spark, tmp_path):
+    """count == full match-set size (masked after deletes); explain
+    per-term contributions match the single-term searches and sum to
+    the doc's OR score; a deleted doc explains as dead."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    assert eng.count("spark or join") == eng.search_df("spark or join").count()
+    assert eng.count("zzznope") == 0
+
+    per_term = {}
+    for t in ("spark", "join"):
+        for r in eng.search(t, 10).collect():
+            per_term.setdefault(r["doc_id"], {})[t] = r["score"]
+    target = 4  # "spark planner prefers broadcast hash join" — both terms
+    exp = eng.explain_score("spark or join", target)
+    assert exp["alive"] is True
+    assert set(exp["terms"]) == {"spark", "join"}
+    for t in ("spark", "join"):
+        assert round(exp["terms"][t]["score"], 9) == round(
+            per_term[target][t], 9
+        )
+        assert exp["terms"][t]["df"] >= 1
+    or_scores = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("spark or join", 10).collect()
+    }
+    assert round(exp["total"], 9) == round(or_scores[target], 9)
+
+    n_before = eng.count("spark or join")
+    indexer.delete_docs(spark, out, [target])
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert eng2.count("spark or join") == n_before - 1
+    dead = eng2.explain_score("spark", target)
+    assert dead["alive"] is False and dead["terms"] == {}
+
+
+def test_significant_terms_matches_manual_jlh(spark, tmp_path):
+    """significant_terms == a python-recomputed JLH ranking over the
+    match set (fg doc counts from re-tokenized matched docs, bg df
+    from the dictionary), honouring min_doc_count; after a delete the
+    dead doc stops contributing to the foreground."""
+    import re
+
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    def manual(matched_ids, min_dc):
+        toks = {
+            d: set(re.findall(r"[a-z0-9]+", t.lower())) for d, t in DOCS
+        }
+        n = len(DOCS)
+        fg_total = len(matched_ids)
+        fg: dict[str, int] = {}
+        for d in matched_ids:
+            for t in toks[d]:
+                fg[t] = fg.get(t, 0) + 1
+        bg = {t: sum(1 for d in toks if t in toks[d]) for t in fg}
+        rows = []
+        for t, c in fg.items():
+            if c < min_dc:
+                continue
+            fp, bp = c / fg_total, bg[t] / n
+            rows.append((t, c, (fp - bp) * (fp / bp)))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return rows
+
+    matched = {r["doc_id"] for r in eng.search_df("join").collect()}
+    want = [
+        (t, c, round(s, 9)) for t, c, s in manual(matched, 2)[:5]
+    ]
+    got = [
+        (r["term"], r["fg_count"], round(r["score"], 9))
+        for r in eng.significant_terms("join", corpus, top_n=5).collect()
+    ]
+    assert got == want
+
+    victim = sorted(matched)[0]
+    indexer.delete_docs(spark, out, [victim])
+    eng2 = SearchEngine(spark, out, cache=False)
+    matched2 = matched - {victim}
+    want2 = [
+        (t, c, round(s, 9)) for t, c, s in manual(matched2, 2)[:5]
+    ]
+    got2 = [
+        (r["term"], r["fg_count"], round(r["score"], 9))
+        for r in eng2.significant_terms("join", top_n=5).collect()
+    ]
+    assert got2 == want2
