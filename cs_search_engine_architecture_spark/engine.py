@@ -1129,14 +1129,22 @@ class SearchEngine:
         other surface uses. ``predicate`` restricts the counted set to
         the filter context (the standard faceted-search sidebar: counts
         over query ∩ active filters) — applied on the corpus scan, so
-        pushdown prunes before the semi-join."""
+        pushdown prunes before the semi-join.
+
+        ``facet_col`` may be a column name OR any Column expression —
+        range and date-histogram facets are the same aggregation over
+        a computed bucket (e.g. ``F.floor(F.col("ts") / 3600)`` for an
+        hourly histogram, a chained ``F.when`` ladder for range
+        buckets); the expression evaluates row-locally on the corpus
+        scan before the groupBy."""
         matched = self.search_df(query).select("doc_id")
         if predicate is not None:
             corpus = corpus.where(predicate)
+        fc = F.col(facet_col) if isinstance(facet_col, str) else facet_col
         return (
             corpus.select(
                 F.col(doc_id_col).cast("long").alias("doc_id"),
-                F.col(facet_col).alias("facet"),
+                fc.alias("facet"),
             )
             .join(matched, "doc_id", "left_semi")
             .groupBy("facet")

@@ -845,3 +845,26 @@ def test_significant_terms_matches_manual_jlh(spark, tmp_path):
         for r in eng2.significant_terms("join", top_n=5).collect()
     ]
     assert got2 == want2
+
+
+def test_facet_counts_expression_buckets(spark, tmp_path):
+    """facet_counts with a Column EXPRESSION (range/date-histogram
+    facets): bucketing matched docs by a computed column must equal a
+    manual recount over the match set."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    matched = {r["doc_id"] for r in eng.search_df("join").collect()}
+    want: dict[int, int] = {}
+    for d in matched:
+        want[d // 3] = want.get(d // 3, 0) + 1
+    got = {
+        r["facet"]: r["doc_count"]
+        for r in eng.facet_counts(
+            "join", corpus, F.floor(F.col("doc_id") / 3), top_n=10
+        ).collect()
+    }
+    assert got == want
