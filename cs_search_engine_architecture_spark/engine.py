@@ -771,23 +771,27 @@ class SearchEngine:
         terms: list[str] | dict[str, float],
         top_k: int,
         exclude_doc_id: int | None = None,
+        min_match: int = 0,
     ) -> DataFrame:
         """Serve a dictionary-expanded OR disjunction (score = sum of the
         matched terms' BM25) through the batch operator's ONE shared
         scan — the common tail of ``prefix_search`` / ``wildcard_search``
         / ``more_like_this``. ``exclude_doc_id`` drops one source doc
         (more-like-this never returns its seed); the fetch over-allocates
-        by 1 so the exclusion cannot shrink the top-k."""
+        by 1 so the exclusion cannot shrink the top-k. ``min_match`` is
+        Lucene's minimum_should_match: a doc must match at least that
+        many DISTINCT terms (0 = any)."""
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         fetch = top_k + (1 if exclude_doc_id is not None else 0)
+        plan = ("q", "or", terms, [], int(min_match))
         out = ms.batched_topk(
             self.spark,
             self.blocks,
             self.num_buckets,
-            [("q", "or", terms)],
+            [plan],
             fetch,
             exclude=self.tombstones,
         ).select("doc_id", "score")
@@ -802,7 +806,7 @@ class SearchEngine:
                 self.spark,
                 self._delta_blocks_df(),
                 self.num_buckets,
-                [("q", "or", terms)],
+                [plan],
                 fetch,
                 exclude=self._dead_ids(),
             ).select("doc_id", "score").join(
@@ -863,18 +867,60 @@ class SearchEngine:
         return self._expansion_topk([r["term"] for r in matched], top_k)
 
     def boosted_search(
-        self, boosts: dict[str, float], top_k: int = 10
+        self, boosts: dict[str, float], top_k: int = 10, min_match: int = 0
     ) -> DataFrame:
         """Per-term boosted disjunction (Lucene ``term^boost`` shape):
         score(d) = Σ_t boost_t · BM25_t(d) over the matched terms,
         served through the batch operator's ONE shared scan (boosts
         ride the broadcast query map's ``weight`` column — the same
-        mechanism integer term multiplicity already uses). Maintenance-
-        aware via the `_expansion_topk` tail (tombstone mask + delta
-        resurrection arm). Extension beyond the reference (its parser
-        has no boost syntax)."""
+        mechanism integer term multiplicity already uses).
+        ``min_match`` is Lucene's minimum_should_match: admit only docs
+        matching at least that many DISTINCT terms (the web-scale OR
+        noise cut) — it filters on the shared scan's matched-term count,
+        costing nothing extra. Maintenance-aware via the
+        `_expansion_topk` tail (tombstone mask + delta resurrection
+        arm). Extension beyond the reference (its parser has no boost
+        syntax)."""
         return self._expansion_topk(
-            {t: float(w) for t, w in boosts.items()}, top_k
+            {t: float(w) for t, w in boosts.items()}, top_k,
+            min_match=min_match,
+        )
+
+    def collapse_search(
+        self,
+        query: str,
+        corpus: DataFrame,
+        collapse_col: str,
+        top_k: int = 10,
+        per_group: int = 1,
+        doc_id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Field collapsing (Lucene/ES ``collapse`` shape): the top
+        ``top_k`` of ``query`` keeping at most ``per_group`` docs per
+        ``collapse_col`` value (the SERP dedupe-by-site pattern).
+        Group membership joins in from the corpus (shuffle on doc_id —
+        the scored side is the full match set, never collected); the
+        per-group cut is a WindowGroupLimit (map-side partial limit
+        before the shuffle), then the global (score desc, doc_id asc)
+        top-k. Scores are the unmodified BM25 (collapsing selects,
+        never scores — filter-context discipline), so a doc ranks
+        identically whether or not its group-mates are collapsed away.
+        Update/delete-aware via the same masked+arm frame."""
+        scored = self.search_df(query)
+        groups = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(collapse_col).alias("_grp"),
+        )
+        w = Window.partitionBy("_grp").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.join(groups, "doc_id")
+            .withColumn("_grank", F.row_number().over(w))
+            .where(F.col("_grank") <= F.lit(int(per_group)))
+            .select("doc_id", "score", F.col("_grp").alias("group"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
         )
 
     def proximity_search(

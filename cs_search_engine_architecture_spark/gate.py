@@ -2489,8 +2489,11 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels rank 1-10 page1, 11-20 page2 — a skipped or repeated doc
     between pages hash-mismatches), ``more_like_this`` (seed-excluded
     tf·idf expansion), ``boosted_search`` (per-term weights riding
-    the shared-scan weight column), and ``significant_terms`` (JLH
-    over-representation score on the full match set)."""
+    the shared-scan weight column), ``significant_terms`` (JLH
+    over-representation score on the full match set),
+    minimum_should_match (unit boosts + min_match=2 == the AND doc set
+    with OR scores), and ``collapse_search`` (best doc per lang
+    group, scores untouched)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2545,9 +2548,25 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero.alias("doc_id"), fscore,
         F.col("fg_count").cast("long").alias("cnt"),
     )
+    # minimum_should_match: unit boosts + min_match=2 == the AND doc
+    # set scored with the OR sum (filter on the shared scan's matched
+    # count — no extra jobs)
+    msm = eng.boosted_search(
+        {"spark": 1.0, "data": 1.0}, top_k=10, min_match=2
+    ).select(
+        F.lit("msm").alias("part"), F.lit("").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
+    # field collapsing: best doc per lang group under the engine total
+    # order, scores untouched (filter-context discipline)
+    coll = eng.collapse_search(SERVING_QUERY, docs, "lang", top_k=10).select(
+        F.lit("collapse").alias("part"), F.col("group").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
+        .unionByName(msm).unionByName(coll)
     )
 
 
@@ -2669,6 +2688,27 @@ sig AS (
           / (CAST(d.df AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))))
       DESC, f.term ASC
   LIMIT 5
+),
+msm_d AS (SELECT doc_id FROM tfs GROUP BY doc_id
+          HAVING count(DISTINCT term) >= 2),
+msm AS (
+  SELECT 'msm' AS part, '' AS fkey, doc_id,
+         CAST(CAST(SUM(CAST(score AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM sc WHERE doc_id IN (SELECT doc_id FROM msm_d) GROUP BY doc_id
+  ORDER BY SUM(CAST(score AS DOUBLE)) DESC, doc_id ASC LIMIT 10
+),
+coll_r AS (
+  SELECT s.doc_id, s.score, s.score_raw, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_raw DESC, s.doc_id ASC) AS gr
+  FROM scored s JOIN documents d USING (doc_id)
+),
+coll AS (
+  SELECT 'collapse' AS part, lang AS fkey, doc_id, score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM coll_r WHERE gr <= 1
+  ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -2676,6 +2716,8 @@ UNION ALL SELECT * FROM pages
 UNION ALL SELECT * FROM mlt
 UNION ALL SELECT * FROM boosted
 UNION ALL SELECT * FROM sig
+UNION ALL SELECT * FROM msm
+UNION ALL SELECT * FROM coll
 """
 
 

@@ -378,6 +378,9 @@ def batched_topk(
     for plan in plans:
         query_id, mode, terms = plan[0], plan[1], plan[2]
         negs = plan[3] if len(plan) > 3 else []
+        # optional 5th element: minimum_should_match for "or" plans —
+        # a doc must match at least this many DISTINCT query terms
+        msm = int(plan[4]) if len(plan) > 4 else 0
         if isinstance(terms, dict):
             # explicit per-term boosts (engine.boosted_search): the dict
             # IS the weight column — fractional boosts ride the same
@@ -387,7 +390,7 @@ def batched_topk(
             distinct = {}
             for t in terms:
                 distinct[t] = distinct.get(t, 0) + 1
-        required = len(distinct) if mode in ("and", "and_not") else 0
+        required = len(distinct) if mode in ("and", "and_not") else msm
         for t, w in distinct.items():
             rows.append((query_id, t, float(w), required, 0))
         for t in set(negs):
@@ -406,8 +409,12 @@ def batched_topk(
         F.max("required").alias("required"),
         F.max("is_neg").alias("neg_hit"),
     )
+    # >= not ==: for AND/AND-NOT plans matched can never exceed required
+    # (each distinct term contributes at most one row per doc), so >= is
+    # equivalent there — and it makes "or" plans' minimum_should_match
+    # (required = msm < len(terms)) work on the same column
     hits = agg.where(
-        ((F.col("required") == 0) | (F.col("matched") == F.col("required")))
+        ((F.col("required") == 0) | (F.col("matched") >= F.col("required")))
         & (F.col("neg_hit") == 0)
     )
     if exclude is not None:

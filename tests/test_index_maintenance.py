@@ -868,3 +868,81 @@ def test_facet_counts_expression_buckets(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_boosted_min_match(spark, tmp_path):
+    """minimum_should_match: min_match=2 over a 2-term OR must equal
+    the AND conjunction's doc set with the OR's scores; min_match=0/1
+    equals the plain OR; AND semantics are unchanged by the >= filter."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    both = {"spark": 1.0, "join": 1.0}
+    or_rows = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.boosted_search(both, 10).collect()
+    }
+    msm1 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.boosted_search(both, 10, min_match=1).collect()
+    }
+    assert msm1 == or_rows
+    and_docs = {r["doc_id"] for r in eng.search_df("spark and join").collect()}
+    msm2 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.boosted_search(both, 10, min_match=2).collect()
+    }
+    assert {d for d, _ in msm2} == and_docs
+    assert msm2 <= or_rows  # same OR scores, restricted doc set
+    # the relaxed >= filter leaves AND results untouched
+    got_and = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.msearch({"a": "spark and join"}, top_k=10)
+        .select("doc_id", "score").collect()
+    }
+    assert {d for d, _ in got_and} == and_docs
+
+
+def test_collapse_search_per_group(spark, tmp_path):
+    """Field collapsing: per_group=1 keeps only each group's best doc
+    (engine total order), scores are the uncollapsed BM25, and
+    per_group=2 admits the runner-up."""
+    docs_g = [
+        (0, "spark shuffle fast", "a"),
+        (1, "spark spark heavy", "a"),
+        (2, "spark light", "b"),
+        (3, "spark medium load", "b"),
+        (4, "unrelated text", "c"),
+    ]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        docs_g, "doc_id long, text string, site string"
+    )
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    full = {
+        r["doc_id"]: r["score"] for r in eng.search("spark", 10).collect()
+    }
+    best = {}
+    for d, s in full.items():
+        g = dict((x[0], x[2]) for x in docs_g)[d]
+        if g not in best or (-s, d) < (-full[best[g]], best[g]):
+            best[g] = d
+    want1 = {(best[g], round(full[best[g]], 9)) for g in best}
+    got1 = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.collapse_search("spark", corpus, "site", 10).collect()
+    }
+    assert got1 == want1
+    got2 = {
+        r["doc_id"]
+        for r in eng.collapse_search(
+            "spark", corpus, "site", 10, per_group=2
+        ).collect()
+    }
+    assert got2 == set(full)  # <=2 per group admits all 4 matching docs
