@@ -934,10 +934,14 @@ class SearchEngine:
         the engine's CHAR-offset position units — ``slop=10`` ordered
         reproduces the reference's fixed phrase window exactly).
         ordered=True chains the phrase position-window joins with the
-        window widened to ``slop``; ordered=False matches a doc iff
-        some choice of one position per term has max−min ≤ slop
-        (n-way doc join + nested JVM-side ``exists``, no explosion).
-        Score = sum of the matched terms' BM25 (phrase parity).
+        window widened to ``slop`` — each CONSECUTIVE pair is judged
+        independently (the reference phrase constraint's chained
+        two-pointer semantics, ``sea/posting_list.pyx:23-44``: the
+        intermediate positions need not form one consistent walk).
+        ordered=False matches a doc iff some SINGLE choice of one
+        position per term has max−min ≤ slop (n-way doc join + nested
+        JVM-side ``exists``, no explosion). Score = sum of the matched
+        terms' BM25 (phrase parity).
 
         ``phrase`` may be the raw quoted-phrase text (analyzed exactly
         like a phrase query) or a pre-analyzed term list. Serves

@@ -79,15 +79,20 @@ class QueryCompiler:
         char-offset position model).
 
         ordered=True: the phrase chain with the window widened to
-        ``slop`` — consecutive terms must appear in order with each
-        char gap in [0, slop] (slop == PHRASE_K reproduces ``_phrase``
-        exactly). ordered=False: one n-way doc join with a nested
+        ``slop`` — each CONSECUTIVE pair must have some occurrence
+        with char gap in [0, slop], judged independently per pair
+        (every join keeps the newly joined term's FULL position array,
+        so the intermediate positions need not form one consistent
+        walk — exactly the reference phrase constraint's chained
+        two-pointer semantics; slop == PHRASE_K reproduces ``_phrase``
+        bit-for-bit). ordered=False: one n-way doc join with a nested
         ``exists`` over every term's position array — the doc matches
-        iff SOME choice of one position per term has every pairwise
-        char distance ≤ slop (max−min ≤ slop). Duplicate terms may
-        reuse one position (|p−p| = 0) — the SQL-join oracle has the
-        same property, so both sides agree. Score = strict left fold
-        of the matched terms' BM25 in query order (phrase parity)."""
+        iff SOME single choice of one position per term has every
+        pairwise char distance ≤ slop (max−min ≤ slop). Duplicate
+        terms may reuse one position (|p−p| = 0) — the SQL-join oracle
+        has the same property, so both sides agree. Score = strict
+        left fold of the matched terms' BM25 in query order (phrase
+        parity)."""
         if ordered:
             cur = self._leaf(values[0], with_positions=True)
             for term in values[1:]:

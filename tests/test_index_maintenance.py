@@ -635,8 +635,13 @@ PROX_DOCS = [
 
 def _prox_oracle(terms, slop, ordered):
     """Independent brute-force proximity match over PROX_DOCS: char
-    positions via re.finditer, ordered = consecutive gaps in [0, slop],
-    unordered = some choice with max-min <= slop."""
+    positions via re.finditer. ordered = each CONSECUTIVE pair has
+    some occurrence with gap in [0, slop], judged independently per
+    pair — exactly the chained two-pointer semantics the reference's
+    phrase constraint (and hence the engine's join chain) has; the
+    intermediate positions need not be one consistent walk. unordered
+    = some single choice of one position per term with max-min <=
+    slop (one consistent combo, the nested-exists semantics)."""
     import itertools
     import re
 
@@ -652,17 +657,20 @@ def _prox_oracle(terms, slop, ordered):
         }
         if any(not pos[t] for t in terms):
             continue
-        ok = False
-        for combo in itertools.product(*(pos[t] for t in terms)):
-            if ordered:
-                ok = all(
-                    0 <= combo[i + 1] - combo[i] <= slop
-                    for i in range(len(terms) - 1)
+        if ordered:
+            ok = all(
+                any(
+                    0 <= q - p <= slop
+                    for p in pos[terms[i]]
+                    for q in pos[terms[i + 1]]
                 )
-            else:
-                ok = max(combo) - min(combo) <= slop
-            if ok:
-                break
+                for i in range(len(terms) - 1)
+            )
+        else:
+            ok = any(
+                max(combo) - min(combo) <= slop
+                for combo in itertools.product(*(pos[t] for t in terms))
+            )
         if ok:
             out.add(doc_id)
     return out
@@ -946,3 +954,72 @@ def test_collapse_search_per_group(spark, tmp_path):
         ).collect()
     }
     assert got2 == set(full)  # <=2 per group admits all 4 matching docs
+
+
+def test_proximity_random_differential(spark, tmp_path):
+    """Seeded random sweep: random corpus, random term pairs/triples,
+    random slops, both orderings — every case vs an independent
+    brute-force positional oracle (one engine build, many cases)."""
+    import itertools
+    import random
+    import re
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(40)
+    ]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    def oracle(terms, slop, ordered):
+        # ordered: consecutive pairs judged INDEPENDENTLY (the chained
+        # two-pointer phrase semantics); unordered: one consistent combo
+        hits = set()
+        for doc_id, text in docs:
+            pos = {
+                t: [
+                    m.start()
+                    for m in re.finditer(r"[a-z0-9]+", text)
+                    if m.group() == t
+                ]
+                for t in set(terms)
+            }
+            if any(not pos[t] for t in terms):
+                continue
+            if ordered:
+                ok = all(
+                    any(
+                        0 <= q - p <= slop
+                        for p in pos[terms[i]]
+                        for q in pos[terms[i + 1]]
+                    )
+                    for i in range(len(terms) - 1)
+                )
+            else:
+                ok = any(
+                    max(combo) - min(combo) <= slop
+                    for combo in itertools.product(*(pos[t] for t in terms))
+                )
+            if ok:
+                hits.add(doc_id)
+        return hits
+
+    for _ in range(12):
+        arity = rng.choice([2, 2, 3])
+        terms = rng.sample(vocab, arity)
+        slop = rng.choice([4, 8, 16, 32, 64])
+        ordered = rng.random() < 0.5
+        want = oracle(terms, slop, ordered)
+        got = {
+            r["doc_id"]
+            for r in eng.proximity_search(
+                terms, slop, top_k=40, ordered=ordered
+            ).collect()
+        }
+        assert got == want, (terms, slop, ordered)
