@@ -269,6 +269,15 @@ def main() -> None:
                     ).select("doc_id", tcol).collect()
                 }
         _print_rows(rows, text_map)
+        if not rows and mode == "exact" and low != "next":
+            # zero hits: advisory 'did you mean' from the k-gram index
+            # (the reference's spelling surface, sea/engine.pyx:526-529)
+            try:
+                corrected, changed = eng.suggest(query)
+                if changed:
+                    print(f"- did you mean: {corrected}")
+            except Exception:
+                pass
         if facet is not None and mode == "exact":
             try:
                 # facets respect the active filter context (sidebar
