@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--explain", action="store_true",
                     help="print the routing strategy + formatted physical "
                     "plan instead of executing the query")
+    ap.add_argument("--slop", type=int, default=None,
+                    help="proximity search: treat --query as a phrase "
+                    "whose terms must fall within this char window")
+    ap.add_argument("--unordered", action="store_true",
+                    help="with --slop: terms may appear in any order")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -58,6 +63,14 @@ def main() -> None:
         corrected, n = eng.suggest(args.query, exclude_threshold=10)
         if n:
             print(f"did you mean: {corrected!r} ({n} corrected)")
+    if args.slop is not None:
+        eng.proximity_search(
+            args.query, args.slop, top_k=args.top_k,
+            ordered=not args.unordered,
+        ).show(args.top_k, truncate=False)
+        print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
+        spark.stop()
+        return
     if args.embeddings:
         import numpy as np
 
