@@ -2492,8 +2492,9 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared-scan weight column), ``significant_terms`` (JLH
     over-representation score on the full match set),
     minimum_should_match (unit boosts + min_match=2 == the AND doc set
-    with OR scores), and ``collapse_search`` (best doc per lang
-    group, scores untouched)."""
+    with OR scores), ``collapse_search`` (best doc per lang group,
+    scores untouched), and ``count`` (total hits of the full match
+    set)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2563,10 +2564,18 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("collapse").alias("part"), F.col("group").alias("fkey"),
         "doc_id", fscore, zero.alias("cnt"),
     )
+    # total-hit count of the FULL match set (engine.count)
+    cnt = spark.createDataFrame(
+        [(int(eng.count(SERVING_QUERY)),)], "c long"
+    ).select(
+        F.lit("count").alias("part"), F.lit("").alias("fkey"),
+        zero.alias("doc_id"), F.lit(0.0).alias("score"),
+        F.col("c").alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
-        .unionByName(msm).unionByName(coll)
+        .unionByName(msm).unionByName(coll).unionByName(cnt)
     )
 
 
@@ -2709,6 +2718,10 @@ coll AS (
          CAST(0 AS BIGINT) AS cnt
   FROM coll_r WHERE gr <= 1
   ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+),
+hitcount AS (
+  SELECT 'count' AS part, '' AS fkey, CAST(0 AS BIGINT) AS doc_id,
+         0.0 AS score, (SELECT count(*) FROM scored) AS cnt
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -2718,6 +2731,7 @@ UNION ALL SELECT * FROM boosted
 UNION ALL SELECT * FROM sig
 UNION ALL SELECT * FROM msm
 UNION ALL SELECT * FROM coll
+UNION ALL SELECT * FROM hitcount
 """
 
 
