@@ -978,6 +978,174 @@ class SearchEngine:
             .limit(top_k)
         )
 
+    def _proximity_values(self, phrase: str | list[str]) -> list[str]:
+        """Analyzed term list of a proximity/rescore phrase (the same
+        path ``proximity_search`` uses for its raw-text form)."""
+        if not isinstance(phrase, str):
+            return list(phrase)
+        ast0 = parse_query(
+            f'"{phrase}"', analyzer=self.meta.get("analyzer", "reference")
+        )
+        if ast0 and ast0["type"] == "phrase":
+            return list(ast0["values"])
+        return [ast0["value"]] if ast0 else []
+
+    def rescore_search(
+        self,
+        query: str,
+        rescore_phrase: str | list[str],
+        top_k: int = 10,
+        window: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        slop: int = 10,
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Two-phase rescore (Elasticsearch ``rescore`` shape,
+        ``score_mode: total``): serve ``query`` normally, take its top
+        ``window`` docs, and re-rank ONLY that window by
+        ``query_weight·bm25 + rescore_weight·proximity`` where the
+        proximity term is the BM25 score of ``rescore_phrase`` as a
+        slop-``slop`` proximity query (0 when the window doc doesn't
+        match it). The cheap query recalls; the expensive
+        position-verified query only ever scores ``window`` docs.
+
+        Scale shape: the proximity frame is pruned to the window ids by
+        a broadcast semi-join BEFORE the final combine — the expensive
+        positional join's output never exceeds ``window`` rows, and the
+        combine is a broadcast left join of two ≤``window``-row frames.
+        Both arms ride the update-aware ``_scored`` path. Extension
+        beyond the reference (no equivalent API)."""
+        base = (
+            self.search_df(query)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(window))
+        )
+        values = self._proximity_values(rescore_phrase)
+        if not values:
+            return (
+                base.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+            )
+        ast = {
+            "type": "proximity",
+            "values": values,
+            "slop": int(slop),
+            "ordered": bool(ordered),
+        }
+        prox = (
+            self._scored(ast)
+            .withColumnRenamed("score", "_rescore")
+            .join(F.broadcast(base.select("doc_id")), "doc_id")
+        )
+        self.last_strategy = (
+            "rescore_window_update_arm"
+            if self.updated_ids is not None
+            else "rescore_window"
+        )
+        return (
+            base.join(F.broadcast(prox), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(float(query_weight)) * F.col("score")
+                    + F.lit(float(rescore_weight))
+                    * F.coalesce(F.col("_rescore"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
+    def synonym_search(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        top_k: int = 10,
+    ) -> DataFrame:
+        """Query-time synonym expansion (Lucene ``SynonymQuery`` /
+        Elasticsearch ``synonym_graph`` search-time shape): every term
+        leaf of the parsed query whose analyzed form has an entry in
+        ``synonyms`` is rewritten into an OR group over the term and
+        its analyzed alternatives — ``{"cat": ["feline"]}`` turns
+        ``cat AND dog`` into ``(cat OR feline) AND dog``, the exact AST
+        the parser itself would build for that string, so scoring,
+        De Morgan algebra, masks, and the update arm all apply
+        unchanged (each alternative scores with its own frozen-stats
+        BM25; Lucene's blended-idf variant is a scoring choice this
+        engine deliberately doesn't copy — documented divergence).
+
+        Keys and values are analyzed with the index analyzer
+        (doc mode): a key that analyzes to anything but one term is
+        ignored; a multi-term value becomes a phrase alternative; a
+        value that analyzes away (stopword) is dropped. Phrase leaves
+        are never expanded (synonym-inside-phrase needs a position
+        graph the index doesn't store — same restriction Lucene's
+        query-time synonyms have without ``synonym_graph`` indexing).
+        Extension beyond the reference (no synonym surface)."""
+        from cs_search_engine_architecture_spark.functions.tokenizer import (
+            tokenize,
+        )
+
+        analyzer = self.meta.get("analyzer", "reference")
+
+        def _analyze(text: str) -> list[str]:
+            toks, _ = tokenize(text, analyzer=analyzer)
+            return list(toks)
+
+        alts: dict[str, list[dict]] = {}
+        for key, vals in synonyms.items():
+            ktoks = _analyze(key)
+            if len(ktoks) != 1:
+                continue
+            leaves: list[dict] = []
+            for v in vals:
+                vtoks = _analyze(v)
+                if len(vtoks) == 1:
+                    leaves.append({"type": "token", "value": vtoks[0]})
+                elif len(vtoks) > 1:
+                    leaves.append({"type": "phrase", "values": vtoks})
+            if leaves:
+                alts[ktoks[0]] = leaves
+
+        def _rewrite(node):
+            if not node or not isinstance(node, dict):
+                return node
+            t = node.get("type")
+            if t == "token":
+                cur = node
+                for leaf in alts.get(node["value"], []):
+                    cur = {
+                        "type": "operator",
+                        "operator": "or",
+                        "left": cur,
+                        "right": leaf,
+                    }
+                return cur
+            if t == "operator":
+                return {
+                    "type": "operator",
+                    "operator": node["operator"],
+                    "left": _rewrite(node.get("left")),
+                    "right": _rewrite(node.get("right")),
+                }
+            return node
+
+        ast = _rewrite(
+            parse_query(query, analyzer=analyzer)
+        )
+        if not ast:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        self.last_strategy = (
+            "synonym_join_update_arm"
+            if self.updated_ids is not None
+            else "synonym_join"
+        )
+        return (
+            self._scored(ast)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(top_k)
+        )
+
     def more_like_this(
         self,
         doc_id: int,

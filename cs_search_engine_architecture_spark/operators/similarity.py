@@ -91,20 +91,69 @@ def lsh_buckets(
     )
 
 
-def bucket_of(qvec: Sequence[float], num_planes: int = NUM_PLANES) -> int:
-    """Driver-side bucket of a query vector (same md5 hyperplanes)."""
+def _plane_dots(qvec: Sequence[float], num_planes: int) -> list:
+    """Driver-side per-plane signed dot products (same md5 hyperplanes
+    as ``dialect.hyperplane_dot`` / ``lsh_bucket``)."""
     import hashlib
 
-    bucket = 0
+    dots = []
     for p in range(num_planes):
         dot = 0.0
         for d, x in enumerate(qvec, start=1):
             h = hashlib.md5(f"p{p}_{d}".encode()).hexdigest()
             coef = (ord(h[0]) % 2) * 2 - 1
             dot += float(x) * coef
+        dots.append(dot)
+    return dots
+
+
+def bucket_of(qvec: Sequence[float], num_planes: int = NUM_PLANES) -> int:
+    """Driver-side bucket of a query vector (same md5 hyperplanes)."""
+    bucket = 0
+    for p, dot in enumerate(_plane_dots(qvec, num_planes)):
         if dot > 0:
             bucket |= 1 << p
     return bucket
+
+
+def multiprobe_buckets(
+    qvec: Sequence[float], n_buckets: int, num_planes: int = NUM_PLANES
+) -> list[int]:
+    """Standard multi-probe LSH probe sequence (Lv et al., VLDB'07
+    shape): the exact bucket first, then neighbor buckets in ascending
+    flip cost, where flipping a plane costs |dot| (the margin by which
+    the query cleared that hyperplane — small margin means near
+    neighbors plausibly landed on the other side). Flip sets are
+    enumerated cheapest-first over subsets of the planes; driver-side
+    only (2^planes is small), the probe itself stays a partition-pruned
+    ``bucket IN (...)`` scan."""
+    import heapq
+
+    dots = _plane_dots(qvec, num_planes)
+    base = 0
+    for p, dot in enumerate(dots):
+        if dot > 0:
+            base |= 1 << p
+    order = sorted(range(num_planes), key=lambda p: abs(dots[p]))
+    # heap of (cost, last-flipped rank, frozenset of ranks): expand by
+    # extending or shifting the last rank — the classic generator that
+    # yields subsets in nondecreasing total cost without enumerating 2^n.
+    heap = [(abs(dots[order[0]]), 0, (0,))]
+    out = [base]
+    while heap and len(out) < n_buckets:
+        cost, last, ranks = heapq.heappop(heap)
+        mask = 0
+        for r in ranks:
+            mask |= 1 << order[r]
+        out.append(base ^ mask)
+        if last + 1 < num_planes:
+            nxt = abs(dots[order[last + 1]])
+            heapq.heappush(heap, (cost + nxt, last + 1, ranks + (last + 1,)))
+            heapq.heappush(
+                heap,
+                (cost - abs(dots[order[last]]) + nxt, last + 1, ranks[:-1] + (last + 1,)),
+            )
+    return out[:n_buckets]
 
 
 def build_ann_index(
@@ -119,10 +168,21 @@ def build_ann_index(
     bucket (``partitionBy``), so a probe's ``bucket = q`` predicate is
     pure partition pruning — the scan reads 1/2^planes of the table.
     This is the write-time form of ``lsh_topk`` (which recomputes
-    buckets per query and exists for ad-hoc frames)."""
+    buckets per query and exists for ad-hoc frames).
+
+    The frame is repartitioned ON the partition key before the write:
+    without it every input partition opens a writer per bucket
+    (32 tasks x 2^planes buckets = thousands of tiny files and a
+    driver-side commit storm — measured 196s for a 3k-row build); with
+    it each bucket lands in exactly one task, so the file count is
+    O(buckets) regardless of input parallelism. At 100 TB this is the
+    difference between a usable index layout and a small-files
+    incident."""
     lsh_buckets(emb, num_planes, dims, id_col, vec_col).withColumnRenamed(
         "id", id_col
-    ).withColumnRenamed("v", vec_col).write.mode("overwrite").partitionBy(
+    ).withColumnRenamed("v", vec_col).repartition(F.col("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy(
         "bucket"
     ).parquet(out_path)
 
@@ -135,14 +195,19 @@ def ann_search(
     num_planes: int = NUM_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
     """Probe a persisted ANN index: partition-pruned bucket scan +
-    exact cosine over the candidates."""
-    qb = bucket_of(list(qvec), num_planes)
+    exact cosine over the candidates. ``n_probe_buckets > 1`` probes
+    the multi-probe sequence (exact bucket + cheapest-flip neighbors,
+    see ``multiprobe_buckets``) — still pure partition pruning via
+    ``bucket IN (...)``, scanning n/2^planes of the table. Default 1
+    keeps the original single-bucket semantics (and the gate oracle)."""
+    probe = multiprobe_buckets(list(qvec), n_probe_buckets, num_planes)
     qn = sum(float(x) * float(x) for x in qvec) ** 0.5
     cand = (
         spark.read.parquet(index_path)
-        .where(F.col("bucket") == F.lit(qb))
+        .where(F.col("bucket").isin(probe))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("q", _qvec_lit(qvec))
     )
@@ -297,9 +362,13 @@ def build_ivf_index(
 
     cents = np.asarray(centroids, dtype=np.float64)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
+    # Repartition on the partition key: one task per cell group, file
+    # count O(cells) instead of O(tasks x cells) (see build_ann_index).
     assigned.withColumnRenamed("id", id_col).withColumnRenamed(
         "v", vec_col
-    ).write.mode("overwrite").partitionBy("cell").parquet(
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(
         os.path.join(out_path, "cells")
     )
     with open(os.path.join(out_path, "centroids.json"), "w") as fh:
@@ -622,6 +691,7 @@ def build_ivf_index_quantized(
     (
         quantize_embeddings(assigned, id_col="id", vec_col="v", keep=["cell"])
         .withColumnRenamed("id", id_col)
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(out_path, "cells"))

@@ -624,6 +624,98 @@ def test_boosted_search_weighted_sum(spark, tmp_path):
     assert got == want
 
 
+def test_synonym_search_equals_rewritten_query(spark, tmp_path):
+    """synonym_search must produce byte-identical results to the
+    explicitly parenthesized OR query it claims to rewrite into —
+    single-term synonyms, multi-term (phrase) synonyms, and the no-op
+    (empty map / unknown key) case."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    def rows(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    # no-op: empty map and a key absent from the query
+    assert rows(eng.synonym_search("spark AND join", {})) == rows(
+        eng.search("spark AND join", 10)
+    )
+    assert rows(
+        eng.synonym_search("spark AND join", {"varint": ["gap"]})
+    ) == rows(eng.search("spark AND join", 10))
+
+    # single-term synonym == explicit OR group
+    assert rows(
+        eng.synonym_search("hash AND join", {"hash": ["sorted"]})
+    ) == rows(eng.search("(hash OR sorted) AND join", 10))
+
+    # multi-term synonym == phrase alternative
+    assert rows(
+        eng.synonym_search("spark AND fast", {"spark": ["merge join"]})
+    ) == rows(eng.search('(spark OR "merge join") AND fast', 10))
+
+    # a synonym on one side of AND NOT rides the De Morgan algebra
+    assert rows(
+        eng.synonym_search("join AND NOT spark", {"join": ["shuffle"]})
+    ) == rows(eng.search("(join OR shuffle) AND NOT spark", 10))
+
+
+def test_rescore_search_matches_manual_combine(spark, tmp_path):
+    """rescore_search == manual query_weight·bm25 +
+    rescore_weight·proximity over the base query's top-``window`` docs
+    (ES rescore, score_mode total), and docs outside the window never
+    enter the result no matter their proximity score."""
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    eng = SearchEngine(spark, out, cache=False)
+
+    qw, rw, slop = 0.7, 1.5, 12
+    base = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("join or spark", 10).collect()
+    ]
+    prox = {
+        r["doc_id"]: r["score"]
+        for r in eng.proximity_search("hash join", slop, top_k=10).collect()
+    }
+
+    for window in (3, 100):
+        head = base[:window]
+        want = sorted(
+            (
+                (d, round(qw * s + rw * prox.get(d, 0.0), 9))
+                for d, s in head
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.rescore_search(
+                "join or spark",
+                "hash join",
+                top_k=5,
+                window=window,
+                query_weight=qw,
+                rescore_weight=rw,
+                slop=slop,
+            ).collect()
+        ]
+        assert got == want, (window, got, want)
+    assert eng.last_strategy == "rescore_window"
+
+    # empty rescore phrase degrades to the plain base query
+    assert [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.rescore_search("join or spark", [], top_k=5).collect()
+    ] == [(d, round(s, 9)) for d, s in base[:5]]
+
+
 PROX_DOCS = [
     (0, "alpha beta gamma delta"),
     (1, "beta alpha something else alpha"),

@@ -449,6 +449,70 @@ def test_persisted_ann_index_matches_adhoc(spark):
     assert "bucket" not in plan.split("ReadSchema:")[1], plan
 
 
+def test_multiprobe_bucket_sequence_is_cheapest_first():
+    """multiprobe_buckets yields exactly the n cheapest buckets by flip
+    cost (sum of |plane dot| over flipped planes), base bucket first,
+    no duplicates — checked exhaustively against all 2^8 buckets."""
+    import random
+
+    rng = random.Random(3)
+    for _ in range(25):
+        q = [rng.gauss(0, 1) for _ in range(16)]
+        dots = SIM._plane_dots(q, 8)
+        base = SIM.bucket_of(q)
+        got = SIM.multiprobe_buckets(q, 40, 8)
+        assert got[0] == base
+        assert len(set(got)) == len(got)
+
+        def cost(b):
+            m = b ^ base
+            return sum(abs(dots[p]) for p in range(8) if m >> p & 1)
+
+        costs = [cost(b) for b in got]
+        assert all(
+            costs[i] <= costs[i + 1] + 1e-12 for i in range(len(costs) - 1)
+        )
+        expected = sorted(cost(b) for b in range(256))[:40]
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(sorted(costs), expected)
+        )
+        # n=1 degenerates to the plain single-bucket probe
+        assert SIM.multiprobe_buckets(q, 1, 8) == [base]
+
+
+def test_multiprobe_full_sweep_equals_brute_force(spark):
+    """ann_search probing ALL 2^8 buckets is a full scan — it must
+    reproduce exact brute-force top-k (scores and order), pinning that
+    multi-probe only ever widens the candidate set, never rescores."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = "/tmp/spark_sea_test_ann_idx_mp"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.build_ann_index(emb, path)
+
+    qvec = rows[9][1]
+    swept = [
+        (r["id"], round(r["cos"], 6))
+        for r in SIM.ann_search(
+            spark, path, qvec, k=7, n_probe_buckets=256
+        ).collect()
+    ]
+    brute = [
+        (r["id"], round(r["cos"], 6))
+        for r in SIM.brute_force_topk(emb, qvec, k=7).collect()
+    ]
+    assert swept == brute
+    # and a partial probe is a subset of the index, never empty for the
+    # query's own vector (its bucket is always probed first)
+    part = SIM.ann_search(spark, path, qvec, k=7, n_probe_buckets=4).collect()
+    assert any(r["id"] == 9 for r in part)
+
+
 # ------------------------------------------------------------- IVF ANN
 
 def test_ivf_topk_recall_and_exactness(spark):
