@@ -2493,8 +2493,13 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-representation score on the full match set),
     minimum_should_match (unit boosts + min_match=2 == the AND doc set
     with OR scores), ``collapse_search`` (best doc per lang group,
-    scores untouched), and ``count`` (total hits of the full match
-    set)."""
+    scores untouched), ``count`` (total hits of the full match set),
+    ``synonym_search`` (round 5 — the one-term query + a synonym map
+    must reproduce the OR query's top-10 exactly: the rewrite IS the
+    parser's OR plan), and ``rescore_search`` (round 5 — base top-15
+    window re-ranked by 1.0·bm25 + 0.5·single-term proximity; both
+    weights IEEE-exact so the combine is one double add on each
+    side)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2572,10 +2577,30 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero.alias("doc_id"), F.lit(0.0).alias("score"),
         F.col("c").alias("cnt"),
     )
+    # query-time synonym expansion: "spark" + {"spark": ["data"]} must
+    # rewrite into the exact OR plan — rows == the shared scored CTE's
+    # top-10 (2 distinct terms keeps the sum order-insensitive)
+    synonym = eng.synonym_search("spark", {"spark": ["data"]}, top_k=10).select(
+        F.lit("synonym").alias("part"), F.lit("").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
+    # two-phase rescore: the OR query's top-15 window re-ranked by
+    # 1.0·bm25 + 0.5·proximity(["spark"]) — a single-term proximity
+    # degenerates to that term's BM25 frame, so the oracle needs no
+    # positional SQL; 1.0× is the IEEE identity, 0.5× an exponent
+    # decrement, and the combine one double add — bit-exact both sides
+    resc = eng.rescore_search(
+        SERVING_QUERY, ["spark"], top_k=10, window=15,
+        query_weight=1.0, rescore_weight=0.5,
+    ).select(
+        F.lit("rescore").alias("part"), F.lit("").alias("fkey"),
+        "doc_id", fscore, zero.alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
         .unionByName(msm).unionByName(coll).unionByName(cnt)
+        .unionByName(synonym).unionByName(resc)
     )
 
 
@@ -2722,6 +2747,34 @@ coll AS (
 hitcount AS (
   SELECT 'count' AS part, '' AS fkey, CAST(0 AS BIGINT) AS doc_id,
          0.0 AS score, (SELECT count(*) FROM scored) AS cnt
+),
+synonym AS (
+  SELECT 'synonym' AS part, '' AS fkey, doc_id, score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM ranked WHERE rk <= 10
+),
+rsc AS (
+  SELECT t.doc_id,
+    CAST(
+      ln(((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+      * ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) * 2.5)
+      / ((0.0 + t.tf * 1.0 / (1.75 + 0.25 * dl.dl / (SELECT avgdl FROM avgdl))) + 1.5)
+    AS REAL) AS score
+  FROM tfs t JOIN dl USING (doc_id) JOIN dfs d ON d.term = t.term
+  WHERE t.term = 'spark'
+),
+resc AS (
+  SELECT 'rescore' AS part, '' AS fkey, w.doc_id,
+         CAST(CAST(
+           1.0 * w.score_raw + 0.5 * coalesce(CAST(r.score AS DOUBLE), 0.0)
+         AS REAL) AS DOUBLE) AS score,
+         CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT r.doc_id, s.score_raw FROM ranked r
+        JOIN scored s USING (doc_id) WHERE r.rk <= 15) w
+  LEFT JOIN rsc r USING (doc_id)
+  ORDER BY 1.0 * w.score_raw + 0.5 * coalesce(CAST(r.score AS DOUBLE), 0.0)
+           DESC, w.doc_id ASC
+  LIMIT 10
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -2732,6 +2785,8 @@ UNION ALL SELECT * FROM sig
 UNION ALL SELECT * FROM msm
 UNION ALL SELECT * FROM coll
 UNION ALL SELECT * FROM hitcount
+UNION ALL SELECT * FROM synonym
+UNION ALL SELECT * FROM resc
 """
 
 

@@ -42,6 +42,14 @@ def main() -> None:
                     "whose terms must fall within this char window")
     ap.add_argument("--unordered", action="store_true",
                     help="with --slop: terms may appear in any order")
+    ap.add_argument("--synonyms", default=None,
+                    help="JSON map term -> [alternatives]; expands query "
+                    "term leaves into OR groups (query-time synonyms)")
+    ap.add_argument("--rescore", default=None,
+                    help="proximity phrase: re-rank the top --rescore-window "
+                    "docs by bm25 + proximity (ES rescore, score_mode total)")
+    ap.add_argument("--rescore-window", type=int, default=100)
+    ap.add_argument("--rescore-slop", type=int, default=10)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -67,6 +75,23 @@ def main() -> None:
         eng.proximity_search(
             args.query, args.slop, top_k=args.top_k,
             ordered=not args.unordered,
+        ).show(args.top_k, truncate=False)
+        print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
+        spark.stop()
+        return
+    if args.synonyms:
+        import json
+
+        eng.synonym_search(
+            args.query, json.loads(args.synonyms), top_k=args.top_k
+        ).show(args.top_k, truncate=False)
+        print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
+        spark.stop()
+        return
+    if args.rescore:
+        eng.rescore_search(
+            args.query, args.rescore, top_k=args.top_k,
+            window=args.rescore_window, slop=args.rescore_slop,
         ).show(args.top_k, truncate=False)
         print(f"retrieval took {(time.time() - t0) * 1000:.1f} ms")
         spark.stop()

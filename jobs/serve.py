@@ -14,6 +14,8 @@ Commands at the prompt (any other line is a query):
     filter:<sql-predicate> | filter:off          metadata filter (needs --corpus)
     facet:<column> | facet:off                   facet counts per query (needs --corpus)
     next                                         next page of the last query
+    syn:{"term": ["alt"]} <query>                query-time synonym expansion
+    rescore:<phrase> :: <query>                  two-phase proximity rescore
     status                                       index maintenance state
     refresh                                      re-read deltas/tombstones
     auto                                         policy tick: merge/compact if thresholds crossed, then refresh
@@ -190,6 +192,53 @@ def main() -> None:
             for r in rows:
                 print(f"  {r['term']:<20} fg={r['fg_count']:<6} "
                       f"score={r['score']:.6f}")
+            continue
+        if low.startswith("syn:"):
+            # syn:{"term": ["alt", ...]} <query> — one-shot query-time
+            # synonym expansion (term leaves become OR groups)
+            import json as _json
+
+            rest = line.split(":", 1)[1].strip()
+            try:
+                syn, idx = _json.JSONDecoder().raw_decode(rest)
+                q = rest[idx:].strip()
+                if not isinstance(syn, dict) or not q:
+                    raise ValueError
+            except (ValueError, _json.JSONDecodeError):
+                print('- usage: syn:{"term": ["alt", ...]} <query>')
+                continue
+            t0 = time.time()
+            try:
+                rows = eng.synonym_search(q, syn, top_k=top_k).collect()
+            except Exception as exc:
+                print(f"- synonym query failed: {type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}")
+                continue
+            _print_rows(rows, None)
+            print(f"- {len(rows)} rows in "
+                  f"{(time.time() - t0) * 1000:.1f} ms")
+            continue
+        if low.startswith("rescore:"):
+            # rescore:<proximity phrase> :: <query> — ES-style two-phase
+            # rescore of the query's top-100 window (slop 10, total)
+            rest = line.split(":", 1)[1]
+            if "::" not in rest:
+                print("- usage: rescore:<proximity phrase> :: <query>")
+                continue
+            phrase, q = (s.strip() for s in rest.split("::", 1))
+            if not phrase or not q:
+                print("- usage: rescore:<proximity phrase> :: <query>")
+                continue
+            t0 = time.time()
+            try:
+                rows = eng.rescore_search(q, phrase, top_k=top_k).collect()
+            except Exception as exc:
+                print(f"- rescore failed: {type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}")
+                continue
+            _print_rows(rows, None)
+            print(f"- {len(rows)} rows in "
+                  f"{(time.time() - t0) * 1000:.1f} ms")
             continue
         if low == "status":
             import json as _json

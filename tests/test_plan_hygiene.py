@@ -75,6 +75,9 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         eng.boosted_search({"alpha": 2.0, "beta": 0.5}, top_k=5),
         eng.proximity_search("alpha beta", 12, top_k=5),
         eng.proximity_search("alpha beta", 12, top_k=5, ordered=False),
+        eng.rescore_search("alpha or beta", "alpha beta", top_k=5,
+                           window=10, slop=12),
+        eng.synonym_search("alpha and beta", {"beta": ["gamma"]}, top_k=5),
         eng.current_corpus(),
         wand_or,  # base-kernel ∪ delta-arm union under pending updates
     ]

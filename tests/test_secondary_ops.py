@@ -391,18 +391,23 @@ def test_serve_repl_smoke(spark, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = (
         "topk:3\nalpha\nnext\nfilter:lang = 'en'\nalpha\nfilter:off\n"
-        "facet:lang\nalpha or gamma\nstatus\nrefresh\nexit\n"
+        "facet:lang\nalpha or gamma\nstatus\nrefresh\n"
+        'syn:{"alpha": ["gamma"]} alpha and beta\n'
+        "rescore:alpha beta :: alpha or gamma\n"
+        "syn:notjson\nrescore:missing-separator\nexit\n"
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "jobs", "serve.py"),
          "--index", out, "--corpus", src, "--cores", "2"],
-        input=script, capture_output=True, text=True, timeout=240, cwd=repo,
+        input=script, capture_output=True, text=True, timeout=480, cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "rows in" in proc.stdout
     assert "facets:" in proc.stdout
     assert '"tombstones": 0' in proc.stdout
     assert "- refreshed" in proc.stdout
+    assert 'usage: syn:{"term": ["alt", ...]} <query>' in proc.stdout
+    assert "usage: rescore:<proximity phrase> :: <query>" in proc.stdout
 
 
 def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
