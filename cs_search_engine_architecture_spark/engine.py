@@ -1371,6 +1371,57 @@ class SearchEngine:
             .limit(top_n)
         )
 
+    def stats_agg(
+        self,
+        query: str,
+        corpus: DataFrame,
+        value_col,
+        doc_id_col: str = "doc_id",
+        predicate=None,
+    ) -> DataFrame:
+        """Numeric stats + cardinality aggregation over the FULL match
+        set (Elasticsearch ``stats`` + ``cardinality`` agg shape): one
+        row (count, min, max, sum, distinct, avg) of ``value_col``
+        across every doc matching ``query`` — the metrics sidebar next
+        to ``facet_counts``'s terms sidebar. ``value_col`` may be a
+        column name or any Column expression (computed metrics
+        evaluate row-locally on the corpus scan); ``predicate``
+        restricts to the filter context exactly like ``facet_counts``.
+
+        Same scale shape as facets: one semi-join from the corpus to
+        the matched doc_ids (shuffle on doc_id, no row widening) into
+        a single partial-aggregated global agg — one row out, nothing
+        broadcast. ``avg`` is computed as ``sum/count`` in ONE double
+        division (not a streaming mean), so on integer-valued columns
+        every output is IEEE-exact and oracle-mirrorable; cardinality
+        is exact ``count_distinct`` (at 100 TB swap in
+        ``approx_count_distinct`` — same plan, sketch merge instead of
+        the distinct shuffle). Update/delete-aware via the same
+        masked+arm frame. Extension beyond the reference."""
+        matched = self.search_df(query).select("doc_id")
+        if predicate is not None:
+            corpus = corpus.where(predicate)
+        vc = F.col(value_col) if isinstance(value_col, str) else value_col
+        vals = (
+            corpus.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                vc.alias("v"),
+            )
+            .join(matched, "doc_id", "left_semi")
+        )
+        return (
+            vals.agg(
+                F.count(F.lit(1)).alias("count"),
+                F.min("v").alias("min"),
+                F.max("v").alias("max"),
+                F.sum("v").alias("sum"),
+                F.count_distinct(F.col("v")).alias("distinct"),
+            )
+            .withColumn(
+                "avg", F.col("sum").cast("double") / F.col("count")
+            )
+        )
+
     def count(self, query: str) -> int:
         """Total-hit count of ``query`` (Lucene
         ``TotalHitCountCollector`` shape): the size of the FULL masked

@@ -2499,7 +2499,9 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser's OR plan), and ``rescore_search`` (round 5 — base top-15
     window re-ranked by 1.0·bm25 + 0.5·single-term proximity; both
     weights IEEE-exact so the combine is one double add on each
-    side)."""
+    side), and ``stats_agg`` (round 5 — count/min/max/sum/distinct of
+    ``n_chars`` over the full match set are exact integer aggregates;
+    avg is one sum/count double division mirrored verbatim)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2596,11 +2598,32 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rescore").alias("part"), F.lit("").alias("fkey"),
         "doc_id", fscore, zero.alias("cnt"),
     )
+    # numeric stats + cardinality agg of n_chars over the FULL match
+    # set — integer operands, so count/min/max/sum/distinct are exact
+    # longs in cnt and avg is ONE double division (sum/count) mirrored
+    # verbatim in the oracle
+    stats = (
+        eng.stats_agg(SERVING_QUERY, docs, "n_chars")
+        .select(F.expr(
+            "stack(6, "
+            "'count', CAST(0.0 AS DOUBLE), `count`, "
+            "'min', CAST(0.0 AS DOUBLE), `min`, "
+            "'max', CAST(0.0 AS DOUBLE), `max`, "
+            "'sum', CAST(0.0 AS DOUBLE), `sum`, "
+            "'distinct', CAST(0.0 AS DOUBLE), `distinct`, "
+            "'avg', `avg`, CAST(0 AS BIGINT)"
+            ") AS (fkey, score, cnt)"
+        ))
+        .select(
+            F.lit("stats").alias("part"), "fkey",
+            zero.alias("doc_id"), "score", "cnt",
+        )
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
         .unionByName(msm).unionByName(coll).unionByName(cnt)
-        .unionByName(synonym).unionByName(resc)
+        .unionByName(synonym).unionByName(resc).unionByName(stats)
     )
 
 
@@ -2775,6 +2798,24 @@ resc AS (
   ORDER BY 1.0 * w.score_raw + 0.5 * coalesce(CAST(r.score AS DOUBLE), 0.0)
            DESC, w.doc_id ASC
   LIMIT 10
+),
+statsrc AS (
+  SELECT d.n_chars AS v FROM documents d JOIN scored s USING (doc_id)
+),
+stats AS (
+  SELECT 'stats' AS part, x.fkey, CAST(0 AS BIGINT) AS doc_id,
+         x.score, x.cnt
+  FROM (
+    SELECT 'count' AS fkey, 0.0 AS score,
+           CAST(count(*) AS BIGINT) AS cnt FROM statsrc
+    UNION ALL SELECT 'min', 0.0, CAST(min(v) AS BIGINT) FROM statsrc
+    UNION ALL SELECT 'max', 0.0, CAST(max(v) AS BIGINT) FROM statsrc
+    UNION ALL SELECT 'sum', 0.0, CAST(sum(v) AS BIGINT) FROM statsrc
+    UNION ALL SELECT 'distinct', 0.0,
+      CAST(count(DISTINCT v) AS BIGINT) FROM statsrc
+    UNION ALL SELECT 'avg', CAST(sum(v) AS DOUBLE) / count(*),
+      CAST(0 AS BIGINT) FROM statsrc
+  ) x
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -2787,6 +2828,7 @@ UNION ALL SELECT * FROM coll
 UNION ALL SELECT * FROM hitcount
 UNION ALL SELECT * FROM synonym
 UNION ALL SELECT * FROM resc
+UNION ALL SELECT * FROM stats
 """
 
 

@@ -13,6 +13,7 @@ Commands at the prompt (any other line is a query):
     topk:N                                       result page size
     filter:<sql-predicate> | filter:off          metadata filter (needs --corpus)
     facet:<column> | facet:off                   facet counts per query (needs --corpus)
+    stats:<column> | stats:off                   numeric stats agg per query (needs --corpus)
     next                                         next page of the last query
     syn:{"term": ["alt"]} <query>                query-time synonym expansion
     rescore:<phrase> :: <query>                  two-phase proximity rescore
@@ -77,6 +78,7 @@ def main() -> None:
     mode, ltr_on, top_k = "exact", False, 10
     filt: str | None = None
     facet: str | None = None
+    stats_col: str | None = None
     last_query: str | None = None
     cursor = None
     while True:
@@ -154,6 +156,19 @@ def main() -> None:
             else:
                 facet = col
                 print(f"- facet column: {facet}")
+            continue
+        if low.startswith("stats:"):
+            col = line.split(":", 1)[1].strip()
+            if col.lower() == "off":
+                stats_col = None
+                print("- stats off")
+            elif corpus is None:
+                print("- stats need --corpus")
+            elif not col:
+                print("- usage: stats:<numeric column> | stats:off")
+            else:
+                stats_col = col
+                print(f"- stats column: {stats_col}")
             continue
         if low.startswith("count:"):
             q = line.split(":", 1)[1].strip()
@@ -339,6 +354,20 @@ def main() -> None:
                 ))
             except Exception as exc:
                 print(f"- facet failed: {str(exc).splitlines()[0][:120]}")
+        if stats_col is not None and mode == "exact":
+            try:
+                # stats respect the active filter context, like facets
+                st = eng.stats_agg(
+                    query, corpus, stats_col, predicate=filt
+                ).collect()[0]
+                avg = "n/a" if st["avg"] is None else f"{st['avg']:.4f}"
+                print(
+                    f"  stats[{stats_col}]: count={st['count']} "
+                    f"min={st['min']} max={st['max']} sum={st['sum']} "
+                    f"avg={avg} distinct={st['distinct']}"
+                )
+            except Exception as exc:
+                print(f"- stats failed: {str(exc).splitlines()[0][:120]}")
         print(f"- {len(rows)} rows in {took:.1f} ms"
               + ("  (type 'next' for more)" if paged else ""))
 

@@ -41,6 +41,8 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
     msearch with per-query arm union) must stay free of cartesian /
     nested-loop shapes too — they exist only on maintained indexes, so
     the gate sweep above never builds them."""
+    from pyspark.sql import functions as F
+
     from cs_search_engine_architecture_spark.engine import SearchEngine
     from cs_search_engine_architecture_spark.operators import indexer
 
@@ -78,6 +80,7 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         eng.rescore_search("alpha or beta", "alpha beta", top_k=5,
                            window=10, slop=12),
         eng.synonym_search("alpha and beta", {"beta": ["gamma"]}, top_k=5),
+        eng.stats_agg("alpha or beta", corpus, F.length("text")),
         eng.current_corpus(),
         wand_or,  # base-kernel ∪ delta-arm union under pending updates
     ]

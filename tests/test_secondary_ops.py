@@ -323,6 +323,58 @@ def test_facet_counts_full_match_set(spark, tmp_path):
     assert got2["en"] == expect["en"] - len(victims)
 
 
+def test_stats_agg_full_match_set(spark, tmp_path):
+    """stats_agg aggregates a numeric column over ALL matching docs
+    (not top-k): count/min/max/sum/distinct exact, avg == sum/count in
+    one double division; predicate restricts to the filter context;
+    deletes mask; value_col accepts a Column expression."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [(i, "common alpha" if i % 2 == 0 else "other beta",
+             ["en", "fr"][i % 3 == 0], 10 + (i % 5)) for i in range(30)]
+    docs = [(i, t, "en" if i % 3 == 0 else "fr", n)
+            for (i, t, _, n) in docs]
+    out = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, n_chars long"
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    row = eng.stats_agg("alpha", corpus, "n_chars").collect()[0]
+    vals = [n for (i, _, _, n) in docs if i % 2 == 0]
+    assert row["count"] == len(vals)
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert row["sum"] == sum(vals)
+    assert row["distinct"] == len(set(vals))
+    assert row["avg"] == sum(vals) / len(vals)
+
+    # filter context restricts the aggregated set
+    rowf = eng.stats_agg(
+        "alpha", corpus, "n_chars", predicate="lang = 'en'"
+    ).collect()[0]
+    valsf = [n for (i, _, lang, n) in docs if i % 2 == 0 and lang == "en"]
+    assert rowf["count"] == len(valsf) and rowf["sum"] == sum(valsf)
+
+    # Column-expression metric evaluates row-locally
+    rowe = eng.stats_agg(
+        "alpha", corpus, F.col("n_chars") * 2
+    ).collect()[0]
+    assert rowe["sum"] == 2 * sum(vals) and rowe["max"] == 2 * max(vals)
+
+    # deletes shrink the aggregate
+    indexer.delete_docs(spark, out, [0, 2])
+    eng2 = SearchEngine(spark, out, cache=False)
+    row2 = eng2.stats_agg("alpha", corpus, "n_chars").collect()[0]
+    vals2 = [n for (i, _, _, n) in docs if i % 2 == 0 and i not in (0, 2)]
+    assert row2["count"] == len(vals2) and row2["sum"] == sum(vals2)
+
+
 def test_filtered_search_filter_context_semantics(spark, tmp_path):
     """Metadata filters SELECT but never SCORE (Lucene filter-context):
     a filtered result is exactly the unfiltered ranking restricted to
@@ -392,6 +444,7 @@ def test_serve_repl_smoke(spark, tmp_path):
     script = (
         "topk:3\nalpha\nnext\nfilter:lang = 'en'\nalpha\nfilter:off\n"
         "facet:lang\nalpha or gamma\nstatus\nrefresh\n"
+        "stats:doc_id\nalpha\nstats:off\n"
         'syn:{"alpha": ["gamma"]} alpha and beta\n'
         "rescore:alpha beta :: alpha or gamma\n"
         "syn:notjson\nrescore:missing-separator\nexit\n"
@@ -408,6 +461,8 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert "- refreshed" in proc.stdout
     assert 'usage: syn:{"term": ["alt", ...]} <query>' in proc.stdout
     assert "usage: rescore:<proximity phrase> :: <query>" in proc.stdout
+    assert "stats[doc_id]: count=" in proc.stdout
+    assert "- stats off" in proc.stdout
 
 
 def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
