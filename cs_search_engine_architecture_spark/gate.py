@@ -548,11 +548,65 @@ _DUCK_CAND_CTE = (
 )
 
 
+def _gate_dedup_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached on disk like ``gate_engine``) the persisted
+    incremental-dedup signature store over the ``documents`` fixture."""
+    tag = f"{abs(hash(sf_dir)) % 10**8}_dedupstore_{GATE_VERSION}"
+    path = os.path.join("/tmp/spark_sea_gate", tag)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        DD.build_dedup_store(_docs(spark, sf_dir), path)
+    return path
+
+
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.lsh_candidate_pairs(DD.minhash_signatures(_docs(spark, sf_dir)))
+    """Composite gate (round 5): the LSH self-join candidate pairs
+    (``self`` arm, est=0) PLUS the persisted-store incremental probe
+    (``incr`` arm): batch = docs with doc_id % 7 == 0 probed against
+    the full-corpus ``build_dedup_store``, with the MinHash-estimated
+    Jaccard (integer agreement count / num_hashes — one double
+    division, mirrored verbatim in the oracle)."""
+    docs = _docs(spark, sf_dir)
+    self_pairs = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(docs)
+    ).select(
+        F.lit("self").alias("part"), "doc_a", "doc_b",
+        F.lit(0.0).alias("est"),
+    )
+    store = _gate_dedup_store(spark, sf_dir)
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    incr = DD.incremental_dup_pairs(spark, store, batch).select(
+        F.lit("incr").alias("part"),
+        F.col("corpus_doc").alias("doc_a"),
+        F.col("batch_doc").alias("doc_b"),
+        F.col("est_jaccard").alias("est"),
+    )
+    return self_pairs.unionByName(incr)
 
 
-SQL_DEDUP_LSH_PAIRS = f"WITH {_DUCK_CAND_CTE} SELECT doc_a, doc_b FROM cand"
+_DUCK_EST = (
+    "CAST(("
+    + " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(DD.NUM_MINHASHES)
+    )
+    + f") AS DOUBLE) / {DD.NUM_MINHASHES}"
+)
+SQL_DEDUP_LSH_PAIRS = f"""WITH {_DUCK_CAND_CTE},
+selfp AS (SELECT 'self' AS part, doc_a, doc_b, 0.0 AS est FROM cand),
+bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+icand AS (
+  SELECT DISTINCT s.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands s JOIN bb b
+  ON s.band = b.band AND s.bucket = b.bucket AND s.doc_id <> b.doc_id
+),
+incr AS (
+  SELECT 'incr' AS part, c.doc_a, c.doc_b, {_DUCK_EST} AS est
+  FROM icand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT part, doc_a, doc_b, est FROM selfp
+UNION ALL SELECT part, doc_a, doc_b, est FROM incr"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,26 +63,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame,
     num_hashes: int = NUM_MINHASHES,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket.
-
-    ``explode`` to (band, bucket) then self-join on (band, bucket):
-    the shuffle key is the banded md5, uniform even under Zipfian text
-    duplication, and AQE's skew-join split covers pathological buckets
-    (e.g. the empty-document bucket).
-
-    The join is pinned SHUFFLE_HASH: Catalyst's size estimate of the
-    exploded bands frame undershoots (text column dropped, 8x explode),
-    so it picks a broadcast self-join — which collects the ENTIRE bands
-    frame to the driver and computes the signature subplan twice
-    (measured 6.8s vs 2.3s at sf0.1; at 100 TB a full-corpus broadcast
-    is fatal, while hash-shuffling on the uniform bucket key scales)."""
+    """(doc_id, band, bucket) — the exploded LSH banding of a signature
+    frame (row-local; the bucket is the banded md5, near-uniform by
+    construction). Shared by the self-join candidate generator and the
+    persisted incremental-dedup store."""
     num_bands = num_hashes // band_size
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -104,6 +95,27 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket.
+
+    ``explode`` to (band, bucket) then self-join on (band, bucket):
+    the shuffle key is the banded md5, uniform even under Zipfian text
+    duplication, and AQE's skew-join split covers pathological buckets
+    (e.g. the empty-document bucket).
+
+    The join is pinned SHUFFLE_HASH: Catalyst's size estimate of the
+    exploded bands frame undershoots (text column dropped, 8x explode),
+    so it picks a broadcast self-join — which collects the ENTIRE bands
+    frame to the driver and computes the signature subplan twice
+    (measured 6.8s vs 2.3s at sf0.1; at 100 TB a full-corpus broadcast
+    is fatal, while hash-shuffling on the uniform bucket key scales)."""
+    bands = band_buckets(sigs, num_hashes, band_size)
     a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b").hint("shuffle_hash")
     return (
@@ -114,6 +126,137 @@ def lsh_candidate_pairs(
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def build_dedup_store(
+    df: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> None:
+    """Persist the corpus's near-dup signature store for INCREMENTAL
+    ingest-time dedup: ``sigs/`` (doc_id, sig_0..k) and ``bands/``
+    (doc_id, band, bucket) parquet plus ``meta.json`` pinning the
+    banding parameters. The corpus text is tokenized and hashed exactly
+    ONCE here; every future ``incremental_dup_pairs`` probe reads only
+    these two skinny integer/string tables — at 100 TB that is the
+    difference between re-shingling the corpus per ingest batch and
+    streaming a table ~1% its size. ``sigs`` is written first and
+    ``bands`` derived from the written parquet (one corpus pass total,
+    not one per table)."""
+    import json
+    import os
+
+    minhash_signatures(df, text_col, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_path, "sigs"))
+    spark = df.sparkSession
+    sigs = spark.read.parquet(os.path.join(out_path, "sigs"))
+    band_buckets(sigs, num_hashes, band_size).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_path, "bands"))
+    with open(os.path.join(out_path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+                "text_col": text_col,
+            },
+            fh,
+        )
+
+
+def _dedup_store_meta(store_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(store_path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def dedup_store_append(spark, store_path: str, new_df: DataFrame) -> None:
+    """FROZEN-PARAMS append — the dedup-store analog of the text tier's
+    ``add_docs`` / the vector tier's ``ivf_add``: new docs' signatures
+    and bands are computed with the banding parameters baked at build
+    time (from ``meta.json``) and appended, so the very next probe sees
+    them with no rebuild and no re-hash of the existing corpus."""
+    import os
+
+    meta = _dedup_store_meta(store_path)
+    sigs = minhash_signatures(
+        new_df, meta["text_col"], meta["num_hashes"]
+    )
+    sigs.write.mode("append").parquet(os.path.join(store_path, "sigs"))
+    band_buckets(sigs, meta["num_hashes"], meta["band_size"]).write.mode(
+        "append"
+    ).parquet(os.path.join(store_path, "bands"))
+
+
+def incremental_dup_pairs(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    estimate: bool = True,
+) -> DataFrame:
+    """Ingest-time near-dup probe: (corpus_doc, batch_doc, est_jaccard)
+    for every batch doc sharing ≥1 LSH band bucket with a doc already
+    in the store (same-id rows excluded — a doc is not a dup of
+    itself). The 100 TB shape: the batch side (a micro-batch) is
+    exploded to bands and BROADCAST, so candidate generation is ONE
+    streamed pass over the persisted skinny ``bands`` table — no corpus
+    shuffle, no corpus text access, no recompute of corpus signatures.
+
+    ``estimate=True`` adds the standard MinHash Jaccard estimate — the
+    fraction of agreeing signature components — joined in from the
+    persisted ``sigs`` (store-resident verification; the candidate set
+    is small, so it broadcasts against the sigs table the same way).
+    Integer agreement count over one double division: bit-exactly
+    mirrorable by the DuckDB oracle."""
+    import os
+
+    meta = _dedup_store_meta(store_path)
+    nh = int(meta["num_hashes"])
+    store_bands = spark.read.parquet(os.path.join(store_path, "bands"))
+    bsigs = minhash_signatures(batch, meta["text_col"], nh)
+    bbands = band_buckets(bsigs, nh, int(meta["band_size"]))
+    pairs = (
+        store_bands.alias("s")
+        .join(F.broadcast(bbands.alias("b")), ["band", "bucket"])
+        .where(F.col("s.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("s.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("batch_doc"),
+        )
+        .distinct()
+    )
+    if not estimate:
+        return pairs
+    ssigs = spark.read.parquet(os.path.join(store_path, "sigs"))
+    agree = sum(
+        F.when(
+            F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1
+        ).otherwise(0)
+        for i in range(nh)
+    )
+    # stream the big persisted sigs table ONCE; the candidate set and
+    # the batch sigs are the small sides and broadcast
+    return (
+        ssigs.alias("sa")
+        .join(
+            F.broadcast(pairs.alias("p")),
+            F.col("p.corpus_doc") == F.col("sa.doc_id"),
+        )
+        .join(
+            F.broadcast(bsigs.alias("sb")),
+            F.col("p.batch_doc") == F.col("sb.doc_id"),
+        )
+        .select(
+            "corpus_doc",
+            "batch_doc",
+            (agree.cast("double") / F.lit(nh)).alias("est_jaccard"),
+        )
     )
 
 

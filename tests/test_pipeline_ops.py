@@ -126,6 +126,48 @@ def test_containment_catches_subset_dup(spark):
     assert jac.get((0, 1), 0.0) < 0.5  # jaccard alone would miss it
 
 
+def test_incremental_dedup_store(spark, docs, tmp_path):
+    """Persisted signature store: build once over the corpus, probe an
+    ingest batch without re-hashing the corpus, append with frozen
+    params, and see the appended docs in the very next probe."""
+    store = str(tmp_path / "dedup_store")
+    DD.build_dedup_store(docs, store)
+
+    # batch doc 100 = exact text of corpus doc 0 -> est_jaccard 1.0 vs
+    # docs 0 and 2; batch doc 101 unrelated -> no candidate rows
+    batch = spark.createDataFrame(
+        [(100, DOCS[0][1]), (101, "unrelated nonsense zyzzyva qwerty")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["corpus_doc"], r["batch_doc"]): r["est_jaccard"]
+        for r in DD.incremental_dup_pairs(spark, store, batch).collect()
+    }
+    assert got[(0, 100)] == 1.0 and got[(2, 100)] == 1.0
+    assert not any(b == 101 for _, b in got)
+
+    # probing a batch whose ids are already stored excludes self-pairs
+    self_probe = DD.incremental_dup_pairs(
+        spark, store, docs.where(F.col("doc_id") == 3), estimate=False
+    ).collect()
+    assert all(r["corpus_doc"] != r["batch_doc"] for r in self_probe)
+
+    # frozen-params append: the appended doc is visible to the next
+    # probe as a corpus-side candidate
+    DD.dedup_store_append(spark, store, batch)
+    got2 = {
+        (r["corpus_doc"], r["batch_doc"]): r["est_jaccard"]
+        for r in DD.incremental_dup_pairs(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(200, DOCS[0][1])], "doc_id long, text string"
+            ),
+        ).collect()
+    }
+    assert got2[(100, 200)] == 1.0 and got2[(0, 200)] == 1.0
+
+
 def test_simhash_near_pairs_matches_bruteforce(docs):
     """Banded-byte join recall is provably total for Hamming ≤ 3
     (pigeonhole over 4 byte bands) — cross-check against brute force."""
