@@ -27,7 +27,7 @@ from cs_search_engine_architecture_spark.operators.indexer import (
     tokenize_postings,
 )
 
-GATE_VERSION = "r4"  # bump to invalidate /tmp gate-index caches on layout changes
+GATE_VERSION = "r5"  # bump to invalidate /tmp gate-index caches on layout changes
 # (the _del/_add/_upd maintenance copies key off the base index path, so
 # the bump also forces them to rebuild — r4's search_after_update runs a
 # DOUBLE update whose first leg a stale r3 copy would silently skip)

@@ -145,18 +145,25 @@ def build_dedup_store(
     difference between re-shingling the corpus per ingest batch and
     streaming a table ~1% its size. ``sigs`` is written first and
     ``bands`` derived from the written parquet (one corpus pass total,
-    not one per table)."""
+    not one per table).
+
+    Layout is SEGMENTED (hive-style ``seg=base`` / ``seg=<id>`` dirs):
+    every append lands in its own segment directory with overwrite
+    semantics, so a replayed ingest batch (Structured Streaming is
+    at-least-once into ``foreachBatch``) rewrites its own segment
+    instead of double-appending, and a probe can exclude the probing
+    batch's own segment (partition-pruned) to stay replay-deterministic."""
     import json
     import os
 
     minhash_signatures(df, text_col, num_hashes).write.mode(
         "overwrite"
-    ).parquet(os.path.join(out_path, "sigs"))
+    ).parquet(os.path.join(out_path, "sigs", "seg=base"))
     spark = df.sparkSession
-    sigs = spark.read.parquet(os.path.join(out_path, "sigs"))
+    sigs = spark.read.parquet(os.path.join(out_path, "sigs", "seg=base"))
     band_buckets(sigs, num_hashes, band_size).write.mode(
         "overwrite"
-    ).parquet(os.path.join(out_path, "bands"))
+    ).parquet(os.path.join(out_path, "bands", "seg=base"))
     with open(os.path.join(out_path, "meta.json"), "w") as fh:
         json.dump(
             {
@@ -176,22 +183,49 @@ def _dedup_store_meta(store_path: str) -> dict:
         return json.load(fh)
 
 
-def dedup_store_append(spark, store_path: str, new_df: DataFrame) -> None:
+def _next_manual_segment(store_path: str) -> str:
+    """``m<N>`` names for manual (non-streaming) appends — disjoint
+    from the integer live-ingest segment namespace by construction."""
+    import os
+
+    existing = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(store_path, "sigs"))
+        if d.startswith("seg=")
+    }
+    n = 0
+    while f"m{n}" in existing:
+        n += 1
+    return f"m{n}"
+
+
+def dedup_store_append(
+    spark, store_path: str, new_df: DataFrame, segment=None
+) -> None:
     """FROZEN-PARAMS append — the dedup-store analog of the text tier's
     ``add_docs`` / the vector tier's ``ivf_add``: new docs' signatures
     and bands are computed with the banding parameters baked at build
     time (from ``meta.json``) and appended, so the very next probe sees
-    them with no rebuild and no re-hash of the existing corpus."""
+    them with no rebuild and no re-hash of the existing corpus.
+
+    ``segment`` keys the write: the rows land in ``seg=<segment>`` with
+    OVERWRITE semantics, so a caller that passes a stable id (e.g. the
+    streaming batch id) gets idempotent replay. When omitted, a fresh
+    ``m<N>`` manual slot is allocated."""
     import os
 
     meta = _dedup_store_meta(store_path)
+    if segment is None:
+        segment = _next_manual_segment(store_path)
     sigs = minhash_signatures(
         new_df, meta["text_col"], meta["num_hashes"]
     )
-    sigs.write.mode("append").parquet(os.path.join(store_path, "sigs"))
-    band_buckets(sigs, meta["num_hashes"], meta["band_size"]).write.mode(
-        "append"
-    ).parquet(os.path.join(store_path, "bands"))
+    sig_dir = os.path.join(store_path, "sigs", f"seg={segment}")
+    sigs.write.mode("overwrite").parquet(sig_dir)
+    written = spark.read.parquet(sig_dir)
+    band_buckets(written, meta["num_hashes"], meta["band_size"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, "bands", f"seg={segment}"))
 
 
 def incremental_dup_pairs(
@@ -199,6 +233,7 @@ def incremental_dup_pairs(
     store_path: str,
     batch: DataFrame,
     estimate: bool = True,
+    exclude_segment=None,
 ) -> DataFrame:
     """Ingest-time near-dup probe: (corpus_doc, batch_doc, est_jaccard)
     for every batch doc sharing ≥1 LSH band bucket with a doc already
@@ -213,12 +248,28 @@ def incremental_dup_pairs(
     persisted ``sigs`` (store-resident verification; the candidate set
     is small, so it broadcasts against the sigs table the same way).
     Integer agreement count over one double division: bit-exactly
-    mirrorable by the DuckDB oracle."""
+    mirrorable by the DuckDB oracle.
+
+    ``exclude_segment`` drops that store segment from BOTH the bands
+    and sigs reads (partition-pruned — the ``seg`` dir never opens).
+    A replayed ingest batch probes with its OWN segment excluded, so
+    the probe result is identical whether or not a previous attempt of
+    the same batch already appended to the store."""
     import os
 
     meta = _dedup_store_meta(store_path)
     nh = int(meta["num_hashes"])
-    store_bands = spark.read.parquet(os.path.join(store_path, "bands"))
+
+    def _seg_filter(df: DataFrame) -> DataFrame:
+        if exclude_segment is None:
+            return df
+        return df.where(
+            F.col("seg").cast("string") != str(exclude_segment)
+        )
+
+    store_bands = _seg_filter(
+        spark.read.parquet(os.path.join(store_path, "bands"))
+    )
     bsigs = minhash_signatures(batch, meta["text_col"], nh)
     bbands = band_buckets(bsigs, nh, int(meta["band_size"]))
     pairs = (
@@ -233,7 +284,9 @@ def incremental_dup_pairs(
     )
     if not estimate:
         return pairs
-    ssigs = spark.read.parquet(os.path.join(store_path, "sigs"))
+    ssigs = _seg_filter(
+        spark.read.parquet(os.path.join(store_path, "sigs"))
+    )
     agree = sum(
         F.when(
             F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1
@@ -258,6 +311,44 @@ def incremental_dup_pairs(
             (agree.cast("double") / F.lit(nh)).alias("est_jaccard"),
         )
     )
+
+
+def dedup_filter_batch(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    threshold: float = 0.9,
+    exclude_segment=None,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """The ingest-time dedup gate: the surviving rows of ``batch`` after
+    (a) intra-batch EXACT dedup (keep the lowest doc_id per identical
+    text — deterministic, so a replayed batch survives identically) and
+    (b) dropping every batch doc whose MinHash-estimated Jaccard
+    against any store doc is ≥ ``threshold`` (first-seen wins: the
+    corpus copy stays, the incoming duplicate is dropped).
+
+    Plan shape: one row-local md5 groupBy over the batch (tiny), the
+    broadcast store probe of ``incremental_dup_pairs``, and a broadcast
+    anti-join of the (small) dup-id set back onto the batch — no corpus
+    shuffle, no corpus text access."""
+    meta = _dedup_store_meta(store_path)
+    text_col = meta["text_col"]
+    keep = (
+        batch.groupBy(F.md5(F.col(text_col)).alias("__t"))
+        .agg(F.min(doc_id_col).alias(doc_id_col))
+        .select(doc_id_col)
+    )
+    deduped = batch.join(F.broadcast(keep), doc_id_col, "left_semi")
+    dup_ids = (
+        incremental_dup_pairs(
+            spark, store_path, deduped, exclude_segment=exclude_segment
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select(F.col("batch_doc").alias(doc_id_col))
+        .distinct()
+    )
+    return deduped.join(F.broadcast(dup_ids), doc_id_col, "left_anti")
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:

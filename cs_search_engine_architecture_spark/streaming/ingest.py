@@ -177,13 +177,25 @@ class LiveStreamingIndexer:
     never reaches), so ingest is idempotent under Structured
     Streaming's retry semantics; doc_id uniqueness across batches is
     the producer's contract (``check_ids`` costs a join per batch if
-    wanted)."""
+    wanted).
+
+    ``dedup_store`` (a ``dedup.build_dedup_store`` path) turns on
+    INGEST-TIME near-dup filtering: each batch is probed against the
+    persisted MinHash/LSH store (broadcast batch bands over the skinny
+    store tables — no corpus re-hash), docs with estimated Jaccard ≥
+    ``dedup_threshold`` vs any already-stored doc are dropped
+    (first-seen wins), and the survivors' signatures are appended into
+    the store under the batch's own segment id. Replay-safe: the probe
+    excludes the batch's OWN store segment and the append overwrites
+    it, so a replayed batch filters and indexes identically."""
 
     def __init__(
         self,
         spark: SparkSession,
         index_path: str,
         check_ids: bool = False,
+        dedup_store: str | None = None,
+        dedup_threshold: float = 0.9,
     ):
         from cs_search_engine_architecture_spark.operators.indexer import (
             load_meta,
@@ -193,6 +205,8 @@ class LiveStreamingIndexer:
         self.spark = spark
         self.index_path = index_path
         self.check_ids = check_ids
+        self.dedup_store = dedup_store
+        self.dedup_threshold = dedup_threshold
         self.checkpoint_dir = os.path.join(index_path, "stream_live", "checkpoint")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -200,6 +214,20 @@ class LiveStreamingIndexer:
             add_docs,
         )
 
+        segment = LIVE_SEGMENT_BASE + batch_id
+        if self.dedup_store:
+            from cs_search_engine_architecture_spark.operators.dedup import (
+                dedup_filter_batch,
+                dedup_store_append,
+            )
+
+            batch_df = dedup_filter_batch(
+                self.spark,
+                self.dedup_store,
+                batch_df,
+                threshold=self.dedup_threshold,
+                exclude_segment=segment,
+            ).localCheckpoint()  # one filter pass feeds both consumers
         if not batch_df.take(1):
             return
         add_docs(
@@ -207,8 +235,12 @@ class LiveStreamingIndexer:
             self.index_path,
             batch_df,
             check_ids=self.check_ids,
-            segment=LIVE_SEGMENT_BASE + batch_id,
+            segment=segment,
         )
+        if self.dedup_store:
+            dedup_store_append(
+                self.spark, self.dedup_store, batch_df, segment=segment
+            )
 
     def start(
         self, stream_df: DataFrame, available_now: bool = False

@@ -1,6 +1,9 @@
 """spark-submit entry: index maintenance (add / delete / compact).
 
-    spark-submit jobs/maintain.py add     --index /path/idx --docs new.parquet
+    spark-submit jobs/maintain.py add     --index /path/idx --docs new.parquet \
+        [--dedup-store /path/dstore [--dedup-threshold 0.9]]
+    spark-submit jobs/maintain.py dedup-store --docs corpus.parquet \
+        --dedup-store /path/dstore --index /path/idx
     spark-submit jobs/maintain.py delete  --index /path/idx --doc-ids 3,17,42
     spark-submit jobs/maintain.py update  --index /path/idx --docs new.parquet
     spark-submit jobs/maintain.py merge   --index /path/idx
@@ -37,6 +40,7 @@ def main() -> None:
         "action",
         choices=[
             "add", "delete", "update", "merge", "compact", "auto", "status",
+            "dedup-store",
         ],
     )
     ap.add_argument("--max-delta-segments", type=int, default=4)
@@ -49,6 +53,13 @@ def main() -> None:
                     help="override the manifest corpus_path (compact)")
     ap.add_argument("--no-check-ids", action="store_true",
                     help="skip the duplicate-doc_id check on add")
+    ap.add_argument("--dedup-store", default=None,
+                    help="near-dup signature store path: 'dedup-store' "
+                         "builds it from --docs; 'add' filters incoming "
+                         "docs against it and appends the survivors")
+    ap.add_argument("--dedup-threshold", type=float, default=0.9,
+                    help="MinHash-estimated Jaccard at/above which an "
+                         "incoming doc is dropped as a near-dup (add)")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -61,11 +72,44 @@ def main() -> None:
     if args.action == "add":
         if not args.docs:
             ap.error("add requires --docs")
+        new_docs = spark.read.parquet(args.docs)
+        dropped = None
+        if args.dedup_store:
+            from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+                dedup,
+            )
+
+            n_in = new_docs.count()
+            new_docs = dedup.dedup_filter_batch(
+                spark, args.dedup_store, new_docs,
+                threshold=args.dedup_threshold,
+            ).localCheckpoint()
+            dropped = n_in - new_docs.count()
+            if not new_docs.take(1):
+                print(json.dumps(
+                    {"action": "add", "added": 0, "dedup_dropped": n_in}
+                ))
+                spark.stop()
+                return
         meta = indexer.add_docs(
-            spark, args.index, spark.read.parquet(args.docs),
+            spark, args.index, new_docs,
             check_ids=not args.no_check_ids,
         )
+        if args.dedup_store:
+            dedup.dedup_store_append(spark, args.dedup_store, new_docs)
+            meta = {**meta, "dedup_dropped": int(dropped)}
         print(json.dumps({"action": "add", **meta}))
+    elif args.action == "dedup-store":
+        if not args.docs or not args.dedup_store:
+            ap.error("dedup-store requires --docs and --dedup-store")
+        from cs_search_engine_architecture_spark.operators import dedup  # noqa: E402
+
+        dedup.build_dedup_store(
+            spark.read.parquet(args.docs), args.dedup_store
+        )
+        print(json.dumps(
+            {"action": "dedup-store", "store": args.dedup_store}
+        ))
     elif args.action == "update":
         if not args.docs:
             ap.error("update requires --docs")

@@ -154,18 +154,50 @@ def test_incremental_dedup_store(spark, docs, tmp_path):
 
     # frozen-params append: the appended doc is visible to the next
     # probe as a corpus-side candidate
-    DD.dedup_store_append(spark, store, batch)
+    DD.dedup_store_append(spark, store, batch, segment=42)
+    next_batch = spark.createDataFrame(
+        [(200, DOCS[0][1])], "doc_id long, text string"
+    )
     got2 = {
         (r["corpus_doc"], r["batch_doc"]): r["est_jaccard"]
-        for r in DD.incremental_dup_pairs(
-            spark,
-            store,
-            spark.createDataFrame(
-                [(200, DOCS[0][1])], "doc_id long, text string"
-            ),
-        ).collect()
+        for r in DD.incremental_dup_pairs(spark, store, next_batch).collect()
     }
     assert got2[(100, 200)] == 1.0 and got2[(0, 200)] == 1.0
+
+    # replay determinism: excluding a segment hides exactly its docs
+    got3 = {
+        (r["corpus_doc"], r["batch_doc"])
+        for r in DD.incremental_dup_pairs(
+            spark, store, next_batch, exclude_segment=42
+        ).collect()
+    }
+    assert (100, 200) not in got3 and (0, 200) in got3
+
+    # segment-keyed append is an overwrite (idempotent on replay)
+    DD.dedup_store_append(spark, store, batch, segment=42)
+    again = DD.incremental_dup_pairs(spark, store, next_batch).collect()
+    assert len(again) == len(got2)  # no duplicate pair rows
+
+
+def test_dedup_filter_batch(spark, docs, tmp_path):
+    """Ingest gate: intra-batch exact dups collapse to the lowest id,
+    near-dups of stored docs are dropped, novel docs survive."""
+    store = str(tmp_path / "store")
+    DD.build_dedup_store(docs, store)
+    batch = spark.createDataFrame(
+        [
+            (100, "a wholly novel document about nothing else"),
+            (101, "a wholly novel document about nothing else"),  # intra dup
+            (102, DOCS[0][1]),  # exact dup of stored doc 0
+            (103, "another genuinely unique piece of text here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.dedup_filter_batch(spark, store, batch).collect()
+    )
+    assert kept == [100, 103]
 
 
 def test_simhash_near_pairs_matches_bruteforce(docs):

@@ -228,3 +228,87 @@ def test_live_ingest_auto_maintain_quiescent(spark, docs):
     ids = {r["doc_id"] for r in eng.search_df("data or code").collect()}
     assert ids <= got
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_live_ingest_with_dedup_store(spark, docs):
+    """Ingest-time near-dup filtering: a live batch doc duplicating an
+    already-stored doc is dropped before indexing (first-seen wins),
+    the survivors' signatures land in the store under the batch's own
+    segment, and a later wave deduping against a WAVE-1 doc proves the
+    store grows with the stream."""
+    from cs_search_engine_architecture_spark.operators.dedup import (
+        build_dedup_store,
+    )
+    from cs_search_engine_architecture_spark.streaming.ingest import (
+        LiveStreamingIndexer,
+    )
+
+    base = "/tmp/spark_sea_test_live_dedup"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    idx = os.path.join(base, "idx")
+    base_docs = docs.where("doc_id < 200")
+    base_src = os.path.join(base, "base_corpus.parquet")
+    base_docs.write.parquet(base_src)
+    build_index(
+        spark, base_docs, idx, fields=["text"], analyzer="simple",
+        num_buckets=8, corpus_path=base_src,
+    )
+    store = os.path.join(base, "dstore")
+    build_dedup_store(base_docs.select("doc_id", "text"), store)
+    live = LiveStreamingIndexer(spark, idx, dedup_store=store)
+
+    def _arrive(frame, tag):
+        tmp = os.path.join(base, f"stage_{tag}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, part), os.path.join(src, f"{tag}_{part}")
+                )
+        shutil.rmtree(tmp)
+
+    stream = lambda: stream_corpus(spark, src, SCHEMA)  # noqa: E731
+    dup_text = base_docs.where("doc_id = 0").first()["text"]
+    novel1 = "zyzzyvaone wholly novel first wave document text"
+    _arrive(
+        spark.createDataFrame(
+            [
+                (9001, dup_text, "en", "s", len(dup_text)),
+                (9002, novel1, "en", "s", len(novel1)),
+            ],
+            SCHEMA,
+        ),
+        "w1",
+    )
+    live.ingest_available(stream())
+    eng1 = SearchEngine(spark, idx, cache=False)
+    assert {
+        r["doc_id"] for r in eng1.search("zyzzyvaone", 10).collect()
+    } == {9002}, "novel doc must be indexed"
+    cur1 = {r["doc_id"] for r in eng1.current_corpus().collect()}
+    assert 9001 not in cur1 and 9002 in cur1, "dup of a stored doc dropped"
+
+    # wave 2 dups the WAVE-1 survivor (not a base doc): only the
+    # streaming append can catch it
+    novel2 = "qwertyzx unique second wave document text"
+    _arrive(
+        spark.createDataFrame(
+            [
+                (9003, novel1, "en", "s", len(novel1)),
+                (9004, novel2, "en", "s", len(novel2)),
+            ],
+            SCHEMA,
+        ),
+        "w2",
+    )
+    live.ingest_available(stream())
+    eng2 = SearchEngine(spark, idx, cache=False)
+    assert {
+        r["doc_id"] for r in eng2.search("zyzzyvaone", 10).collect()
+    } == {9002}, "wave-2 dup of a wave-1 doc must be dropped"
+    assert {
+        r["doc_id"] for r in eng2.search("qwertyzx", 10).collect()
+    } == {9004}
+    shutil.rmtree(base, ignore_errors=True)
