@@ -598,6 +598,28 @@ class SearchEngine:
             out = out.unionByName(p)
         return out
 
+    def percolate(
+        self, queries: dict[str, str], docs: DataFrame
+    ) -> DataFrame:
+        """Reverse search: (query_id, doc_id) for every registered
+        query matching each incoming doc — parsed with THIS index's
+        analyzer/field config, but evaluated from one on-the-fly
+        tokenize pass over ``docs`` (the index itself is never read:
+        match-only filter context, no BM25 stats). See
+        ``operators/percolate.py`` for semantics and scale shape."""
+        from cs_search_engine_architecture_spark.operators import (
+            percolate as pc,
+        )
+
+        return pc.percolate(
+            self.spark,
+            queries,
+            docs,
+            fields=self.meta.get("fields", ["text"]),
+            doc_id_col=self.meta.get("doc_id_col", "doc_id"),
+            analyzer=self.meta.get("analyzer", "reference"),
+        )
+
     def plan_info(self, query: str, top_k: int = 10) -> dict:
         """Routing + physical-plan introspection without executing the
         query: which strategy search() picks (block-max / sharded WAND /

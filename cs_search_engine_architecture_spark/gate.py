@@ -1673,20 +1673,75 @@ FROM rk WHERE rn <= 10
 """
 
 
+PERC_QUERIES = {
+    "pc1": "spark",
+    "pc2": "spark or data",
+    "pc3": "data and slow",
+    "pc4": "data and not slow",
+    "pc5": '"window order"',
+}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (round 5): the registered PERC_QUERIES matched
+    against an 'incoming batch' (docs with doc_id % 5 == 0) from one
+    on-the-fly tokenize pass — no index read, no scores (filter
+    context; the score column is a constant 0.0 for composite-schema
+    alignment). Covers every percolatable plan shape: single term,
+    flat OR, flat AND, flat AND-NOT, ordered phrase window."""
+    from cs_search_engine_architecture_spark.operators.percolate import (
+        percolate,
+    )
+
+    batch = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    return percolate(spark, PERC_QUERIES, batch, analyzer="simple").select(
+        "query_id", "doc_id", F.lit(0.0).alias("score")
+    )
+
+
+SQL_PERCOLATE = f"""
+WITH toks AS ({TOKS_CTE}),
+bt AS (SELECT doc_id, term FROM toks WHERE doc_id % 5 = 0),
+{_pos_cte("pcw", "window").strip()},
+{_pos_cte("pco", "order").strip()}
+SELECT 'pc1' AS query_id, doc_id, 0.0 AS score FROM bt
+  WHERE term = 'spark' GROUP BY doc_id
+UNION ALL
+SELECT 'pc2', doc_id, 0.0 FROM bt
+  WHERE term IN ('spark', 'data') GROUP BY doc_id
+UNION ALL
+SELECT 'pc3', doc_id, 0.0 FROM bt
+  WHERE term IN ('data', 'slow') GROUP BY doc_id
+  HAVING count(DISTINCT term) = 2
+UNION ALL
+SELECT 'pc4', doc_id, 0.0 FROM bt WHERE term = 'data'
+  AND doc_id NOT IN (SELECT doc_id FROM bt WHERE term = 'slow')
+  GROUP BY doc_id
+UNION ALL
+SELECT 'pc5', a.doc_id, 0.0 FROM pcw a JOIN pco b ON a.doc_id = b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.p - a.p BETWEEN 0 AND 10
+  GROUP BY a.doc_id
+"""
+
+
 def q_msearch_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite batched-serving gate: the join-batchable msearch
-    queries (single token / OR / AND / NOT-fallback) AND the batched
-    pure-phrase queries in one frame — both shared-scan serving paths
-    covered by one registry row (50-row-snapshot consolidation; query
-    ids are disjoint, m1-m4 vs pa/pb)."""
-    return q_msearch_topk(spark, sf_dir).unionByName(
-        q_msearch_phrase(spark, sf_dir)
+    queries (single token / OR / AND / NOT-fallback), the batched
+    pure-phrase queries, AND the percolate (reverse-search) arm in one
+    frame — three serving paths covered by one registry row
+    (50-row-snapshot consolidation; query ids are disjoint, m1-m4 vs
+    pa/pb vs pc1-pc5)."""
+    return (
+        q_msearch_topk(spark, sf_dir)
+        .unionByName(q_msearch_phrase(spark, sf_dir))
+        .unionByName(q_percolate(spark, sf_dir))
     )
 
 
 SQL_MSEARCH_BATCHED = (
     f"SELECT * FROM ({SQL_MSEARCH_TOPK})\nUNION ALL\n"
-    f"SELECT * FROM ({SQL_MSEARCH_PHRASE})"
+    f"SELECT * FROM ({SQL_MSEARCH_PHRASE})\nUNION ALL\n"
+    f"SELECT * FROM ({SQL_PERCOLATE})"
 )
 
 

@@ -1,0 +1,159 @@
+"""Percolation (reverse search): match INCOMING docs against REGISTERED
+queries — the alerting/routing primitive (saved searches firing on new
+documents). The reference engine has no percolator; query semantics
+follow its parser/algebra (``plans/query_parser.py:38-199``) restricted
+to the batchable subset — exactly ``msearch.classify_query``'s coverage
+(single term, flat OR with minimum_should_match, flat AND, flat
+AND-NOT, pure phrase). Mixed-precedence queries raise with guidance to
+register the flattened/rewritten form.
+
+No index is consulted: matching is term presence (plus the phrase
+char-window over positions) computed from ONE on-the-fly tokenize pass
+over the batch, so percolation runs at ingest time, before or without
+indexing — and BM25 stats never enter (filter-context discipline:
+matches are selected, never scored).
+
+100 TB shape: the registered-query term map broadcasts (queries are
+small relative to data); the tokenized batch is the only distributed
+data and is touched once; candidates come from an equi-join on term —
+a doc meets only the queries whose terms it contains, never doc x
+query (no cartesian, no BNLJ). With millions of registered queries the
+same plan holds: the broadcast side is (query, term) rows and the
+(query_id, doc_id) aggregation shuffles candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.operators.indexer import (
+    tokenize_postings,
+)
+from cs_search_engine_architecture_spark.operators.msearch import (
+    classify_query,
+)
+from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
+from cs_search_engine_architecture_spark.plans.query_parser import (
+    parse_query,
+)
+
+
+def compile_percolator(
+    queries: dict[str, str], analyzer: str = "reference"
+) -> tuple[list[tuple], list[tuple[str, list[str]]]]:
+    """Parse + classify every registered query once (driver-side; the
+    compiled form is what a long-lived alerting service would cache).
+    Returns (term_plans, phrase_plans); raises on queries outside the
+    batchable subset."""
+    term_plans: list[tuple] = []
+    phrase_plans: list[tuple[str, list[str]]] = []
+    for qid, qstr in queries.items():
+        ast = parse_query(qstr, analyzer=analyzer)
+        plan = classify_query(ast)
+        if plan is None:
+            raise ValueError(
+                f"query {qid!r} is not percolatable (mixed precedence or "
+                "degenerate); register the flattened/rewritten form"
+            )
+        if plan[0] == "phrase":
+            phrase_plans.append((qid, plan[1]))
+        else:
+            term_plans.append((qid, *plan))
+    return term_plans, phrase_plans
+
+
+def phrase_match(
+    toks: DataFrame, values: list[str], doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs where the phrase terms occur in order within the reference
+    char window — the SAME chained-pair predicate as the compiled
+    phrase plan (``plans/compiler.py:48-72``), evaluated over on-the-fly
+    token positions instead of decoded index postings. Single-parameter
+    HOF lambdas only (a 2-parameter lambda is pyspark's
+    (element, index) form)."""
+    cur = toks.where(F.col("term") == values[0]).select(
+        doc_id_col, "positions"
+    )
+    for term in values[1:]:
+        nxt = toks.where(F.col("term") == term).select(
+            doc_id_col, F.col("positions").alias("_p2")
+        )
+        window_ok = F.exists(
+            "_p2",
+            lambda q: F.exists(
+                "positions",
+                lambda p: (q - p >= 0) & (q - p <= PHRASE_K),
+            ),
+        )
+        cur = (
+            cur.join(nxt, doc_id_col)
+            .where(window_ok)
+            .select(doc_id_col, F.col("_p2").alias("positions"))
+        )
+    # toks is unique per (doc, term), so the chain is one row per doc
+    return cur.select(doc_id_col)
+
+
+def percolate(
+    spark: SparkSession,
+    queries: dict[str, str],
+    docs: DataFrame,
+    fields: Sequence[str] = ("text",),
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """(query_id, doc_id) for every registered query that matches each
+    incoming doc. Match-only — no scores (filter context)."""
+    term_plans, phrase_plans = compile_percolator(queries, analyzer)
+    toks = tokenize_postings(docs, list(fields), doc_id_col, analyzer)
+    out: DataFrame | None = None
+
+    if term_plans:
+        rows = []
+        for plan in term_plans:
+            qid, mode, terms = plan[0], plan[1], plan[2]
+            negs = plan[3] if len(plan) > 3 else []
+            msm = int(plan[4]) if len(plan) > 4 else 0
+            # presence semantics: multiplicity/boosts are scoring-side
+            # concepts and never affect WHICH docs match
+            pos_terms = set(terms)
+            required = len(pos_terms) if mode in ("and", "and_not") else msm
+            for t in pos_terms:
+                rows.append((qid, t, required, 0))
+            for t in set(negs):
+                rows.append((qid, t, required, 1))
+        qterms = spark.createDataFrame(
+            rows, "query_id string, term string, required int, is_neg int"
+        )
+        pres = toks.select(doc_id_col, "term")  # unique per (doc, term)
+        agg = (
+            pres.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", doc_id_col)
+            .agg(
+                F.sum(1 - F.col("is_neg")).alias("matched"),
+                F.max("required").alias("required"),
+                F.max("is_neg").alias("neg_hit"),
+            )
+        )
+        # the msearch.batched_topk hit filter verbatim (>= not ==)
+        out = agg.where(
+            (
+                (F.col("required") == 0)
+                | (F.col("matched") >= F.col("required"))
+            )
+            & (F.col("neg_hit") == 0)
+        ).select("query_id", F.col(doc_id_col).alias("doc_id"))
+
+    for qid, values in phrase_plans:
+        m = phrase_match(toks, values, doc_id_col).select(
+            F.lit(qid).alias("query_id"),
+            F.col(doc_id_col).alias("doc_id"),
+        )
+        out = m if out is None else out.unionByName(m)
+
+    if out is None:
+        return spark.createDataFrame([], "query_id string, doc_id long")
+    return out

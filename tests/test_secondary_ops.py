@@ -559,3 +559,78 @@ def test_combined_search_rrf_matches_manual_ranks(spark, engine, embeddings):
             else "exact" if d in re_rank else "semantic"
         )
         assert r["provenance"] == want_prov
+
+
+# ---------------------------------------------------------- percolate
+
+def test_percolate_plan_shapes(spark):
+    """Every percolatable plan shape on a hand-built batch: single
+    term, OR, AND, AND-NOT, and the ORDERED phrase window (doc 4 has
+    the phrase terms reversed and must not match)."""
+    from cs_search_engine_architecture_spark.operators.percolate import (
+        percolate,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (0, "spark joins data fast"),
+            (1, "slow data scan"),
+            (2, "nothing relevant"),
+            (3, "the window order by clause"),
+            (4, "order window shuffled"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            spark,
+            {
+                "p1": "spark",
+                "p2": "spark or data",
+                "p3": "data and slow",
+                "p4": "data and not slow",
+                "p5": '"window order"',
+            },
+            batch,
+            analyzer="simple",
+        ).collect()
+    }
+    assert got == {
+        ("p1", 0), ("p2", 0), ("p2", 1), ("p3", 1), ("p4", 0), ("p5", 3),
+    }
+
+
+def test_percolate_rejects_mixed_precedence(spark):
+    from cs_search_engine_architecture_spark.operators.percolate import (
+        percolate,
+    )
+
+    batch = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not percolatable"):
+        percolate(
+            spark, {"q": "spark and (data or slow)"}, batch,
+            analyzer="simple",
+        )
+
+
+def test_engine_percolate_matches_full_search(spark, engine, docs):
+    """Differential vs the indexed engine: percolating the WHOLE corpus
+    against a query (no index read) must select exactly the docs the
+    engine's unlimited scored search returns for the same query."""
+    queries = {
+        "q1": "spark",
+        "q2": "data and slow",
+        "q3": "data and not slow",
+        "q4": '"window order"',
+        "q5": "spark or data",
+    }
+    by_q: dict[str, set] = {}
+    for r in engine.percolate(queries, docs).collect():
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, qstr in queries.items():
+        want = {
+            r["doc_id"]
+            for r in engine.search_df(qstr).select("doc_id").collect()
+        }
+        assert by_q.get(qid, set()) == want, qid
