@@ -312,3 +312,73 @@ def test_live_ingest_with_dedup_store(spark, docs):
         r["doc_id"] for r in eng2.search("qwertyzx", 10).collect()
     } == {9004}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_percolate_stream_alerts(spark):
+    """Streaming saved-search alerting: wave 1 fires alerts for its
+    matching docs, wave 2 only for NEW docs (checkpoint resume), and
+    the alert log records which batch fired each match."""
+    from cs_search_engine_architecture_spark.streaming.alerts import (
+        PercolateStream,
+    )
+
+    base = "/tmp/spark_sea_test_alerts"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+
+    def _arrive(rows, tag):
+        tmp = os.path.join(base, f"stage_{tag}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, part), os.path.join(src, f"{tag}_{part}")
+                )
+        shutil.rmtree(tmp)
+
+    ps = PercolateStream(
+        spark,
+        {"a1": "spark and data", "a2": '"window order"'},
+        os.path.join(base, "alerts"),
+        analyzer="simple",
+    )
+    stream = lambda: stream_corpus(spark, src, SCHEMA)  # noqa: E731
+
+    _arrive(
+        [
+            (1, "spark shuffles data", "en", "s", 19),
+            (2, "no match here", "en", "s", 13),
+            (3, "the window order clause", "en", "s", 23),
+        ],
+        "w1",
+    )
+    ps.ingest_available(stream())
+    got1 = {
+        (r["query_id"], r["doc_id"]) for r in ps.alerts().collect()
+    }
+    assert got1 == {("a1", 1), ("a2", 3)}
+
+    _arrive(
+        [
+            (4, "more spark data arriving", "en", "s", 24),
+            (5, "order window inverted", "en", "s", 21),
+        ],
+        "w2",
+    )
+    ps.ingest_available(stream())  # checkpoint: only w2 processes
+    rows = ps.alerts().collect()
+    got2 = {(r["query_id"], r["doc_id"]) for r in rows}
+    assert got2 == {("a1", 1), ("a2", 3), ("a1", 4)}
+    batches = {r["doc_id"]: r["batch"] for r in rows}
+    assert batches[4] > batches[1], "wave-2 match must carry a later batch id"
+
+    # bad registration fails at construction, not in a batch
+    with pytest.raises(ValueError, match="not percolatable"):
+        PercolateStream(
+            spark, {"bad": "a and (b or c)"}, os.path.join(base, "x"),
+            analyzer="simple",
+        )
+    shutil.rmtree(base, ignore_errors=True)
