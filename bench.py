@@ -269,6 +269,44 @@ def main() -> None:
     dedup.embedding_dup_pairs_bucketed(emb, min_cosine=0.4).count()
     timings["dedup_embedding_lsh"] = round(time.time() - t0, 3)
 
+    # incremental ingest-time dedup: store built once (write-time cost,
+    # untimed like the index build); the timed probe is ONE streamed
+    # pass of a ~1% batch's broadcast bands over the persisted store
+    dstore = os.path.join(work, "dedup_store")
+    dedup.build_dedup_store(docs, dstore)
+    dbatch = docs.where("doc_id % 101 = 0")
+    t0 = time.time()
+    dedup.incremental_dup_pairs(spark, dstore, dbatch).count()
+    timings["dedup_incr_probe"] = round(time.time() - t0, 3)
+
+    # reverse search: 200 registered standing queries (mixed OR/AND +
+    # 4 phrases) percolated against the whole fixture in one pass —
+    # cost scales with the batch tokenize + ONE broadcast-join agg,
+    # not with the query count
+    from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+        percolate as _pc,
+    )
+
+    terms_pc = [
+        "spark", "data", "slow", "fast", "hash", "join", "index", "query",
+        "merge", "sort", "key", "value", "table", "row", "column", "disk",
+    ]
+    perc_qs = {
+        f"s{i}": (
+            f"{terms_pc[i % 16]} or {terms_pc[(i + 5) % 16]}"
+            if i % 2 == 0
+            else f"{terms_pc[i % 16]} and {terms_pc[(i + 5) % 16]}"
+        )
+        for i in range(196)
+    }
+    perc_qs.update({
+        "ph1": '"window order"', "ph2": '"hash join"',
+        "ph3": '"table scan"', "ph4": '"sort merge"',
+    })
+    t0 = time.time()
+    _pc.percolate(spark, perc_qs, docs, analyzer="simple").count()
+    timings["percolate_200q"] = round(time.time() - t0, 3)
+
     # decontamination + perplexity-filter scoring over the fixture docs
     from cs_search_engine_architecture_spark.operators import lm  # noqa: E402
 
