@@ -10,6 +10,7 @@ under the documented tie-break contract)."""
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1420,17 +1421,7 @@ class SearchEngine:
         ``approx_count_distinct`` — same plan, sketch merge instead of
         the distinct shuffle). Update/delete-aware via the same
         masked+arm frame. Extension beyond the reference."""
-        matched = self.search_df(query).select("doc_id")
-        if predicate is not None:
-            corpus = corpus.where(predicate)
-        vc = F.col(value_col) if isinstance(value_col, str) else value_col
-        vals = (
-            corpus.select(
-                F.col(doc_id_col).cast("long").alias("doc_id"),
-                vc.alias("v"),
-            )
-            .join(matched, "doc_id", "left_semi")
-        )
+        vals = self._matched_vals(query, corpus, value_col, doc_id_col, predicate)
         return (
             vals.agg(
                 F.count(F.lit(1)).alias("count"),
@@ -1442,6 +1433,80 @@ class SearchEngine:
             .withColumn(
                 "avg", F.col("sum").cast("double") / F.col("count")
             )
+        )
+
+    def _matched_vals(
+        self, query: str, corpus: DataFrame, value_col,
+        doc_id_col: str = "doc_id", predicate=None,
+    ) -> DataFrame:
+        """(doc_id, v) of ``value_col`` over the FULL masked match set —
+        the shared metric frame under ``stats_agg``/``percentiles_agg``."""
+        matched = self.search_df(query).select("doc_id")
+        if predicate is not None:
+            corpus = corpus.where(predicate)
+        vc = F.col(value_col) if isinstance(value_col, str) else value_col
+        return corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            vc.alias("v"),
+        ).join(matched, "doc_id", "left_semi")
+
+    def percentiles_agg(
+        self,
+        query: str,
+        corpus: DataFrame,
+        value_col,
+        qs: Sequence[float] = (0.5, 0.95),
+        doc_id_col: str = "doc_id",
+        predicate=None,
+    ) -> DataFrame:
+        """EXACT discrete percentiles of ``value_col`` over the FULL
+        match set (Elasticsearch ``percentiles`` agg shape): one
+        (quantile, value) row per requested q, where value is the
+        element at 0-based rank ``floor((n-1)*q)`` of the sorted
+        matched values (quantile_disc semantics — no interpolation, so
+        integer metrics stay integer-exact and oracle-mirrorable).
+
+        Scale shape: the corpus is NEVER globally sorted and no per-doc
+        rows reach the driver — the matched values collapse to a
+        DISTINCT-value histogram (one bounded shuffle; for real metrics
+        like lengths, status codes, scores the domain is tiny vs the
+        corpus), a running-count window over that bounded histogram
+        ranks it, and ONE aggregation picks every requested quantile
+        (min v whose cumulative count reaches rank+1). If the value
+        domain approaches corpus size, swap ``approx_percentile`` into
+        the same plan. Empty match set yields null values.
+        Update/delete-aware via the same masked match frame.
+        Extension beyond the reference."""
+        vals = self._matched_vals(query, corpus, value_col, doc_id_col, predicate)
+        hist = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        wcum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = hist.select(
+            "v",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        picks = cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.floor((F.col("n") - 1) * F.lit(float(q))) + 1,
+                        F.col("v"),
+                    )
+                ).alias(f"_q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        stack = ", ".join(
+            f"CAST({float(q)} AS DOUBLE), `_q{i}`" for i, q in enumerate(qs)
+        )
+        return picks.select(
+            F.expr(f"stack({len(qs)}, {stack}) AS (quantile, value)")
         )
 
     def count(self, query: str) -> int:

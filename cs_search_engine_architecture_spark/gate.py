@@ -2728,11 +2728,28 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
             zero.alias("doc_id"), "score", "cnt",
         )
     )
+    # exact discrete percentiles (p50/p95) of n_chars over the same
+    # match set — bounded histogram-cumsum rank selection; the rank
+    # rule (min v with cum >= floor((n-1)*q)+1, q arithmetic in ONE
+    # double multiply) is mirrored verbatim in the oracle
+    pctl = eng.percentiles_agg(
+        SERVING_QUERY, docs, "n_chars", qs=(0.5, 0.95)
+    ).select(
+        F.lit("pctl").alias("part"),
+        F.concat(
+            F.lit("p"),
+            (F.col("quantile") * 100).cast("int").cast("string"),
+        ).alias("fkey"),
+        zero.alias("doc_id"),
+        F.lit(0.0).alias("score"),
+        F.col("value").cast("bigint").alias("cnt"),
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
         .unionByName(msm).unionByName(coll).unionByName(cnt)
         .unionByName(synonym).unionByName(resc).unionByName(stats)
+        .unionByName(pctl)
     )
 
 
@@ -2925,6 +2942,23 @@ stats AS (
     UNION ALL SELECT 'avg', CAST(sum(v) AS DOUBLE) / count(*),
       CAST(0 AS BIGINT) FROM statsrc
   ) x
+),
+pctl_hist AS (SELECT v, count(*) AS c FROM statsrc GROUP BY v),
+pctl_cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+  FROM pctl_hist
+),
+pctl AS (
+  SELECT 'pctl' AS part, x.fkey, CAST(0 AS BIGINT) AS doc_id,
+         0.0 AS score, x.cnt
+  FROM (
+    SELECT 'p50' AS fkey,
+      CAST(min(CASE WHEN cum >= floor((n-1)*0.5)+1 THEN v END) AS BIGINT)
+        AS cnt FROM pctl_cum
+    UNION ALL SELECT 'p95',
+      CAST(min(CASE WHEN cum >= floor((n-1)*0.95)+1 THEN v END) AS BIGINT)
+      FROM pctl_cum
+  ) x
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -2938,6 +2972,7 @@ UNION ALL SELECT * FROM hitcount
 UNION ALL SELECT * FROM synonym
 UNION ALL SELECT * FROM resc
 UNION ALL SELECT * FROM stats
+UNION ALL SELECT * FROM pctl
 """
 
 

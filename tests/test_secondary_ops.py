@@ -634,3 +634,24 @@ def test_engine_percolate_matches_full_search(spark, engine, docs):
             for r in engine.search_df(qstr).select("doc_id").collect()
         }
         assert by_q.get(qid, set()) == want, qid
+
+
+def test_percentiles_agg_exact_rank(spark, engine, docs):
+    """quantile_disc semantics pinned against a driver-side sort of the
+    same match set: value = sorted(matched)[floor((n-1)*q)]."""
+    import math
+
+    ids = {
+        r["doc_id"] for r in engine.search_df("spark").select("doc_id").collect()
+    }
+    vals = sorted(
+        r["n_chars"] for r in docs.collect() if r["doc_id"] in ids
+    )
+    got = {
+        r["quantile"]: r["value"]
+        for r in engine.percentiles_agg(
+            "spark", docs, "n_chars", qs=(0.25, 0.5, 0.95)
+        ).collect()
+    }
+    want = {q: vals[math.floor((len(vals) - 1) * q)] for q in (0.25, 0.5, 0.95)}
+    assert got == want
