@@ -1,0 +1,189 @@
+"""spark-submit entry: the full LLM training-data prep pipeline in one
+job — the composition of the individually-gated hygiene operators:
+
+  exact dedup -> near-dup collapse (MinHash-LSH candidates, n-gram
+  Jaccard verify, transitive cluster keep-one) -> quality / language
+  filter -> benchmark decontamination -> chunking -> sequence packing
+
+    spark-submit jobs/train_prep.py --input docs.parquet --output /out \
+        [--benchmark bench.parquet] [--min-quality 0.4] [--langs en,fr] \
+        [--min-jaccard 0.8] [--chunk-size 64] [--stride 48] \
+        [--seq-len 256] [--text-col text] [--cores N]
+
+Writes under --output:
+  corpus/   surviving documents (post-filter, pre-chunk)
+  chunks/   (doc_id, chunk_no, chunk_text, n_tokens) sliding windows
+  packed/   (chunk_id, n_tokens, start_offset, seq_first, seq_last)
+  metrics.json  per-stage wall seconds + in/out doc counts (lineage)
+
+Every stage is DataFrame algebra over the operators' documented 100 TB
+shapes (bucketed LSH self-join, broadcast benchmark set, row-local
+chunk explode, two-phase distributed prefix sum); the per-stage counts
+are the only driver materialization and are what a production pipeline
+logs anyway."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+    dedup,
+    packing,
+    text_analysis as ta,
+)
+from cs_search_engine_architecture_spark.session import get_spark  # noqa: E402
+
+# chunk_id = doc_id * CHUNK_BASE + chunk_no keeps packing order ==
+# (doc_id, chunk_no) order; chunk_no is bounded by doc tokens / stride
+CHUNK_BASE = 1_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-suite parquet: drop contaminated docs")
+    ap.add_argument("--decontaminate-n", type=int, default=8)
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs below this quality_score")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist")
+    ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--chunk-size", type=int, default=64)
+    ap.add_argument("--stride", type=int, default=48)
+    ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--cores", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="spark-sea-train-prep",
+        master=f"local[{args.cores}]" if args.cores else None,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    tc = args.text_col
+    stages: list[dict] = []
+
+    def stage(name: str, frame, n_before: int) -> tuple:
+        t0 = time.time()
+        pinned = frame.localCheckpoint()  # one execution feeds count + next stage
+        n = pinned.count()
+        stages.append({
+            "stage": name,
+            "in": n_before,
+            "out": n,
+            "dropped": n_before - n,
+            "wall_sec": round(time.time() - t0, 3),
+        })
+        return pinned, n
+
+    docs = spark.read.parquet(args.input)
+    n = docs.count()
+    stages.append({"stage": "read", "in": n, "out": n, "dropped": 0,
+                   "wall_sec": 0.0})
+
+    # 1. exact dedup: keep the lowest doc_id per identical text
+    keep_exact = dedup.exact_dup_groups(docs, tc).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs, n = stage(
+        "exact_dedup", docs.join(keep_exact, "doc_id", "left_semi"), n
+    )
+
+    # 2. near-dup collapse: LSH candidates -> Jaccard verify ->
+    # transitive clusters -> keep each cluster's min doc_id
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, tc, min_jaccard=args.min_jaccard
+    )
+    drop_near = dedup.dup_clusters(pairs).where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    docs, n = stage(
+        "near_dedup", docs.join(drop_near, "doc_id", "left_anti"), n
+    )
+
+    # 3. quality / language filter (row-local column arithmetic)
+    if args.min_quality is not None or args.langs:
+        scored = ta.quality_scores(docs, tc).withColumn(
+            "quality_score", ta.quality_score_col()
+        ).select("doc_id", "quality_score").join(
+            ta.language_id(docs, tc), "doc_id"
+        )
+        cond = F.lit(True)
+        if args.min_quality is not None:
+            cond = cond & (F.col("quality_score") >= args.min_quality)
+        if args.langs:
+            cond = cond & F.col("lang_pred").isin(args.langs.split(","))
+        docs, n = stage(
+            "quality_filter",
+            docs.join(scored.where(cond).select("doc_id"), "doc_id",
+                      "left_semi"),
+            n,
+        )
+
+    # 4. benchmark decontamination (broadcast benchmark n-gram set)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        clean = dedup.decontaminate(
+            docs, bench, n=args.decontaminate_n, text_col=tc
+        ).where(~F.col("contaminated")).select("doc_id")
+        docs, n = stage(
+            "decontaminate", docs.join(clean, "doc_id", "left_semi"), n
+        )
+
+    docs.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
+
+    # 5. chunking (row-local sliding-window explode)
+    t0 = time.time()
+    chunks = ta.chunk_documents(
+        docs, chunk_size=args.chunk_size, stride=args.stride, text_col=tc
+    )
+    chunks.write.mode("overwrite").parquet(
+        os.path.join(args.output, "chunks")
+    )
+    chunks = spark.read.parquet(os.path.join(args.output, "chunks"))
+    n_chunks = chunks.count()
+    stages.append({"stage": "chunk", "in": n, "out": n_chunks,
+                   "dropped": 0, "wall_sec": round(time.time() - t0, 3)})
+
+    # 6. sequence packing (two-phase distributed prefix sum)
+    t0 = time.time()
+    packed = packing.pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * CHUNK_BASE + F.col("chunk_no")).alias(
+                "chunk_id"
+            ),
+            "n_tokens",
+        ),
+        seq_len=args.seq_len,
+        id_col="chunk_id",
+    )
+    packed.write.mode("overwrite").parquet(
+        os.path.join(args.output, "packed")
+    )
+    pk = spark.read.parquet(os.path.join(args.output, "packed"))
+    n_seqs = pk.agg(F.max("seq_last")).collect()[0][0]
+    stages.append({
+        "stage": "pack", "in": n_chunks, "out": n_chunks, "dropped": 0,
+        "wall_sec": round(time.time() - t0, 3),
+        "num_sequences": int(n_seqs) + 1 if n_seqs is not None else 0,
+    })
+
+    metrics = {"stages": stages, "seq_len": args.seq_len}
+    with open(os.path.join(args.output, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""jobs/train_prep.py — the composed LLM training-data prep pipeline
+(exact dedup -> near-dup collapse -> quality/lang filter ->
+decontaminate -> chunk -> pack) driven end-to-end as a subprocess on a
+crafted corpus with KNOWN expected drops at every stage."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+LONG = (
+    "the quick brown fox jumps over the lazy dog and then runs along "
+    "the river bank toward the old mill where the miller waits with "
+    "his patient dog watching the water turn the heavy wheel slowly"
+)
+
+
+def test_train_prep_pipeline(spark, tmp_path):
+    rows = [
+        (0, LONG),
+        (1, LONG),  # exact dup of 0 -> dropped at exact_dedup
+        (2, LONG + " extra trailing words here"),  # near dup -> near_dedup
+        (3, "x9 z8 q7 w6 0x1f 0x2e 9z8y7 33 44 55 66 77 88 99 00 11 22"),
+        # ^ digit-heavy, no stopwords -> dropped by quality filter
+        (4, "this benchmark sentence about the seven wonders of the "
+            "ancient world appears verbatim in the evaluation suite and "
+            "therefore must be removed from the training corpus"),
+        (5, "a perfectly ordinary training document with the usual mix "
+            "of common words and a little substance about spark engines "
+            "and the data they process every single day of the week"),
+    ]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus
+    )
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(0, rows[4][1])], "doc_id long, text string"
+    ).write.parquet(bench)
+
+    out = str(tmp_path / "prep")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "train_prep.py"),
+            "--input", corpus, "--output", out, "--benchmark", bench,
+            "--min-quality", "0.3", "--min-jaccard", "0.5",
+            "--chunk-size", "16", "--stride", "12", "--seq-len", "32",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=480, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    by = {s["stage"]: s for s in metrics["stages"]}
+    assert by["read"]["in"] == 6
+    assert by["exact_dedup"]["dropped"] == 1  # doc 1
+    assert by["near_dedup"]["dropped"] == 1  # doc 2
+    assert by["quality_filter"]["dropped"] == 1  # doc 3
+    assert by["decontaminate"]["dropped"] == 1  # doc 4
+    assert by["decontaminate"]["out"] == 2  # docs 0 and 5 survive
+
+    surv = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert surv == {0, 5}
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert by["chunk"]["out"] == chunks.count() > 2  # windows overlap
+    packed = spark.read.parquet(os.path.join(out, "packed"))
+    assert packed.count() == chunks.count()
+    assert by["pack"]["num_sequences"] >= 1
+    # packing preserves (doc_id, chunk_no) order: offsets are a prefix
+    # sum over the ordered chunk ids
+    ordered = packed.orderBy("doc_id").collect()
+    off = 0
+    for r in ordered:
+        assert r["start_offset"] == off
+        off += r["n_tokens"]
