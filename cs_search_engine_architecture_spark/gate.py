@@ -1679,6 +1679,9 @@ PERC_QUERIES = {
     "pc3": "data and slow",
     "pc4": "data and not slow",
     "pc5": '"window order"',
+    # mixed-precedence trees: the presence-evaluation fallback path
+    "pc6": "spark and (data or slow)",
+    "pc7": "spark or not data",  # pure-negation reach: term-free docs match
 }
 
 
@@ -1721,6 +1724,17 @@ UNION ALL
 SELECT 'pc5', a.doc_id, 0.0 FROM pcw a JOIN pco b ON a.doc_id = b.doc_id
   WHERE a.doc_id % 5 = 0 AND b.p - a.p BETWEEN 0 AND 10
   GROUP BY a.doc_id
+UNION ALL
+SELECT 'pc6', doc_id, 0.0 FROM bt GROUP BY doc_id
+  HAVING bool_or(term = 'spark')
+     AND (bool_or(term = 'data') OR bool_or(term = 'slow'))
+UNION ALL
+SELECT 'pc7', d.doc_id, 0.0
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
+  WHERE EXISTS (SELECT 1 FROM bt
+                WHERE bt.doc_id = d.doc_id AND term = 'spark')
+     OR NOT EXISTS (SELECT 1 FROM bt
+                    WHERE bt.doc_id = d.doc_id AND term = 'data')
 """
 
 
@@ -1730,7 +1744,7 @@ def q_msearch_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-phrase queries, AND the percolate (reverse-search) arm in one
     frame — three serving paths covered by one registry row
     (50-row-snapshot consolidation; query ids are disjoint, m1-m4 vs
-    pa/pb vs pc1-pc5)."""
+    pa/pb vs pc1-pc7)."""
     return (
         q_msearch_topk(spark, sf_dir)
         .unionByName(q_msearch_phrase(spark, sf_dir))

@@ -1,10 +1,14 @@
 """Percolation (reverse search): match INCOMING docs against REGISTERED
 queries — the alerting/routing primitive (saved searches firing on new
 documents). The reference engine has no percolator; query semantics
-follow its parser/algebra (``plans/query_parser.py:38-199``) restricted
-to the batchable subset — exactly ``msearch.classify_query``'s coverage
-(single term, flat OR with minimum_should_match, flat AND, flat
-AND-NOT, pure phrase). Mixed-precedence queries raise with guidance to
+follow its parser/algebra (``plans/query_parser.py:38-199``). Coverage:
+the batchable subset (single term, flat OR with minimum_should_match,
+flat AND, flat AND-NOT, pure phrase — ``msearch.classify_query``'s
+classes) rides ONE shared broadcast-join aggregation; mixed-precedence
+TERM-ONLY boolean trees fall back to per-query presence evaluation of
+the AST over each doc's matched-term set (one bounded aggregation per
+query; pure-negation reach handled by a left join over the batch).
+Only a phrase nested inside a mixed tree raises, with guidance to
 register the flattened/rewritten form.
 
 No index is consulted: matching is term presence (plus the phrase
@@ -41,28 +45,109 @@ from cs_search_engine_architecture_spark.plans.query_parser import (
 )
 
 
+def _ast_leaf_terms(ast) -> tuple[set[str], bool]:
+    """(all leaf terms, contains_phrase) of a parsed AST."""
+    terms: set[str] = set()
+    has_phrase = False
+
+    def walk(node) -> None:
+        nonlocal has_phrase
+        if not node:
+            return
+        if node["type"] == "token":
+            terms.add(node["value"])
+        elif node["type"] == "phrase":
+            has_phrase = True
+            terms.update(node["values"])
+        else:
+            walk(node.get("left"))
+            walk(node.get("right"))
+
+    walk(ast)
+    return terms, has_phrase
+
+
+def _eval_presence_py(ast, present: frozenset) -> bool:
+    """Driver-side evaluation of the presence semantics for a given
+    term set — used to decide whether a mixed tree can match a doc
+    containing NONE of its leaf terms (pure-negation reach)."""
+    t = ast["type"]
+    if t == "token":
+        return ast["value"] in present
+    op = ast["operator"]
+    if op == "not":
+        left = ast.get("left") or {}
+        if not left:
+            return not _eval_presence_py(ast["right"], present)
+        return _eval_presence_py(left, present) and not _eval_presence_py(
+            ast["right"], present
+        )
+    a = _eval_presence_py(ast["left"], present)
+    b = _eval_presence_py(ast["right"], present)
+    return (a and b) if op == "and" else (a or b)
+
+
+def _ast_presence_expr(ast):
+    """The AST as a boolean Column over a ``mt`` (matched-terms array)
+    column — presence evaluation of an arbitrary term-only boolean
+    tree. Valid because the parser's NOT algebra is subtraction
+    (plans/compiler.py's 8-case rewrite): set membership composes with
+    &, |, ~ exactly like the compiled join/anti-join plans."""
+    t = ast["type"]
+    if t == "token":
+        return F.array_contains("mt", ast["value"])
+    if t == "operator":
+        op = ast["operator"]
+        if op == "not":
+            left = ast.get("left") or {}
+            if not left:
+                # unary NOT leaf inside the algebra: pure negation
+                return ~_ast_presence_expr(ast["right"])
+            return _ast_presence_expr(left) & ~_ast_presence_expr(
+                ast["right"]
+            )
+        l_, r_ = _ast_presence_expr(ast["left"]), _ast_presence_expr(
+            ast["right"]
+        )
+        return (l_ & r_) if op == "and" else (l_ | r_)
+    raise ValueError(f"unsupported AST node for presence eval: {t}")
+
+
 def compile_percolator(
     queries: dict[str, str], analyzer: str = "reference"
-) -> tuple[list[tuple], list[tuple[str, list[str]]]]:
+) -> tuple[list[tuple], list[tuple[str, list[str]]], list[tuple]]:
     """Parse + classify every registered query once (driver-side; the
     compiled form is what a long-lived alerting service would cache).
-    Returns (term_plans, phrase_plans); raises on queries outside the
-    batchable subset."""
+    Returns (term_plans, phrase_plans, mixed_plans): batchable plans
+    ride the shared broadcast-join aggregation; mixed-precedence
+    TERM-ONLY trees fall back to per-query presence evaluation
+    (one bounded aggregation each); a phrase nested inside a mixed
+    tree raises (register the flattened form)."""
     term_plans: list[tuple] = []
     phrase_plans: list[tuple[str, list[str]]] = []
+    mixed_plans: list[tuple] = []  # (qid, ast, leaf_terms)
     for qid, qstr in queries.items():
         ast = parse_query(qstr, analyzer=analyzer)
         plan = classify_query(ast)
         if plan is None:
-            raise ValueError(
-                f"query {qid!r} is not percolatable (mixed precedence or "
-                "degenerate); register the flattened/rewritten form"
-            )
-        if plan[0] == "phrase":
+            if ast is None:
+                raise ValueError(
+                    f"query {qid!r} is not percolatable (degenerate)"
+                )
+            terms, has_phrase = _ast_leaf_terms(ast)
+            if has_phrase or not terms:
+                raise ValueError(
+                    f"query {qid!r} is not percolatable (phrase inside "
+                    "a mixed-precedence tree); register the flattened/"
+                    "rewritten form"
+                )
+            _ast_presence_expr(ast)  # validate at registration time
+            mixed_plans.append((qid, ast, sorted(terms)))
+        elif plan[0] == "phrase":
             phrase_plans.append((qid, plan[1]))
         else:
             term_plans.append((qid, *plan))
-    return term_plans, phrase_plans
+    return term_plans, phrase_plans, mixed_plans
 
 
 def phrase_match(
@@ -107,7 +192,9 @@ def percolate(
 ) -> DataFrame:
     """(query_id, doc_id) for every registered query that matches each
     incoming doc. Match-only — no scores (filter context)."""
-    term_plans, phrase_plans = compile_percolator(queries, analyzer)
+    term_plans, phrase_plans, mixed_plans = compile_percolator(
+        queries, analyzer
+    )
     toks = tokenize_postings(docs, list(fields), doc_id_col, analyzer)
     out: DataFrame | None = None
 
@@ -149,6 +236,40 @@ def percolate(
 
     for qid, values in phrase_plans:
         m = phrase_match(toks, values, doc_id_col).select(
+            F.lit(qid).alias("query_id"),
+            F.col(doc_id_col).alias("doc_id"),
+        )
+        out = m if out is None else out.unionByName(m)
+
+    # mixed-precedence term-only trees: per-query presence evaluation
+    # over the SAME tokenized frame — the matched-term set per doc is
+    # bounded by the query's leaf count, and the boolean Column is the
+    # AST verbatim (subtraction NOT algebra composes with set
+    # membership exactly like the compiled join/anti-join plans)
+    for qid, ast, terms in mixed_plans:
+        agg = (
+            toks.where(F.col("term").isin(list(terms)))
+            .select(doc_id_col, "term")
+            .groupBy(doc_id_col)
+            .agg(F.collect_set("term").alias("mt"))
+        )
+        if _eval_presence_py(ast, frozenset()):
+            # the query matches docs containing NONE of its terms
+            # (e.g. "a or not b") — every batch doc is a candidate
+            base = (
+                docs.select(doc_id_col)
+                .join(agg, doc_id_col, "left")
+                .withColumn(
+                    "mt",
+                    F.coalesce(
+                        F.col("mt"),
+                        F.expr("CAST(array() AS ARRAY<STRING>)"),
+                    ),
+                )
+            )
+        else:
+            base = agg
+        m = base.where(_ast_presence_expr(ast)).select(
             F.lit(qid).alias("query_id"),
             F.col(doc_id_col).alias("doc_id"),
         )

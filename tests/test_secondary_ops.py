@@ -601,16 +601,41 @@ def test_percolate_plan_shapes(spark):
     }
 
 
-def test_percolate_rejects_mixed_precedence(spark):
+def test_percolate_mixed_trees_and_phrase_rejection(spark):
+    """Mixed-precedence term-only trees percolate via presence
+    evaluation — including pure-negation reach (a query matching docs
+    with NONE of its terms); a phrase nested inside a mixed tree is
+    the one unsupported shape."""
     from cs_search_engine_architecture_spark.operators.percolate import (
         percolate,
     )
 
-    batch = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (0, "spark joins data fast"),
+            (1, "slow data scan"),
+            (2, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            spark,
+            {
+                "m1": "spark and (data or slow)",
+                "m2": "data and (slow or fast) not scan",
+                "m3": "spark or not data",  # matches term-free docs too
+            },
+            batch,
+            analyzer="simple",
+        ).collect()
+    }
+    assert got == {("m1", 0), ("m2", 0), ("m3", 0), ("m3", 2)}
+
     with pytest.raises(ValueError, match="not percolatable"):
         percolate(
-            spark, {"q": "spark and (data or slow)"}, batch,
-            analyzer="simple",
+            spark, {"q": '"hash join" and spark'}, batch, analyzer="simple"
         )
 
 
@@ -624,6 +649,8 @@ def test_engine_percolate_matches_full_search(spark, engine, docs):
         "q3": "data and not slow",
         "q4": '"window order"',
         "q5": "spark or data",
+        "q6": "spark and (data or slow)",  # mixed tree: presence path
+        "q7": "data and (slow or fast) not key",
     }
     by_q: dict[str, set] = {}
     for r in engine.percolate(queries, docs).collect():
