@@ -361,10 +361,18 @@ def main() -> None:
                     query, corpus, stats_col, predicate=filt
                 ).collect()[0]
                 avg = "n/a" if st["avg"] is None else f"{st['avg']:.4f}"
+                pctl = {
+                    r["quantile"]: r["value"]
+                    for r in eng.percentiles_agg(
+                        query, corpus, stats_col, qs=(0.5, 0.95),
+                        predicate=filt,
+                    ).collect()
+                }
                 print(
                     f"  stats[{stats_col}]: count={st['count']} "
                     f"min={st['min']} max={st['max']} sum={st['sum']} "
-                    f"avg={avg} distinct={st['distinct']}"
+                    f"avg={avg} distinct={st['distinct']} "
+                    f"p50={pctl.get(0.5)} p95={pctl.get(0.95)}"
                 )
             except Exception as exc:
                 print(f"- stats failed: {str(exc).splitlines()[0][:120]}")
