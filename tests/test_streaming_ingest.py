@@ -375,10 +375,12 @@ def test_percolate_stream_alerts(spark):
     batches = {r["doc_id"]: r["batch"] for r in rows}
     assert batches[4] > batches[1], "wave-2 match must carry a later batch id"
 
-    # bad registration fails at construction, not in a batch
+    # bad registration fails at construction, not in a batch (a phrase
+    # nested inside a mixed tree is the one unsupported shape; plain
+    # mixed trees percolate via presence evaluation)
     with pytest.raises(ValueError, match="not percolatable"):
         PercolateStream(
-            spark, {"bad": "a and (b or c)"}, os.path.join(base, "x"),
+            spark, {"bad": '"a b" and c'}, os.path.join(base, "x"),
             analyzer="simple",
         )
     shutil.rmtree(base, ignore_errors=True)
