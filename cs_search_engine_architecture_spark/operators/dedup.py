@@ -228,6 +228,39 @@ def dedup_store_append(
     ).parquet(os.path.join(store_path, "bands", f"seg={segment}"))
 
 
+def dedup_store_delete(spark, store_path: str, ids) -> None:
+    """Tombstone store docs (mirrors the index tier's delete_docs): a
+    deleted doc must stop counting as a dup ancestor, or re-ingesting
+    its text after deletion would be dropped against a doc that no
+    longer exists. Appends to ``tombstones/`` — probes anti-join it, so
+    duplicate appends are harmless (idempotent under replay) and no
+    segment is rewritten. Rebuild the store over ``current_corpus`` to
+    physically drop masked rows (the compaction analog).
+
+    Contract: the mask is by doc_id across ALL segments — re-ingesting
+    a tombstoned id as a NEW doc needs a store rebuild first (id reuse
+    is the update path's business, not the ingest dedup gate's)."""
+    import os
+
+    frame = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        )
+    )
+    frame.select(F.col("doc_id").cast("long")).write.mode(
+        "append"
+    ).parquet(os.path.join(store_path, "tombstones"))
+
+
+def _store_tombstones(spark, store_path: str):
+    import os
+
+    p = os.path.join(store_path, "tombstones")
+    return spark.read.parquet(p) if os.path.exists(p) else None
+
+
 def incremental_dup_pairs(
     spark,
     store_path: str,
@@ -267,7 +300,15 @@ def incremental_dup_pairs(
             F.col("seg").cast("string") != str(exclude_segment)
         )
 
-    store_bands = _seg_filter(
+    tomb = _store_tombstones(spark, store_path)
+
+    def _mask(df: DataFrame) -> DataFrame:
+        df = _seg_filter(df)
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    store_bands = _mask(
         spark.read.parquet(os.path.join(store_path, "bands"))
     )
     bsigs = minhash_signatures(batch, meta["text_col"], nh)
@@ -284,7 +325,7 @@ def incremental_dup_pairs(
     )
     if not estimate:
         return pairs
-    ssigs = _seg_filter(
+    ssigs = _mask(
         spark.read.parquet(os.path.join(store_path, "sigs"))
     )
     agree = sum(

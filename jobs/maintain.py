@@ -122,6 +122,13 @@ def main() -> None:
             ap.error("delete requires --doc-ids")
         ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
         n = indexer.delete_docs(spark, args.index, ids)
+        if args.dedup_store:
+            from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+                dedup,
+            )
+
+            # a deleted doc must stop blocking re-ingest of its text
+            dedup.dedup_store_delete(spark, args.dedup_store, ids)
         print(json.dumps({"action": "delete", "tombstoned": n}))
     elif args.action == "merge":
         meta = indexer.merge_deltas(spark, args.index)

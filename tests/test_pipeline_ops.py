@@ -1295,3 +1295,25 @@ def test_ivf_add_tier_guard(spark, tmp_path):
     with pytest.raises(ValueError):
         SIM.ivf_add(spark, qpath, emb.limit(1), quantized=False)
 
+
+
+def test_dedup_store_delete_unblocks_reingest(spark, docs, tmp_path):
+    """A deleted doc must stop counting as a dup ancestor: after
+    dedup_store_delete of every doc holding a text, re-ingesting that
+    text passes the filter; unrelated dups still block."""
+    store = str(tmp_path / "store")
+    DD.build_dedup_store(docs, store)
+    # docs 0 and 2 share DOCS[0]'s text; doc 1 is its near-dup
+    DD.dedup_store_delete(spark, store, [0, 1, 2])
+    batch = spark.createDataFrame(
+        [(300, DOCS[0][1]), (301, DOCS[3][1])],  # 301 dups live doc 3
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.dedup_filter_batch(spark, store, batch).collect()
+    )
+    assert kept == [300]  # unblocked; 301 still blocked by live doc 3
+    # probe surfaces no pair against any tombstoned doc
+    pairs = DD.incremental_dup_pairs(spark, store, batch).collect()
+    assert all(r["corpus_doc"] not in {0, 1, 2} for r in pairs)
