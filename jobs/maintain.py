@@ -4,7 +4,8 @@
         [--dedup-store /path/dstore [--dedup-threshold 0.9]]
     spark-submit jobs/maintain.py dedup-store --docs corpus.parquet \
         --dedup-store /path/dstore --index /path/idx
-    spark-submit jobs/maintain.py delete  --index /path/idx --doc-ids 3,17,42
+    spark-submit jobs/maintain.py delete  --index /path/idx --doc-ids 3,17,42 \
+        [--dedup-store /path/dstore]   # tombstones the store rows too
     spark-submit jobs/maintain.py update  --index /path/idx --docs new.parquet
     spark-submit jobs/maintain.py merge   --index /path/idx
     spark-submit jobs/maintain.py compact --index /path/idx --out /path/idx2 \
