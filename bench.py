@@ -307,6 +307,27 @@ def main() -> None:
     _pc.percolate(spark, perc_qs, docs, analyzer="simple").count()
     timings["percolate_200q"] = round(time.time() - t0, 3)
 
+    # span-level substring dedup (Lee et al. duplicate W-gram spans):
+    # detection + keep-first removal over the whole fixture, one number
+    # (the two stages share the ranked-occurrence frame's lineage)
+    from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+        sketches as _sk,
+        spans as _sp,
+    )
+
+    t0 = time.time()
+    # sum over text + counts: a bare count() lets Catalyst eliminate
+    # the unique-key left join and skip the whole removal branch
+    _sp.remove_duplicate_spans(docs, 8).selectExpr(
+        "sum(length(text))", "sum(n_tokens_removed)"
+    ).collect()
+    timings["dedup_spans"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _sk.approx_distinct(
+        _sp.gram_occurrences(docs, 8), "gram_hash", 256
+    ).collect()
+    timings["cardinality_sketch"] = round(time.time() - t0, 3)
+
     # decontamination + perplexity-filter scoring over the fixture docs
     from cs_search_engine_architecture_spark.operators import lm  # noqa: E402
 

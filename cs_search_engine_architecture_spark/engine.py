@@ -1450,6 +1450,36 @@ class SearchEngine:
             vc.alias("v"),
         ).join(matched, "doc_id", "left_semi")
 
+    def cardinality_sketch(
+        self,
+        query: str,
+        corpus: DataFrame,
+        value_col,
+        k: int = 64,
+        doc_id_col: str = "doc_id",
+        predicate=None,
+    ) -> DataFrame:
+        """Approximate distinct count of ``value_col`` over the FULL
+        match set — the 100 TB swap-in that ``stats_agg``'s exact
+        ``count_distinct`` documents: a bottom-k (KMV) sketch over the
+        shared deterministic 60-bit hash (``operators/sketches.py``).
+        Same match-frame plumbing as ``stats_agg`` (semi-join to the
+        masked match set, ``predicate`` = filter context); the sketch
+        replaces the distinct shuffle with per-partition bottom-k +
+        one k-row merge (``TakeOrderedAndProject``), so the driver
+        cost is O(k) regardless of corpus size. Returns one row
+        (n_sketch, kth_hash, est_distinct); ``n_sketch < k`` means the
+        count is exact. Update/delete-aware via the same masked match
+        frame. Extension beyond the reference."""
+        from cs_search_engine_architecture_spark.operators.sketches import (
+            approx_distinct,
+        )
+
+        vals = self._matched_vals(
+            query, corpus, value_col, doc_id_col, predicate
+        )
+        return approx_distinct(vals, "v", k)
+
     def percentiles_agg(
         self,
         query: str,

@@ -359,3 +359,54 @@ def int_l2_norm(dialect: str, a: str) -> str:
     """sqrt(Σ a[i]²) of an INT array — exact integer sum, one final
     IEEE sqrt; deterministic in both engines."""
     return f"sqrt(CAST({int_dot(dialect, a, a)} AS DOUBLE))"
+
+
+def array_slice(dialect: str, arr: str, start: str, length: int) -> str:
+    """1-based, length-``length`` sub-array (both engines inclusive)."""
+    if _d(dialect):
+        return f"list_slice({arr}, {start}, {start} + {length - 1})"
+    return f"slice({arr}, {start}, {length})"
+
+
+def gram_hashes(dialect: str, toks: str, w: int) -> str:
+    """List of md5 hex strings, one per W-token gram start position
+    (1-based; empty when the doc has fewer than ``w`` tokens). The
+    gram string is the space-joined token slice, so two occurrences
+    hash equal iff their normalized token runs are identical —
+    verified byte-identical across engines."""
+    gram = array_join(dialect, array_slice(dialect, toks, "i", w))
+    return transform(
+        dialect,
+        int_range(dialect, "1", f"{array_size(dialect, toks)} - {w - 1}"),
+        f"i -> md5({gram})",
+    )
+
+
+def hex_digit_val(dialect: str, c: str) -> str:
+    """Integer value 0-15 of one lowercase hex character (both md5
+    implementations emit lowercase hex)."""
+    return f"(ascii({c}) - CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END)"
+
+
+def hex_prefix60(dialect: str, hexcol: str) -> str:
+    """First 15 hex digits of an existing lowercase-hex column as an
+    exact BIGINT in [0, 2^60) — integer positional arithmetic, no
+    float, no conv(). ``hexcol`` should be a MATERIALIZED column when
+    it's an md5() call: neither engine is guaranteed to CSE the 15
+    repeated substr(md5(...)) terms (Spark measured 2× slower
+    inlined)."""
+    terms = " + ".join(
+        f"{hex_digit_val(dialect, f'substr({hexcol}, {j + 1}, 1)')}"
+        f" * CAST({16 ** (14 - j)} AS BIGINT)"
+        for j in range(15)
+    )
+    return f"({terms})"
+
+
+def md5_prefix60(dialect: str, col: str) -> str:
+    """``hex_prefix60`` over md5(col) inline — a uniform
+    order-preserving 60-bit hash shared by both engines. For hot Spark
+    paths prefer materializing md5 first and using ``hex_prefix60``
+    (see its docstring); this inline form is for oracle SQL where the
+    15× md5 doesn't matter."""
+    return hex_prefix60(dialect, f"md5({col})")

@@ -419,6 +419,8 @@ from cs_search_engine_architecture_spark.operators import (  # noqa: E402
     dedup as DD,
     multimodal as MM,
     similarity as SIM,
+    sketches as SK,
+    spans as SP,
     text_analysis as TA,
 )
 
@@ -520,10 +522,6 @@ SQL_TOKEN_FINGERPRINT = (
 )
 
 
-def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_signatures(_docs(spark, sf_dir))
-
-
 _DUCK_SIG_COLS = ", ".join(
     D.minhash_sig(D.DUCKDB, "shingles", i) + f" AS sig_{i}"
     for i in range(DD.NUM_MINHASHES)
@@ -533,8 +531,6 @@ _DUCK_SIGS_CTE = (
     f"sh AS (SELECT doc_id, {D.shingles(D.DUCKDB)} AS shingles FROM t), "
     f"sigs AS (SELECT doc_id, {_DUCK_SIG_COLS} FROM sh)"
 )
-
-SQL_DEDUP_MINHASH_SIGS = f"WITH {_DUCK_SIGS_CTE} SELECT * FROM sigs"
 
 _DUCK_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(sig_{b}) AS bucket FROM sigs"
@@ -558,18 +554,31 @@ def _gate_dedup_store(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite gate (round 5): the LSH self-join candidate pairs
-    (``self`` arm, est=0) PLUS the persisted-store incremental probe
-    (``incr`` arm): batch = docs with doc_id % 7 == 0 probed against
-    the full-corpus ``build_dedup_store``, with the MinHash-estimated
-    Jaccard (integer agreement count / num_hashes — one double
-    division, mirrored verbatim in the oracle)."""
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate (round-5 consolidation of ``dedup_minhash_sigs``
+    + ``dedup_lsh_pairs`` under the 50-row snapshot cap): the raw
+    MinHash signatures (``sig`` arm — all 8 signature components
+    verified via one joined key string), the LSH self-join candidate
+    pairs (``self`` arm, est=0), and the persisted-store incremental
+    probe (``incr`` arm): batch = docs with doc_id % 7 == 0 probed
+    against the full-corpus ``build_dedup_store``, with the
+    MinHash-estimated Jaccard (integer agreement count / num_hashes —
+    one double division, mirrored verbatim in the oracle)."""
     docs = _docs(spark, sf_dir)
+    sigs = DD.minhash_signatures(docs).select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(0).cast("long").alias("doc_b"),
+        F.concat_ws(
+            "|", *[f"sig_{i}" for i in range(DD.NUM_MINHASHES)]
+        ).alias("sig_key"),
+        F.lit(0.0).alias("est"),
+    )
     self_pairs = DD.lsh_candidate_pairs(
         DD.minhash_signatures(docs)
     ).select(
         F.lit("self").alias("part"), "doc_a", "doc_b",
+        F.lit("").alias("sig_key"),
         F.lit(0.0).alias("est"),
     )
     store = _gate_dedup_store(spark, sf_dir)
@@ -578,9 +587,10 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("incr").alias("part"),
         F.col("corpus_doc").alias("doc_a"),
         F.col("batch_doc").alias("doc_b"),
+        F.lit("").alias("sig_key"),
         F.col("est_jaccard").alias("est"),
     )
-    return self_pairs.unionByName(incr)
+    return sigs.unionByName(self_pairs).unionByName(incr)
 
 
 _DUCK_EST = (
@@ -591,8 +601,14 @@ _DUCK_EST = (
     )
     + f") AS DOUBLE) / {DD.NUM_MINHASHES}"
 )
-SQL_DEDUP_LSH_PAIRS = f"""WITH {_DUCK_CAND_CTE},
-selfp AS (SELECT 'self' AS part, doc_a, doc_b, 0.0 AS est FROM cand),
+_DUCK_SIG_KEY = "concat_ws('|', " + ", ".join(
+    f"sig_{i}" for i in range(DD.NUM_MINHASHES)
+) + ")"
+SQL_DEDUP_MINHASH_LSH = f"""WITH {_DUCK_CAND_CTE},
+sigrows AS (SELECT 'sig' AS part, doc_id AS doc_a, CAST(0 AS BIGINT) AS doc_b,
+            {_DUCK_SIG_KEY} AS sig_key, 0.0 AS est FROM sigs),
+selfp AS (SELECT 'self' AS part, doc_a, doc_b, '' AS sig_key, 0.0 AS est
+          FROM cand),
 bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
 icand AS (
   SELECT DISTINCT s.doc_id AS doc_a, b.doc_id AS doc_b
@@ -600,17 +616,42 @@ icand AS (
   ON s.band = b.band AND s.bucket = b.bucket AND s.doc_id <> b.doc_id
 ),
 incr AS (
-  SELECT 'incr' AS part, c.doc_a, c.doc_b, {_DUCK_EST} AS est
+  SELECT 'incr' AS part, c.doc_a, c.doc_b, '' AS sig_key, {_DUCK_EST} AS est
   FROM icand c
   JOIN sigs sa ON sa.doc_id = c.doc_a
   JOIN sigs sb ON sb.doc_id = c.doc_b
 )
-SELECT part, doc_a, doc_b, est FROM selfp
-UNION ALL SELECT part, doc_a, doc_b, est FROM incr"""
+SELECT part, doc_a, doc_b, sig_key, est FROM sigrows
+UNION ALL SELECT part, doc_a, doc_b, sig_key, est FROM selfp
+UNION ALL SELECT part, doc_a, doc_b, sig_key, est FROM incr"""
+
+
+SIMHASH_NEAR_MAX_HAMMING = 3
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash(_docs(spark, sf_dir))
+    """Composite gate (round-5 consolidation of ``dedup_simhash`` +
+    ``dedup_simhash_near``): the per-doc 32-bit fingerprints (``fp``
+    arm, val = simhash) plus the banded-byte near pairs at Hamming ≤ 3
+    (``near`` arm, val = hamming). The near oracle is a BRUTE-FORCE
+    Hamming scan, so the row still proves the banding's pigeonhole
+    recall claim, not just self-consistency."""
+    docs = _docs(spark, sf_dir)
+    fp = DD.simhash(docs).select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(0).cast("long").alias("doc_b"),
+        F.col("simhash").cast("long").alias("val"),
+    )
+    near = DD.simhash_near_pairs(
+        docs, max_hamming=SIMHASH_NEAR_MAX_HAMMING
+    ).select(
+        F.lit("near").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return fp.unionByName(near)
 
 
 _DUCK_SIMHASH_SUMS = ", ".join(
@@ -621,12 +662,166 @@ _DUCK_SIMHASH_PACK = " + ".join(
     f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
     for j in range(DD.SIMHASH_BITS)
 )
-SQL_DEDUP_SIMHASH = (
-    f"WITH occ AS (SELECT doc_id, unnest({D.tokens(D.DUCKDB)}) AS term "
-    f"FROM documents), "
-    f"s AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM occ GROUP BY doc_id) "
-    f"SELECT doc_id, CAST({_DUCK_SIMHASH_PACK} AS BIGINT) AS simhash FROM s"
-)
+SQL_DEDUP_SIMHASH = f"""
+WITH occ AS (SELECT doc_id, unnest({D.tokens(D.DUCKDB)}) AS term
+             FROM documents),
+s AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM occ GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_DUCK_SIMHASH_PACK} AS BIGINT) AS simhash FROM s)
+SELECT 'fp' AS part, doc_id AS doc_a, CAST(0 AS BIGINT) AS doc_b,
+       simhash AS val FROM sh
+UNION ALL
+SELECT 'near' AS part, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_NEAR_MAX_HAMMING}
+"""
+
+SPAN_GATE_W = 8  # production W is ~50 (Lee et al.); 8 keeps the fixture non-vacuous
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: span-level exact-substring dedup
+    (``operators/spans.py`` — the Lee et al. ACL'22 duplicate-W-gram
+    pipeline). ``span`` arm = the merged duplicated token spans per
+    doc (detection view, every occurrence); ``clean`` arm = the
+    keep-first removal result per doc — kept/removed token counts plus
+    the md5 of the rebuilt normalized text, so the oracle verifies the
+    edited corpus byte-for-byte, not just the bookkeeping."""
+    docs = _docs(spark, sf_dir)
+    det = SP.duplicate_spans(docs, SPAN_GATE_W).select(
+        F.lit("span").alias("part"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("v1"),
+        F.col("span_end").cast("long").alias("v2"),
+        F.col("n_grams").cast("long").alias("v3"),
+        F.lit("").alias("key"),
+    )
+    clean = SP.remove_duplicate_spans(docs, SPAN_GATE_W).select(
+        F.lit("clean").alias("part"),
+        "doc_id",
+        F.col("n_tokens_kept").cast("long").alias("v1"),
+        F.col("n_tokens_removed").cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.md5("text").alias("key"),
+    )
+    return det.unionByName(clean)
+
+
+def _duck_islands(src: str, w: int, out: str) -> str:
+    """Gaps-and-islands SQL mirroring ``spans._islands`` exactly
+    (same window frames, same integer arithmetic)."""
+    return f"""
+{out}_f AS (SELECT doc_id, pos,
+  CASE WHEN pos > coalesce(max(pos + {w - 1}) OVER (
+       PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS ni FROM {src}),
+{out}_i AS (SELECT doc_id, pos, sum(ni) OVER (
+  PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM {out}_f),
+{out} AS (SELECT doc_id, min(pos) AS span_start,
+  max(pos) + {w - 1} AS span_end, count(*) AS n_grams
+  FROM {out}_i GROUP BY doc_id, island)"""
+
+
+_DUCK_SPAN_GRAMS = f"""
+t AS (SELECT doc_id, {D.tokens(D.DUCKDB, 'text')} AS toks FROM documents),
+g AS (SELECT doc_id,
+  unnest({D.int_range(D.DUCKDB, '1', f'len(toks) - {SPAN_GATE_W - 1}')}) AS pos,
+  unnest({D.gram_hashes(D.DUCKDB, 'toks', SPAN_GATE_W)}) AS gram_hash
+  FROM t),
+r AS (SELECT doc_id, pos,
+  row_number() OVER (PARTITION BY gram_hash ORDER BY doc_id, pos) AS rnk,
+  count(*) OVER (PARTITION BY gram_hash) AS n_occ
+  FROM g)"""
+
+SQL_DUP_SPANS = f"""WITH {_DUCK_SPAN_GRAMS},
+dup AS (SELECT doc_id, pos FROM r WHERE n_occ > 1),
+{_duck_islands('dup', SPAN_GATE_W, 'spans_det')},
+rem AS (SELECT doc_id, pos FROM r WHERE rnk > 1),
+{_duck_islands('rem', SPAN_GATE_W, 'spans_rm')},
+cut AS (SELECT doc_id,
+        unnest(generate_series(span_start, span_end)) AS pos
+        FROM spans_rm),
+stream AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+           unnest(toks) AS tok FROM t),
+kept AS (SELECT s.doc_id, s.pos, s.tok FROM stream s
+         LEFT JOIN cut c ON s.doc_id = c.doc_id AND s.pos = c.pos
+         WHERE c.doc_id IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        count(*) AS nk FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks) AS n FROM t)
+SELECT 'span' AS part, doc_id, CAST(span_start AS BIGINT) AS v1,
+       CAST(span_end AS BIGINT) AS v2, CAST(n_grams AS BIGINT) AS v3,
+       '' AS key
+FROM spans_det
+UNION ALL
+SELECT 'clean' AS part, tot.doc_id, CAST(coalesce(nk, 0) AS BIGINT) AS v1,
+       CAST(n - coalesce(nk, 0) AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3,
+       md5(coalesce(reb.text, '')) AS key
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id"""
+
+SKETCH_GATE_K = 64
+
+
+def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: bottom-k (KMV) cardinality sketches
+    (``operators/sketches.py``). ``vocab`` arm = distinct-token sketch
+    on the small fixture vocabulary (n_sketch < k ⇒ exercises the
+    exact branch); ``grams`` arm = distinct-8-gram sketch (thousands
+    of values ⇒ exercises the (k-1)·2^60/h_k estimate branch, one
+    IEEE division mirrored verbatim); ``grams_exact`` arm = the exact
+    distinct count, so the artifact itself documents the sketch's
+    error on real data."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.expr(D.tokens(D.SPARK, "text"))).alias("tok")
+    )
+    vocab = SK.approx_distinct(toks, "tok", SKETCH_GATE_K).select(
+        F.lit("vocab").alias("part"), "n_sketch", "kth_hash",
+        F.col("est_distinct").alias("est"),
+    )
+    grams = SP.gram_occurrences(docs, SPAN_GATE_W)
+    gsk = SK.approx_distinct(grams, "gram_hash", SKETCH_GATE_K).select(
+        F.lit("grams").alias("part"), "n_sketch", "kth_hash",
+        F.col("est_distinct").alias("est"),
+    )
+    gex = grams.agg(
+        F.count_distinct("gram_hash").alias("n_sketch")
+    ).select(
+        F.lit("grams_exact").alias("part"),
+        "n_sketch",
+        F.lit(0).cast("long").alias("kth_hash"),
+        F.col("n_sketch").cast("double").alias("est"),
+    )
+    return vocab.unionByName(gsk).unionByName(gex)
+
+
+def _duck_sketch(src: str, col: str, k: int) -> str:
+    """Bottom-k sketch SELECT mirroring ``sketches.approx_distinct``."""
+    return f"""(
+  WITH bk AS (SELECT DISTINCT
+                {D.md5_prefix60(D.DUCKDB, f'CAST({col} AS VARCHAR)')} AS h
+              FROM {src} WHERE {col} IS NOT NULL ORDER BY h LIMIT {k})
+  SELECT count(*) AS n_sketch, max(h) AS kth_hash,
+    CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+         ELSE CAST({(k - 1) * (1 << 60)} AS DOUBLE) / CAST(max(h) AS DOUBLE)
+    END AS est
+  FROM bk)"""
+
+
+SQL_AGG_SKETCHES = f"""WITH {_DUCK_SPAN_GRAMS},
+occ AS (SELECT unnest({D.tokens(D.DUCKDB, 'text')}) AS tok FROM documents)
+SELECT 'vocab' AS part, * FROM {_duck_sketch('occ', 'tok', SKETCH_GATE_K)}
+UNION ALL
+SELECT 'grams' AS part, *
+FROM {_duck_sketch('g', 'gram_hash', SKETCH_GATE_K)}
+UNION ALL
+SELECT 'grams_exact' AS part, count(DISTINCT gram_hash) AS n_sketch,
+       CAST(0 AS BIGINT) AS kth_hash,
+       CAST(count(DISTINCT gram_hash) AS DOUBLE) AS est
+FROM g"""
 
 JACCARD_MIN = 0.2
 
@@ -808,29 +1003,6 @@ WHERE cos >= {EMB_DUP_MIN_COS}
 
 
 SQL_DEDUP_EMBEDDING_PAIRS = _sql_dedup_embedding_pairs()
-
-SIMHASH_NEAR_MAX_HAMMING = 3
-
-
-def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (Hamming ≤ 3) via the banded-byte join; the
-    oracle is a BRUTE-FORCE Hamming scan, so this gate row proves the
-    banding's pigeonhole recall claim, not just self-consistency."""
-    return DD.simhash_near_pairs(
-        _docs(spark, sf_dir), max_hamming=SIMHASH_NEAR_MAX_HAMMING
-    )
-
-
-SQL_DEDUP_SIMHASH_NEAR = f"""
-WITH occ AS (SELECT doc_id, unnest({D.tokens(D.DUCKDB)}) AS term
-             FROM documents),
-s AS (SELECT doc_id, {_DUCK_SIMHASH_SUMS} FROM occ GROUP BY doc_id),
-sh AS (SELECT doc_id, CAST({_DUCK_SIMHASH_PACK} AS BIGINT) AS simhash FROM s)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_NEAR_MAX_HAMMING}
-"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3004,11 +3176,11 @@ def queries():
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
         "token_fingerprint": q_token_fingerprint,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dup_spans": q_dup_spans,
+        "agg_sketches": q_agg_sketches,
         "serving_surfaces": q_serving_surfaces,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3059,11 +3231,11 @@ def oracle_sql():
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "text_quality": SQL_TEXT_QUALITY,
         "token_fingerprint": SQL_TOKEN_FINGERPRINT,
-        "dedup_minhash_sigs": SQL_DEDUP_MINHASH_SIGS,
-        "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
-        "dedup_simhash_near": SQL_DEDUP_SIMHASH_NEAR,
         "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+        "dup_spans": SQL_DUP_SPANS,
+        "agg_sketches": SQL_AGG_SKETCHES,
         "serving_surfaces": SQL_SERVING_SURFACES,
         "dedup_embedding_pairs": SQL_DEDUP_EMBEDDING_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,

@@ -1,0 +1,195 @@
+"""Span-level exact-substring deduplication (duplicate W-gram spans).
+
+Training-data-pipeline extension (the reference has no dedup at all):
+the substring-level dedup of Lee et al., *"Deduplicating Training Data
+Makes Language Models Better"* (ACL 2022) — find every run of ``w``
+consecutive tokens that occurs more than once anywhere in the corpus,
+report the merged duplicated spans per document, and optionally cut
+all-but-the-first occurrence out of the training text. Document-level
+dedup (``dedup.py``) misses these: boilerplate headers, license
+blocks, and quoted passages duplicate heavily inside otherwise-unique
+documents.
+
+The published algorithm builds a monolithic suffix array; that is a
+single-machine shape. The Spark-first equivalent used here is W-gram
+fingerprinting, the standard distributed reformulation:
+
+1. **gram_occurrences** — one row per token position: explode the
+   per-doc W-gram md5 list (row-local column math; rows out = total
+   token count, the same cardinality the tokenizer already shuffles).
+2. **duplicated occurrences** — ``Window.partitionBy(gram_hash)``
+   ranks every occurrence by ``(doc_id, pos)``; a hash with count > 1
+   is duplicated, and rank 1 is the canonical (kept) occurrence. The
+   shuffle key is a uniform md5, so this is skew-free by construction
+   (contrast: suffix sorting has pathological skew on repeated text).
+3. **duplicate_spans** — per-document gaps-and-islands merge of the
+   duplicated gram positions into maximal ``[span_start, span_end]``
+   token ranges (overlapping or adjacent grams merge; pure integer
+   window arithmetic, oracle-mirrorable bit-for-bit).
+4. **remove_duplicate_spans** — islands over the *removable* (rank>1)
+   occurrences, exploded to token positions (bounded by the removed
+   token count), anti-joined against the token stream, re-assembled in
+   position order. Every join is an equi-join; nothing broadcasts the
+   corpus and nothing collects to the driver.
+
+Removal operates on the normalized token stream (lowercased
+``[a-z0-9]+`` runs — ``dialect.tokens``, the same analyzer every other
+dedup operator uses): the output ``text`` is the cleaned training
+token sequence, not a byte-faithful edit of the original markup.
+That matches the published setting (they dedup the tokenized corpus).
+
+Like ``dedup.py``, every expression comes from ``functions.dialect``
+fragments so the DuckDB gate oracle is bit-identical, and everything
+is whole-stage-codegen'd built-ins — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.functions import dialect as D
+
+SPAN_W = 8  # default gram width (tokens); Lee et al. use 50 at web scale
+
+
+def gram_occurrences(
+    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram_hash): one row per W-gram start position
+    (1-based token index). Docs with fewer than ``w`` tokens emit
+    nothing. Row-local until the explode; rows out ≈ token count."""
+    toks = df.select(
+        "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.expr(D.gram_hashes(D.SPARK, "toks", w))).alias(
+            "pos0", "gram_hash"
+        ),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash"
+    )
+
+
+def _ranked_occurrences(df: DataFrame, w: int, text_col: str) -> DataFrame:
+    """Occurrences + ``rank`` (1 = canonical first occurrence) and
+    ``n_occ`` per gram hash. One shuffle on the uniform hash key."""
+    occ = gram_occurrences(df, w, text_col)
+    win = Window.partitionBy("gram_hash").orderBy("doc_id", "pos")
+    return occ.select(
+        "doc_id",
+        "pos",
+        "gram_hash",
+        F.row_number().over(win).alias("rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("gram_hash"))
+        .alias("n_occ"),
+    )
+
+
+def _islands(occ: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands merge of gram start positions into maximal
+    token spans: a gram at ``pos`` extends the current span when it
+    starts at or before ``prev_end + 1`` (overlap or adjacency).
+    Output: (doc_id, span_start, span_end, n_grams)."""
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = occ.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + (w - 1)).over(prev), F.lit(-1)
+            )
+            + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    cum = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.select(
+        "doc_id", "pos", F.sum("new_island").over(cum).alias("island")
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (w - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def duplicate_spans(
+    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every token range
+    covered by W-grams that occur more than once in the corpus
+    (including the canonical first occurrence — this is the detection
+    view; ``remove_duplicate_spans`` is the keep-first edit view).
+    Output: (doc_id, span_start, span_end, n_grams), token positions
+    1-based inclusive."""
+    dup = _ranked_occurrences(df, w, text_col).where(F.col("n_occ") > 1)
+    return _islands(dup.select("doc_id", "pos"), w)
+
+
+def removable_spans(
+    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """Token spans to CUT under the keep-first policy: the islands of
+    every occurrence that is not its gram's global first (rank > 1 by
+    ``(doc_id, pos)``). Deterministic: re-running on the same corpus
+    always selects the same survivors."""
+    rem = _ranked_occurrences(df, w, text_col).where(F.col("rank") > 1)
+    return _islands(rem.select("doc_id", "pos"), w)
+
+
+def remove_duplicate_spans(
+    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """Cleaned corpus: (doc_id, text, n_tokens_kept, n_tokens_removed)
+    with every removable span cut from the normalized token stream.
+    The first occurrence of each duplicated gram survives; a document
+    reduced to nothing stays in the output with empty text.
+
+    Shape: removable islands explode to their token positions (rows
+    bounded by the number of REMOVED tokens, not corpus size) and
+    anti-join the (doc_id, pos) token stream — equi-joins only."""
+    toks = df.select(
+        "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
+    )
+    stream = toks.select(
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cut = removable_spans(df, w, text_col).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    kept = stream.join(cut, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok)))"
+            ", s -> s.tok), ' ')"
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    totals = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        (
+            F.col("n_tokens")
+            - F.coalesce("n_tokens_kept", F.lit(0))
+        ).alias("n_tokens_removed"),
+    )

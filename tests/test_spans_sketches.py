@@ -1,0 +1,204 @@
+"""Span-level substring dedup (operators/spans.py) and the bottom-k
+cardinality sketch (operators/sketches.py).
+
+The dual-dialect gate (``dup_spans``, ``agg_sketches``) proves
+bit-parity with DuckDB at sf0.01; these tests pin the SEMANTICS on
+hand corpora plus the invariants the gate can't see (keep-first
+exactness, removal bookkeeping, estimator error bounds, engine
+surface wiring).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.operators import (
+    sketches as SK,
+    spans as SP,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+W = 3
+
+
+def test_duplicate_spans_hand_example(spark):
+    # docs 0 and 1 share the 4-token run "a b c d" (two 3-grams, one
+    # merged span); doc 2 is clean.
+    docs = _corpus(
+        spark,
+        [
+            "a b c d x y z",
+            "q q a b c d q",
+            "u v w u v w0",  # repeated bigram only — below W, no span
+        ],
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in SP.duplicate_spans(docs, W).collect()
+    }
+    assert spans == {(0, 1, 4, 2), (1, 3, 6, 2)}
+
+
+def test_remove_keeps_first_occurrence_exactly(spark):
+    docs = _corpus(
+        spark,
+        [
+            "a b c d x y z",
+            "q q a b c d q",
+        ],
+    )
+    out = {
+        r.doc_id: r for r in SP.remove_duplicate_spans(docs, W).collect()
+    }
+    # doc 0 is the canonical (lowest doc_id, pos) — untouched
+    assert out[0].text == "a b c d x y z"
+    assert out[0].n_tokens_removed == 0
+    # doc 1 loses exactly the duplicated run
+    assert out[1].text == "q q q"
+    assert out[1].n_tokens_kept == 3
+    assert out[1].n_tokens_removed == 4
+
+
+def test_intra_doc_duplicates_keep_first(spark):
+    docs = _corpus(spark, ["a b c z z a b c"])
+    out = SP.remove_duplicate_spans(docs, W).collect()[0]
+    assert out.text == "a b c z z"
+    assert out.n_tokens_removed == 3
+
+
+def test_doc_reduced_to_nothing_survives_with_empty_text(spark):
+    docs = _corpus(spark, ["a b c", "a b c"])
+    out = {
+        r.doc_id: r for r in SP.remove_duplicate_spans(docs, W).collect()
+    }
+    assert out[0].text == "a b c"
+    assert out[1].text == ""
+    assert out[1].n_tokens_kept == 0
+    assert out[1].n_tokens_removed == 3
+
+
+def test_short_docs_emit_no_grams_and_pass_through(spark):
+    docs = _corpus(spark, ["a b", "a b", ""])
+    assert SP.gram_occurrences(docs, W).count() == 0
+    assert SP.duplicate_spans(docs, W).count() == 0
+    out = {
+        r.doc_id: r.text
+        for r in SP.remove_duplicate_spans(docs, W).collect()
+    }
+    assert out == {0: "a b", 1: "a b", 2: ""}
+
+
+def test_keep_first_invariant_on_fixture(spark, tmp_path):
+    """Every duplicated gram hash retains EXACTLY ONE occurrence whose
+    token range survives removal — the global (doc_id, pos) minimum."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = 8
+    occ = SP.gram_occurrences(docs, w)
+    cut = SP.removable_spans(docs, w).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    # an occurrence survives iff NONE of its w positions were cut
+    occ_pos = occ.select(
+        "doc_id", "pos", "gram_hash",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (w - 1))
+        ).alias("tpos"),
+    )
+    hit = occ_pos.join(
+        cut.withColumnRenamed("pos", "tpos"), ["doc_id", "tpos"], "left_semi"
+    ).select("doc_id", "pos", "gram_hash").distinct()
+    surviving = occ.join(hit, ["doc_id", "pos", "gram_hash"], "left_anti")
+    dup_hashes = (
+        occ.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(F.struct("doc_id", "pos")).alias("first"))
+        .where("n > 1")
+    )
+    check = (
+        surviving.join(dup_hashes, "gram_hash")
+        .groupBy("gram_hash", "first")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min(F.struct("doc_id", "pos")).alias("kept_min"),
+        )
+        .collect()
+    )
+    assert len(check) > 0
+    for r in check:
+        assert r.n_kept == 1, r
+        assert (r.kept_min.doc_id, r.kept_min.pos) == (
+            r.first.doc_id,
+            r.first.pos,
+        ), r
+
+
+def test_sketch_exact_below_k(spark):
+    df = spark.range(40).select(F.concat(F.lit("v"), "id").alias("v"))
+    row = SK.approx_distinct(df, "v", 64).collect()[0]
+    assert row.n_sketch == 40
+    assert row.est_distinct == 40.0
+
+
+def test_sketch_ignores_nulls_and_counts_distinct(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "v string"
+    )
+    row = SK.approx_distinct(df, "v", 8).collect()[0]
+    assert row.n_sketch == 2 and row.est_distinct == 2.0
+
+
+@pytest.mark.parametrize("n,k", [(5000, 64), (20000, 256)])
+def test_sketch_estimate_error_bound(spark, n, k):
+    """Relative error of the KMV estimator is ~1/sqrt(k-1); assert a
+    generous 4-sigma band (deterministic: md5 hashing, fixed input)."""
+    df = spark.range(n).select(F.concat(F.lit("item-"), "id").alias("v"))
+    row = SK.approx_distinct(df, "v", k).collect()[0]
+    assert row.n_sketch == k
+    rel = abs(row.est_distinct - n) / n
+    assert rel < 4.0 / (k - 1) ** 0.5, (row.est_distinct, n, rel)
+
+
+def test_engine_cardinality_sketch_matches_operator(spark, tmp_path):
+    """The serving surface = approx_distinct over the brute-force
+    match set (filter-context: any admitting predicate leaves the
+    sketch unchanged)."""
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        build_index,
+    )
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, fields=["text"], analyzer="simple")
+    eng = SearchEngine(spark, idx, cache=False)
+    term = (
+        docs.select(F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+        )).alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0].t
+    )
+    got = eng.cardinality_sketch(term, docs, "n_chars", k=16).collect()[0]
+    matched = eng.search_df(term).select("doc_id")
+    vals = docs.join(matched, "doc_id", "left_semi").select(
+        F.col("n_chars").alias("v")
+    )
+    want = SK.approx_distinct(vals, "v", 16).collect()[0]
+    assert (got.n_sketch, got.kth_hash, got.est_distinct) == (
+        want.n_sketch,
+        want.kth_hash,
+        want.est_distinct,
+    )
+    filtered = eng.cardinality_sketch(
+        term, docs, "n_chars", k=16, predicate=F.col("n_chars") >= 0
+    ).collect()[0]
+    assert filtered == got
