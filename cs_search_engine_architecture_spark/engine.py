@@ -946,6 +946,57 @@ class SearchEngine:
             .limit(top_k)
         )
 
+    def top_hits_by_group(
+        self,
+        query: str,
+        corpus: DataFrame,
+        group_col: str,
+        hits_per_group: int = 3,
+        top_groups: int | None = None,
+        doc_id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES ``top_hits``-under-``terms`` aggregation: for every value
+        of ``group_col``, the best ``hits_per_group`` docs of the FULL
+        match set (group, doc_id, score, grank), group-major order —
+        the "best example per category" sidebar. Optionally restrict
+        to the ``top_groups`` largest buckets by matching-doc count
+        (the standard terms-agg nesting); that bucket list is
+        aggregate-sized, so it broadcasts.
+
+        Scale shape: the scored match set joins group membership in
+        from the corpus (shuffle on doc_id, no row widening); the
+        per-group cut is a ``row_number`` WindowGroupLimit — map-side
+        partial limit per group before one shuffle on the group key —
+        so rows out are O(groups × hits_per_group) no matter the match
+        count. Scores are the unmodified BM25 (the grouping selects,
+        never scores). Update/delete-aware via the same masked+arm
+        frame. Extension beyond the reference; ``collapse_search`` is
+        the globally-limited single-list variant of the same window."""
+        scored = self.search_df(query)
+        groups = corpus.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            F.col(group_col).alias("group"),
+        )
+        joined = scored.join(groups, "doc_id")
+        if top_groups is not None:
+            top = (
+                joined.groupBy("group")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .orderBy(F.desc("_c"), F.asc("group"))
+                .limit(int(top_groups))
+                .select("group")
+            )
+            joined = joined.join(F.broadcast(top), "group")
+        w = Window.partitionBy("group").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("grank", F.row_number().over(w))
+            .where(F.col("grank") <= F.lit(int(hits_per_group)))
+            .select("group", "doc_id", "score", "grank")
+            .orderBy("group", "grank")
+        )
+
     def proximity_search(
         self,
         phrase: str | list[str],

@@ -2796,7 +2796,12 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights IEEE-exact so the combine is one double add on each
     side), and ``stats_agg`` (round 5 — count/min/max/sum/distinct of
     ``n_chars`` over the full match set are exact integer aggregates;
-    avg is one sum/count double division mirrored verbatim)."""
+    avg is one sum/count double division mirrored verbatim),
+    ``top_hits_by_group`` (best 2 docs per lang bucket, ES top_hits
+    nesting — grouping selects, never scores), and
+    ``cardinality_sketch`` (bottom-k approx distinct of ``n_chars``
+    over the match set at k=16, exercising the estimate branch on the
+    serving surface)."""
     eng = gate_engine(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     fscore = F.col("score").cast("float").cast("double").alias("score")
@@ -2930,11 +2935,37 @@ def q_serving_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("score"),
         F.col("value").cast("bigint").alias("cnt"),
     )
+    # ES top_hits-under-terms: best 2 docs per lang bucket of the full
+    # match set, scores untouched (the grouping selects, never scores)
+    tophits = eng.top_hits_by_group(
+        SERVING_QUERY, docs, "lang", hits_per_group=2
+    ).select(
+        F.lit("tophits").alias("part"), F.col("group").alias("fkey"),
+        "doc_id", fscore, F.col("grank").cast("long").alias("cnt"),
+    )
+    # bottom-k cardinality sketch of n_chars over the same match set
+    # (k=16 < distinct values, so this exercises the estimate branch
+    # on the serving surface; integer-exact until one double division)
+    card = (
+        eng.cardinality_sketch(SERVING_QUERY, docs, "n_chars", k=16)
+        .select(F.expr(
+            "stack(3, "
+            "'n', CAST(0.0 AS DOUBLE), n_sketch, "
+            "'kth', CAST(0.0 AS DOUBLE), kth_hash, "
+            "'est', est_distinct, CAST(0 AS BIGINT)"
+            ") AS (fkey, score, cnt)"
+        ))
+        .select(
+            F.lit("card").alias("part"), "fkey",
+            zero.alias("doc_id"), "score", "cnt",
+        )
+    )
     return (
         filtered.unionByName(facets).unionByName(p1).unionByName(p2)
         .unionByName(mlt).unionByName(boosted).unionByName(sig)
         .unionByName(msm).unionByName(coll).unionByName(cnt)
         .unionByName(synonym).unionByName(resc).unionByName(stats)
+        .unionByName(tophits).unionByName(card)
         .unionByName(pctl)
     )
 
@@ -3145,6 +3176,22 @@ pctl AS (
       CAST(min(CASE WHEN cum >= floor((n-1)*0.95)+1 THEN v END) AS BIGINT)
       FROM pctl_cum
   ) x
+),
+tophits AS (
+  SELECT 'tophits' AS part, lang AS fkey, doc_id, score,
+         CAST(gr AS BIGINT) AS cnt
+  FROM coll_r WHERE gr <= 2
+),
+card_sk AS {_duck_sketch('statsrc', 'v', 16)},
+card AS (
+  SELECT 'card' AS part, x.fkey, CAST(0 AS BIGINT) AS doc_id,
+         x.score, x.cnt
+  FROM (
+    SELECT 'n' AS fkey, 0.0 AS score,
+           CAST(n_sketch AS BIGINT) AS cnt FROM card_sk
+    UNION ALL SELECT 'kth', 0.0, kth_hash FROM card_sk
+    UNION ALL SELECT 'est', est, CAST(0 AS BIGINT) FROM card_sk
+  ) x
 )
 SELECT * FROM filtered
 UNION ALL SELECT * FROM facets
@@ -3159,6 +3206,8 @@ UNION ALL SELECT * FROM synonym
 UNION ALL SELECT * FROM resc
 UNION ALL SELECT * FROM stats
 UNION ALL SELECT * FROM pctl
+UNION ALL SELECT * FROM tophits
+UNION ALL SELECT * FROM card
 """
 
 

@@ -682,3 +682,55 @@ def test_percentiles_agg_exact_rank(spark, engine, docs):
     }
     want = {q: vals[math.floor((len(vals) - 1) * q)] for q in (0.25, 0.5, 0.95)}
     assert got == want
+
+
+# ---------------------------------------------- top_hits aggregation
+
+def test_top_hits_by_group_matches_bruteforce(spark, engine, docs):
+    """Every bucket serves its own best-2 by the engine total order,
+    with the unmodified search scores (grouping selects, never
+    scores)."""
+    q = "spark or data"
+    got = engine.top_hits_by_group(q, docs, "lang", hits_per_group=2)
+    rows = got.collect()
+    scored = {
+        r.doc_id: r.score for r in engine.search_df(q).collect()
+    }
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    # brute force: per lang, sort matched docs by (score desc, doc_id)
+    by_lang: dict = {}
+    for d, s in scored.items():
+        by_lang.setdefault(langs[d], []).append((-s, d))
+    want = []
+    for lang, items in by_lang.items():
+        for rank, (negs, d) in enumerate(sorted(items)[:2], start=1):
+            want.append((lang, d, -negs, rank))
+    assert sorted((r.group, r.doc_id, r.score, r.grank) for r in rows) == sorted(want)
+    # output is group-major, rank-ordered
+    assert [(r.group, r.grank) for r in rows] == sorted(
+        (r.group, r.grank) for r in rows
+    )
+
+
+def test_top_hits_top_groups_restriction(spark, engine, docs):
+    q = "spark or data"
+    full = engine.top_hits_by_group(q, docs, "lang", hits_per_group=2)
+    counts = (
+        engine.search_df(q)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").count().collect()
+    )
+    top2 = {
+        r.lang
+        for r in sorted(counts, key=lambda r: (-r["count"], r.lang))[:2]
+    }
+    got = engine.top_hits_by_group(
+        q, docs, "lang", hits_per_group=2, top_groups=2
+    )
+    assert {r.group for r in got.collect()} == top2
+    # restricted output == the unrestricted output filtered to those buckets
+    want = [
+        (r.group, r.doc_id, r.score, r.grank)
+        for r in full.collect() if r.group in top2
+    ]
+    assert [(r.group, r.doc_id, r.score, r.grank) for r in got.collect()] == want
