@@ -38,6 +38,17 @@ dedup operator uses): the output ``text`` is the cleaned training
 token sequence, not a byte-faithful edit of the original markup.
 That matches the published setting (they dedup the tokenized corpus).
 
+Self-overlapping duplicates (periodic text like ``x x x x ...``) are
+removed greedily: the merged cut range of the rank>1 occurrences can
+overlap the canonical occurrence's tail, collapsing the run to its
+first token. This matches the published greedy overlapping-span
+removal, is deterministic (the gate oracle computes the identical
+result), and is pinned by
+``test_periodic_text_collapses_deterministically`` — the keep-first
+guarantee of one FULLY-surviving occurrence per duplicated gram holds
+whenever occurrences don't overlap each other (the non-pathological
+case, asserted corpus-wide on the fixture).
+
 Like ``dedup.py``, every expression comes from ``functions.dialect``
 fragments so the DuckDB gate oracle is bit-identical, and everything
 is whole-stage-codegen'd built-ins — no Python UDFs.

@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist")
     ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--span-dedup-w", type=int, default=None,
+                    help="cut duplicate W-token spans (keep-first; "
+                         "rewrites text as the normalized token stream)")
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--stride", type=int, default=48)
     ap.add_argument("--seq-len", type=int, default=256)
@@ -110,6 +113,29 @@ def main() -> None:
     docs, n = stage(
         "near_dedup", docs.join(drop_near, "doc_id", "left_anti"), n
     )
+
+    # 2b. span-level substring dedup: cut duplicate W-gram spans
+    # (keep-first), drop docs whose text was entirely duplicated.
+    # Runs AFTER document-level dedup so the heavy gram explode sees
+    # only surviving docs; rewrites the text column with the cleaned
+    # normalized token stream (the published setting — the dedup
+    # operates on the tokenized corpus).
+    if args.span_dedup_w:
+        from cs_search_engine_architecture_spark.operators import (
+            spans as sp,
+        )
+
+        cleaned = sp.remove_duplicate_spans(docs, args.span_dedup_w, tc)
+        docs, n = stage(
+            "span_dedup",
+            docs.drop(tc).join(
+                cleaned.where(F.col("n_tokens_kept") > 0).select(
+                    "doc_id", F.col("text").alias(tc)
+                ),
+                "doc_id",
+            ),
+            n,
+        )
 
     # 3. quality / language filter (row-local column arithmetic)
     if args.min_quality is not None or args.langs:

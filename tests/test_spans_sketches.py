@@ -202,3 +202,19 @@ def test_engine_cardinality_sketch_matches_operator(spark, tmp_path):
         term, docs, "n_chars", k=16, predicate=F.col("n_chars") >= 0
     ).collect()[0]
     assert filtered == got
+
+
+def test_periodic_text_collapses_deterministically(spark):
+    """Self-overlapping duplicates (periodic text): every gram after
+    the first is rank>1, and the merged cut range overlaps the
+    canonical occurrence's tail — the doc deterministically collapses
+    to its first token. This mirrors the published greedy
+    overlapping-span removal; the gate's DuckDB oracle computes the
+    identical result, so the behavior is pinned, not accidental."""
+    docs = _corpus(spark, ["x x x x x x x x x x x x"])
+    out = SP.remove_duplicate_spans(docs, 3).collect()[0]
+    assert out.text == "x"
+    assert out.n_tokens_kept == 1 and out.n_tokens_removed == 11
+    # detection view: one maximal span covering the whole doc
+    det = SP.duplicate_spans(docs, 3).collect()
+    assert [(r.span_start, r.span_end, r.n_grams) for r in det] == [(1, 12, 10)]

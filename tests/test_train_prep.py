@@ -79,3 +79,43 @@ def test_train_prep_pipeline(spark, tmp_path):
     for r in ordered:
         assert r["start_offset"] == off
         off += r["n_tokens"]
+
+
+def test_train_prep_span_dedup_stage(spark, tmp_path):
+    """--span-dedup-w cuts duplicated W-gram spans keep-first: the
+    canonical doc survives untouched, the copying doc keeps only its
+    unique prefix, and a fully-duplicated doc is dropped."""
+    rows = [
+        (0, LONG),
+        (1, "prefix words here now " + LONG),  # shares the LONG run
+        (2, LONG + " " + LONG),  # self-periodic + duplicated -> emptied
+    ]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus
+    )
+    out = str(tmp_path / "prep")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "train_prep.py"),
+            "--input", corpus, "--output", out,
+            "--min-jaccard", "1.01",  # keep near-dups: span stage's job
+            "--span-dedup-w", "8",
+            "--chunk-size", "16", "--stride", "12", "--seq-len", "32",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=480, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    by = {s["stage"]: s for s in metrics["stages"]}
+    assert by["span_dedup"]["in"] == 3
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert texts[0] == LONG  # canonical first occurrence untouched
+    assert texts[1] == "prefix words here now"
+    assert 2 not in texts  # both halves duplicated doc 0 -> emptied
+    assert by["span_dedup"]["dropped"] == 1
