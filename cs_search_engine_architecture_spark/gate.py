@@ -2423,24 +2423,50 @@ SQL_REDACT_TEXT = (
 )
 
 
+MIX_SHARES = {"en": 0.4, "fr": 0.4, "zh": 0.2}
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language deterministic downsampling (en 50%, zh 20%, rest
-    10%) — the rebalance-the-mix pipeline step, hash-keyed so the oracle
-    reproduces the exact kept set."""
-    return TA.stratified_sample(
-        _docs(spark, sf_dir),
-        "lang",
-        {"en": 0.5, "zh": 0.2},
-        default=0.1,
-        seed="mix",
-    ).select("doc_id", "lang")
+    """Composite gate: ``strat`` arm = per-language deterministic
+    downsampling with EXPLICIT fractions (en 50%, zh 20%, rest 10%);
+    ``mix`` arm = ``resample_to_mixture`` with target SHARES (en/fr/zh
+    40/40/20, other langs dropped) whose keep-fractions are COMPUTED
+    from the data (binding stratum kept whole, c/share → min →
+    share·scale/c, each a single IEEE double op) — the oracle
+    recomputes the same fractions in SQL, so a hash match proves the
+    derived-mixture arithmetic, not just the bucket filter."""
+    docs = _docs(spark, sf_dir)
+    strat = TA.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.2}, default=0.1, seed="mix",
+    ).select(
+        F.lit("strat").alias("part"), "doc_id", "lang"
+    )
+    mix = TA.resample_to_mixture(
+        docs, "lang", MIX_SHARES, seed="mix"
+    ).select(F.lit("mix").alias("part"), "doc_id", "lang")
+    return strat.unionByName(mix)
 
 
 _STRAT_BUCKET = D.split_bucket(D.DUCKDB, "doc_id", "mix")
+_MIX_VALUES = ", ".join(f"('{s}', {v})" for s, v in MIX_SHARES.items())
 SQL_STRATIFIED_SAMPLE = f"""
-SELECT doc_id, lang FROM documents
+WITH cnt AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS c
+             FROM documents GROUP BY lang),
+shares(s, share) AS (VALUES {_MIX_VALUES}),
+j AS (SELECT cnt.s, cnt.c, shares.share FROM cnt
+      JOIN shares ON cnt.s = shares.s),
+sc AS (SELECT min(c / share) AS scale FROM j),
+thr AS (SELECT s,
+        CAST(floor(((share * (SELECT scale FROM sc)) / c) * 1000) AS INT)
+          AS t
+        FROM j)
+SELECT 'strat' AS part, doc_id, lang FROM documents
 WHERE {_STRAT_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200
                         ELSE 100 END
+UNION ALL
+SELECT 'mix' AS part, d.doc_id, d.lang FROM documents d
+JOIN thr ON d.lang = thr.s
+WHERE {D.split_bucket(D.DUCKDB, 'd.doc_id', 'mix')} < thr.t
 """
 
 

@@ -287,6 +287,49 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def mixture_fractions(
+    df: DataFrame, stratum_col: str, target_shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-fractions that rebalance ``df`` to the target
+    mixture while keeping as much data as possible: the binding
+    stratum (smallest count/share ratio) is kept whole and every other
+    stratum is downsampled to match — the DoReMi/"domain weights" data
+    mixing step. One bounded aggregation (#strata rows to the driver);
+    arithmetic is plain IEEE double ops in a fixed order
+    (c/share per stratum → min → share·scale/c), so the DuckDB oracle
+    reproduces the exact fractions. Strata absent from
+    ``target_shares`` get no entry (``stratified_sample``'s
+    default=0.0 drops them)."""
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+        if r["s"] in target_shares
+    }
+    scale = min(counts[s] / target_shares[s] for s in counts)
+    return {s: target_shares[s] * scale / counts[s] for s in counts}
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic resample of ``df`` to the target per-stratum
+    mixture: ``stratified_sample`` driven by ``mixture_fractions`` —
+    same hash-bucket filter sitting directly on the scan (row-local;
+    the only extra cost over a plain scan is one tiny counts
+    aggregation up front). Reproducible across runs and partitionings;
+    re-seedable."""
+    fracs = mixture_fractions(df, stratum_col, target_shares)
+    return stratified_sample(
+        df, stratum_col, fracs, default=0.0, id_col=id_col, seed=seed
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_doc_count: int = 3,

@@ -1317,3 +1317,37 @@ def test_dedup_store_delete_unblocks_reingest(spark, docs, tmp_path):
     # probe surfaces no pair against any tombstoned doc
     pairs = DD.incremental_dup_pairs(spark, store, batch).collect()
     assert all(r["corpus_doc"] not in {0, 1, 2} for r in pairs)
+
+
+def test_resample_to_mixture_hits_target_shares(spark):
+    """The computed fractions keep the binding stratum whole and land
+    the kept set near the target mixture (hash-bucket granularity is
+    1/1000); absent-from-target strata are dropped entirely."""
+    from cs_search_engine_architecture_spark.operators import (
+        text_analysis as ta,
+    )
+
+    rows = [(i, ["en", "fr", "zh", "de"][i % 7 % 4]) for i in range(7000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    fracs = ta.mixture_fractions(df, "lang", shares)
+    # counts: en appears for i%7%4==0 (i%7 in {0,4}) = 2000; fr 2000
+    # (1,5), zh 2000 (2,6), de 1000 (3). binding = en at c/share 4000.
+    assert fracs["en"] == 1.0  # binding stratum kept whole
+    assert "de" not in fracs
+    kept = ta.resample_to_mixture(df, "lang", shares, seed="t")
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert "de" not in counts
+    total = sum(counts.values())
+    for s, share in shares.items():
+        assert abs(counts[s] / total - share) < 0.05, (s, counts)
+    # deterministic: same seed -> identical kept set
+    again = ta.resample_to_mixture(df, "lang", shares, seed="t")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
