@@ -17,10 +17,12 @@ fingerprinting, the standard distributed reformulation:
 1. **gram_occurrences** — one row per token position: explode the
    per-doc W-gram md5 list (row-local column math; rows out = total
    token count, the same cardinality the tokenizer already shuffles).
-2. **duplicated occurrences** — ``Window.partitionBy(gram_hash)``
-   ranks every occurrence by ``(doc_id, pos)``; a hash with count > 1
-   is duplicated, and rank 1 is the canonical (kept) occurrence. The
-   shuffle key is a uniform md5, so this is skew-free by construction
+2. **duplicated occurrences** — per-hash count + ``min(struct(doc_id,
+   pos))`` mark a hash duplicated (count > 1) and name its canonical
+   kept occurrence. Deliberately an AGGREGATE + join rather than a
+   ``row_number`` window: the aggregate partial-combines map-side, so
+   a hot boilerplate gram (one hash in 10⁸ docs) never lands as one
+   giant window partition, and the join back is AQE-skew-splittable
    (contrast: suffix sorting has pathological skew on repeated text).
 3. **duplicate_spans** — per-document gaps-and-islands merge of the
    duplicated gram positions into maximal ``[span_start, span_end]``
@@ -83,20 +85,22 @@ def gram_occurrences(
     )
 
 
-def _ranked_occurrences(df: DataFrame, w: int, text_col: str) -> DataFrame:
-    """Occurrences + ``rank`` (1 = canonical first occurrence) and
-    ``n_occ`` per gram hash. One shuffle on the uniform hash key."""
+def _occurrence_stats(df: DataFrame, w: int, text_col: str) -> DataFrame:
+    """Occurrences + per-hash ``n_occ`` and the canonical ``first``
+    occurrence (the (doc_id, pos) minimum). Deliberately NOT a
+    ``row_number`` window over ``partitionBy(gram_hash)``: a hot
+    boilerplate gram (a license header shared by 10⁸ docs) would put
+    all its occurrences in ONE window partition, and AQE cannot split
+    a skewed window. ``min(struct)``/count partial-aggregate map-side
+    (the skew collapses before the shuffle), and the join back is an
+    equi-join AQE's skew handling CAN split. Keep-first semantics are
+    identical: rank 1 ⇔ equal to the per-hash minimum."""
     occ = gram_occurrences(df, w, text_col)
-    win = Window.partitionBy("gram_hash").orderBy("doc_id", "pos")
-    return occ.select(
-        "doc_id",
-        "pos",
-        "gram_hash",
-        F.row_number().over(win).alias("rank"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("gram_hash"))
-        .alias("n_occ"),
+    stats = occ.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
     )
+    return occ.join(stats, "gram_hash")
 
 
 def _islands(occ: DataFrame, w: int) -> DataFrame:
@@ -145,7 +149,7 @@ def duplicate_spans(
     view; ``remove_duplicate_spans`` is the keep-first edit view).
     Output: (doc_id, span_start, span_end, n_grams), token positions
     1-based inclusive."""
-    dup = _ranked_occurrences(df, w, text_col).where(F.col("n_occ") > 1)
+    dup = _occurrence_stats(df, w, text_col).where(F.col("n_occ") > 1)
     return _islands(dup.select("doc_id", "pos"), w)
 
 
@@ -153,10 +157,16 @@ def removable_spans(
     df: DataFrame, w: int = SPAN_W, text_col: str = "text"
 ) -> DataFrame:
     """Token spans to CUT under the keep-first policy: the islands of
-    every occurrence that is not its gram's global first (rank > 1 by
-    ``(doc_id, pos)``). Deterministic: re-running on the same corpus
-    always selects the same survivors."""
-    rem = _ranked_occurrences(df, w, text_col).where(F.col("rank") > 1)
+    every occurrence that is not its gram's global first (the
+    ``(doc_id, pos)`` minimum). Deterministic: re-running on the same
+    corpus always selects the same survivors."""
+    rem = _occurrence_stats(df, w, text_col).where(
+        (F.col("n_occ") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
     return _islands(rem.select("doc_id", "pos"), w)
 
 

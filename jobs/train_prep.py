@@ -2,12 +2,15 @@
 job — the composition of the individually-gated hygiene operators:
 
   exact dedup -> near-dup collapse (MinHash-LSH candidates, n-gram
-  Jaccard verify, transitive cluster keep-one) -> quality / language
-  filter -> benchmark decontamination -> chunking -> sequence packing
+  Jaccard verify, transitive cluster keep-one) -> duplicate-span cut
+  (optional) -> quality / language filter -> benchmark decontamination
+  -> domain-mixture rebalance (optional) -> chunking -> sequence packing
 
     spark-submit jobs/train_prep.py --input docs.parquet --output /out \
         [--benchmark bench.parquet] [--min-quality 0.4] [--langs en,fr] \
-        [--min-jaccard 0.8] [--chunk-size 64] [--stride 48] \
+        [--min-jaccard 0.8] [--span-dedup-w 50] \
+        [--mixture en:0.5,fr:0.3,zh:0.2] [--mixture-col lang] \
+        [--chunk-size 64] [--stride 48] \
         [--seq-len 256] [--text-col text] [--cores N]
 
 Writes under --output:
@@ -62,6 +65,11 @@ def main() -> None:
     ap.add_argument("--span-dedup-w", type=int, default=None,
                     help="cut duplicate W-token spans (keep-first; "
                          "rewrites text as the normalized token stream)")
+    ap.add_argument("--mixture", default=None,
+                    help="target domain shares over --mixture-col, e.g. "
+                         "'en:0.5,fr:0.3,zh:0.2' — strata outside the "
+                         "list are dropped")
+    ap.add_argument("--mixture-col", default="lang")
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--stride", type=int, default=48)
     ap.add_argument("--seq-len", type=int, default=256)
@@ -166,9 +174,23 @@ def main() -> None:
             "decontaminate", docs.join(clean, "doc_id", "left_semi"), n
         )
 
+    # 5. rebalance to the target domain mixture (deterministic
+    # hash-bucket resample; binding stratum kept whole) — last, so the
+    # mixture is computed over what actually survived the filters
+    if args.mixture:
+        shares = {
+            k: float(v)
+            for k, v in (p.split(":") for p in args.mixture.split(","))
+        }
+        docs, n = stage(
+            "mixture",
+            ta.resample_to_mixture(docs, args.mixture_col, shares),
+            n,
+        )
+
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
 
-    # 5. chunking (row-local sliding-window explode)
+    # 6. chunking (row-local sliding-window explode)
     t0 = time.time()
     chunks = ta.chunk_documents(
         docs, chunk_size=args.chunk_size, stride=args.stride, text_col=tc
@@ -181,7 +203,7 @@ def main() -> None:
     stages.append({"stage": "chunk", "in": n, "out": n_chunks,
                    "dropped": 0, "wall_sec": round(time.time() - t0, 3)})
 
-    # 6. sequence packing (two-phase distributed prefix sum)
+    # 7. sequence packing (two-phase distributed prefix sum)
     t0 = time.time()
     packed = packing.pack_sequences(
         chunks.select(
