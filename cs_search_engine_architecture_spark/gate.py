@@ -565,7 +565,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-estimated Jaccard (integer agreement count / num_hashes —
     one double division, mirrored verbatim in the oracle)."""
     docs = _docs(spark, sf_dir)
-    sigs = DD.minhash_signatures(docs).select(
+    sig_df = DD.minhash_signatures(docs)
+    sigs = sig_df.select(
         F.lit("sig").alias("part"),
         F.col("doc_id").alias("doc_a"),
         F.lit(0).cast("long").alias("doc_b"),
@@ -574,9 +575,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig_key"),
         F.lit(0.0).alias("est"),
     )
-    self_pairs = DD.lsh_candidate_pairs(
-        DD.minhash_signatures(docs)
-    ).select(
+    self_pairs = DD.lsh_candidate_pairs(sig_df).select(
         F.lit("self").alias("part"), "doc_a", "doc_b",
         F.lit("").alias("sig_key"),
         F.lit(0.0).alias("est"),
@@ -2457,8 +2456,10 @@ j AS (SELECT cnt.s, cnt.c, shares.share FROM cnt
       JOIN shares ON cnt.s = shares.s),
 sc AS (SELECT min(c / share) AS scale FROM j),
 thr AS (SELECT s,
-        CAST(floor(((share * (SELECT scale FROM sc)) / c) * 1000) AS INT)
-          AS t
+        CASE WHEN c / share = (SELECT scale FROM sc) THEN 1000
+             ELSE CAST(floor(((share * (SELECT scale FROM sc)) / c) * 1000)
+                       AS INT)
+        END AS t
         FROM j)
 SELECT 'strat' AS part, doc_id, lang FROM documents
 WHERE {_STRAT_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200

@@ -300,6 +300,9 @@ def mixture_fractions(
     reproduces the exact fractions. Strata absent from
     ``target_shares`` get no entry (``stratified_sample``'s
     default=0.0 drops them)."""
+    bad = [s for s, v in target_shares.items() if not v > 0]
+    if bad:
+        raise ValueError(f"target shares must be > 0: {bad}")
     counts = {
         r["s"]: r["c"]
         for r in df.groupBy(F.col(stratum_col).alias("s"))
@@ -307,8 +310,24 @@ def mixture_fractions(
         .collect()
         if r["s"] in target_shares
     }
+    if not counts:
+        raise ValueError(
+            f"no target stratum present in column {stratum_col!r}: "
+            f"wanted {sorted(target_shares)}"
+        )
     scale = min(counts[s] / target_shares[s] for s in counts)
-    return {s: target_shares[s] * scale / counts[s] for s in counts}
+    # the binding stratum's share*scale/c would be 1.0 in exact
+    # arithmetic but can round DOWN a ulp in IEEE (dropping its bucket
+    # 999) — clamp every stratum AT the min ratio to exactly 1.0; the
+    # oracle mirrors with CASE WHEN c/share = scale THEN 1000
+    return {
+        s: (
+            1.0
+            if counts[s] / target_shares[s] == scale
+            else target_shares[s] * scale / counts[s]
+        )
+        for s in counts
+    }
 
 
 def resample_to_mixture(

@@ -134,12 +134,16 @@ def main() -> None:
         )
 
         cleaned = sp.remove_duplicate_spans(docs, args.span_dedup_w, tc)
+        # drop only docs whose text was ENTIRELY duplicated (kept=0
+        # with removals); a doc that had zero normalized tokens to
+        # begin with (kept=0, removed=0) passes through
         docs, n = stage(
             "span_dedup",
             docs.drop(tc).join(
-                cleaned.where(F.col("n_tokens_kept") > 0).select(
-                    "doc_id", F.col("text").alias(tc)
-                ),
+                cleaned.where(
+                    (F.col("n_tokens_kept") > 0)
+                    | (F.col("n_tokens_removed") == 0)
+                ).select("doc_id", F.col("text").alias(tc)),
                 "doc_id",
             ),
             n,

@@ -1351,3 +1351,45 @@ def test_resample_to_mixture_hits_target_shares(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_mixture_binding_stratum_exactly_whole(spark):
+    """The binding stratum's fraction is CLAMPED to exactly 1.0 even
+    when share*(c/share)/c rounds down a ulp — found by brute force:
+    without the clamp, bucket 999 of the binding stratum is dropped."""
+    from cs_search_engine_architecture_spark.operators import (
+        text_analysis as ta,
+    )
+
+    # find a (share, count) pair where the naive product != 1.0
+    share, c = next(
+        (s, n)
+        for n in range(3, 200)
+        for s in (1 / 3, 0.1, 0.7, 1 / 7, 0.578)
+        if s * (n / s) / n != 1.0
+    )
+    other = 1.0 - share
+    # make the (share) stratum binding: count/share smallest
+    n_other = int((c / share) * other) + c  # other stratum has slack
+    rows = [(i, "bind") for i in range(c)] + [
+        (10_000 + i, "rest") for i in range(n_other)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fracs = ta.mixture_fractions(df, "lang", {"bind": share, "rest": other})
+    assert fracs["bind"] == 1.0
+    kept = ta.resample_to_mixture(
+        df, "lang", {"bind": share, "rest": other}, seed="clamp"
+    )
+    assert kept.where("lang = 'bind'").count() == c  # nothing dropped
+
+
+def test_mixture_fractions_errors(spark):
+    from cs_search_engine_architecture_spark.operators import (
+        text_analysis as ta,
+    )
+
+    df = spark.createDataFrame([(0, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="no target stratum"):
+        ta.mixture_fractions(df, "lang", {"De": 0.5, "Fr": 0.5})
+    with pytest.raises(ValueError, match="must be > 0"):
+        ta.mixture_fractions(df, "lang", {"en": 0.0})

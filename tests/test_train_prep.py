@@ -89,6 +89,7 @@ def test_train_prep_span_dedup_stage(spark, tmp_path):
         (0, LONG),
         (1, "prefix words here now " + LONG),  # shares the LONG run
         (2, LONG + " " + LONG),  # self-periodic + duplicated -> emptied
+        (3, "!!! *** ???"),  # zero normalized tokens, NO dups -> kept
     ]
     corpus = str(tmp_path / "corpus.parquet")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
@@ -110,7 +111,7 @@ def test_train_prep_span_dedup_stage(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     metrics = json.load(open(os.path.join(out, "metrics.json")))
     by = {s["stage"]: s for s in metrics["stages"]}
-    assert by["span_dedup"]["in"] == 3
+    assert by["span_dedup"]["in"] == 4
     texts = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
@@ -118,4 +119,5 @@ def test_train_prep_span_dedup_stage(spark, tmp_path):
     assert texts[0] == LONG  # canonical first occurrence untouched
     assert texts[1] == "prefix words here now"
     assert 2 not in texts  # both halves duplicated doc 0 -> emptied
+    assert texts[3] == ""  # token-free doc passes through, not dropped
     assert by["span_dedup"]["dropped"] == 1
