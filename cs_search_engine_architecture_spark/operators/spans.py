@@ -170,17 +170,17 @@ def removable_spans(
     return _islands(rem.select("doc_id", "pos"), w)
 
 
-def remove_duplicate_spans(
-    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+def _rebuild_excluding(
+    df: DataFrame, cut_spans: DataFrame, text_col: str
 ) -> DataFrame:
     """Cleaned corpus: (doc_id, text, n_tokens_kept, n_tokens_removed)
-    with every removable span cut from the normalized token stream.
-    The first occurrence of each duplicated gram survives; a document
+    with every token range in ``cut_spans`` (doc_id, span_start,
+    span_end) removed from the normalized token stream. A document
     reduced to nothing stays in the output with empty text.
 
-    Shape: removable islands explode to their token positions (rows
-    bounded by the number of REMOVED tokens, not corpus size) and
-    anti-join the (doc_id, pos) token stream — equi-joins only."""
+    Shape: cut islands explode to their token positions (rows bounded
+    by the number of REMOVED tokens, not corpus size) and anti-join
+    the (doc_id, pos) token stream — equi-joins only."""
     toks = df.select(
         "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
     )
@@ -188,7 +188,7 @@ def remove_duplicate_spans(
         "doc_id",
         F.posexplode("toks").alias("pos0", "tok"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    cut = removable_spans(df, w, text_col).select(
+    cut = cut_spans.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("span_start"), F.col("span_end"))
@@ -213,4 +213,158 @@ def remove_duplicate_spans(
             F.col("n_tokens")
             - F.coalesce("n_tokens_kept", F.lit(0))
         ).alias("n_tokens_removed"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """Cleaned corpus with every removable span cut (see
+    ``_rebuild_excluding`` for the output contract and shape). The
+    first occurrence of each duplicated gram survives."""
+    return _rebuild_excluding(df, removable_spans(df, w, text_col), text_col)
+
+
+# ----------------------------------------------------------------------
+# Incremental span store: ingest-time duplicate-span probing.
+#
+# Same segment protocol as dedup.build_dedup_store (CLAUDE.md): the
+# corpus is gram-hashed exactly ONCE into a skinny per-hash stats
+# table; every ingest batch probes/append under its OWN segment with
+# overwrite semantics, so at-least-once replay rewrites instead of
+# double-appending, and a probe from inside a batch passes
+# exclude_segment=<own> to stay replay-deterministic. There is no
+# tombstone tier: gram stats are corpus-level counts, so the
+# compaction analog is a rebuild over current_corpus.
+
+
+def build_span_store(
+    df: DataFrame, out_path: str, w: int = SPAN_W, text_col: str = "text"
+) -> None:
+    """Persist the corpus's per-gram stats (gram_hash, n_occ,
+    first_doc, first_pos) under ``grams/seg=base`` + ``meta.json``
+    pinning ``w``. At 100 TB the probe then streams a table a fraction
+    of the corpus size instead of re-hashing the corpus per batch."""
+    import json
+    import os
+
+    _gram_stats(df, w, text_col).write.mode("overwrite").parquet(
+        os.path.join(out_path, "grams", "seg=base")
+    )
+    with open(os.path.join(out_path, "meta.json"), "w") as fh:
+        json.dump({"w": w, "text_col": text_col}, fh)
+
+
+def _gram_stats(df: DataFrame, w: int, text_col: str) -> DataFrame:
+    occ = gram_occurrences(df, w, text_col)
+    return occ.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("doc_id").alias("first_doc"),
+        F.min(F.struct("doc_id", "pos")).getField("pos").alias("first_pos"),
+    )
+
+
+def _span_store_meta(store_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(store_path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def span_store_append(
+    spark, store_path: str, new_df: DataFrame, segment=None
+) -> None:
+    """FROZEN-W append: the batch's gram stats land under
+    ``grams/seg=<segment>`` with OVERWRITE semantics (stable segment id
+    ⇒ idempotent replay). When omitted, a fresh ``m<N>`` manual slot is
+    allocated (disjoint from integer streaming batch ids)."""
+    import os
+
+    meta = _span_store_meta(store_path)
+    if segment is None:
+        existing = {
+            d.split("=", 1)[1]
+            for d in os.listdir(os.path.join(store_path, "grams"))
+            if d.startswith("seg=")
+        }
+        n = 0
+        while f"m{n}" in existing:
+            n += 1
+        segment = f"m{n}"
+    _gram_stats(new_df, meta["w"], meta["text_col"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, "grams", f"seg={segment}"))
+
+
+def probe_duplicate_spans(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    exclude_segment=None,
+) -> DataFrame:
+    """Duplicated token spans IN THE BATCH against (store ∪ batch): a
+    batch gram occurrence is duplicated iff its hash already exists in
+    the store (the store copy is canonical) or it repeats within the
+    batch. Returns merged (doc_id, span_start, span_end, n_grams) over
+    BATCH docs only — one streamed pass of the skinny store table, the
+    corpus is never re-hashed. ``exclude_segment`` drops the probing
+    batch's own appended segment (partition-pruned), keeping replays
+    deterministic."""
+    dup = _probe_removable(spark, store_path, batch, exclude_segment,
+                           keep_batch_first=True)
+    return _islands(dup, _span_store_meta(store_path)["w"])
+
+
+def probe_remove_duplicate_spans(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    exclude_segment=None,
+) -> DataFrame:
+    """Ingest-time span cut: the batch with every span already present
+    in the store removed (store is canonical), plus intra-batch
+    keep-first dedup — the streaming counterpart of
+    ``remove_duplicate_spans`` (same output contract)."""
+    meta = _span_store_meta(store_path)
+    rem = _probe_removable(spark, store_path, batch, exclude_segment,
+                           keep_batch_first=False)
+    return _rebuild_excluding(
+        batch, _islands(rem, meta["w"]), meta["text_col"]
+    )
+
+
+def _probe_removable(
+    spark, store_path: str, batch: DataFrame, exclude_segment,
+    keep_batch_first: bool,
+) -> DataFrame:
+    """(doc_id, pos) of batch gram occurrences that are duplicated
+    (detection view, keep_batch_first=True: include the batch-first
+    occurrence) or removable (removal view: a store hit removes every
+    batch occurrence; an intra-batch dup keeps its (doc_id, pos)
+    minimum)."""
+    import os
+
+    meta = _span_store_meta(store_path)
+    occ = gram_occurrences(batch, meta["w"], meta["text_col"])
+    store = spark.read.parquet(os.path.join(store_path, "grams"))
+    if exclude_segment is not None:
+        store = store.where(F.col("seg") != str(exclude_segment))
+    store_hit = occ.join(
+        store.select("gram_hash"), "gram_hash", "left_semi"
+    ).select("doc_id", "pos")
+    stats = occ.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    intra = occ.join(stats, "gram_hash").where(F.col("n_occ") > 1)
+    if not keep_batch_first:
+        intra = intra.where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+    return (
+        store_hit.unionByName(intra.select("doc_id", "pos")).distinct()
     )

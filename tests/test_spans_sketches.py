@@ -218,3 +218,71 @@ def test_periodic_text_collapses_deterministically(spark):
     # detection view: one maximal span covering the whole doc
     det = SP.duplicate_spans(docs, 3).collect()
     assert [(r.span_start, r.span_end, r.n_grams) for r in det] == [(1, 12, 10)]
+
+
+# ---------------------------------------------- incremental span store
+
+def test_span_store_probe_detection_and_removal(spark, tmp_path):
+    """Probe semantics: a batch gram is duplicated iff it exists in
+    the persisted store (store copy canonical) or repeats within the
+    batch; removal cuts store hits entirely and keeps the intra-batch
+    first."""
+    store = str(tmp_path / "span_store")
+    corpus = _corpus(spark, ["a b c d e f", "m n o p q r"])
+    SP.build_span_store(corpus, store, w=W)
+    batch = spark.createDataFrame(
+        [
+            (10, "x y a b c d y z"),   # contains corpus run "a b c d"
+            (11, "u v w k k k"),       # clean vs store
+            (12, "u v w j j j"),       # shares "u v w" with 11 (intra)
+        ],
+        "doc_id long, text string",
+    )
+    det = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in SP.probe_duplicate_spans(spark, store, batch).collect()
+    }
+    # doc 10: grams at pos 3,4 -> span [3,6]; docs 11+12: gram "u v w"
+    # at pos 1 -> span [1,3] in BOTH (detection view keeps the first)
+    assert det == {(10, 3, 6), (11, 1, 3), (12, 1, 3)}
+    out = {
+        r.doc_id: r
+        for r in SP.probe_remove_duplicate_spans(
+            spark, store, batch
+        ).collect()
+    }
+    assert out[10].text == "x y y z"      # store hit cut entirely
+    assert out[11].text == "u v w k k k"  # intra-batch first kept
+    assert out[12].text == "j j j"        # intra-batch dup cut
+    # corpus docs themselves are NOT probed (store is canonical)
+    assert set(out) == {10, 11, 12}
+
+
+def test_span_store_append_and_replay_exclusion(spark, tmp_path):
+    """Append under a stable segment is overwrite-idempotent, and a
+    probe excluding the batch's own segment matches the pre-append
+    probe exactly (the replay-determinism contract)."""
+    store = str(tmp_path / "span_store")
+    corpus = _corpus(spark, ["a b c d e f"])
+    SP.build_span_store(corpus, store, w=W)
+    batch = spark.createDataFrame(
+        [(20, "p q r s t")], "doc_id long, text string"
+    )
+    before = SP.probe_duplicate_spans(spark, store, batch).collect()
+    assert before == []
+    SP.span_store_append(spark, store, batch, segment="7")
+    # replay: re-append the same segment, then probe excluding it
+    SP.span_store_append(spark, store, batch, segment="7")
+    after_excl = SP.probe_duplicate_spans(
+        spark, store, batch, exclude_segment="7"
+    ).collect()
+    assert after_excl == []  # identical to the first run
+    # WITHOUT exclusion the batch collides with its own stored grams
+    after = SP.probe_duplicate_spans(spark, store, batch).collect()
+    assert len(after) == 1
+    # a LATER batch sees the appended segment
+    batch2 = spark.createDataFrame(
+        [(30, "z p q r s t z")], "doc_id long, text string"
+    )
+    hit = SP.probe_duplicate_spans(spark, store, batch2).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in hit] == [(30, 2, 6)]
