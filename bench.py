@@ -328,6 +328,32 @@ def main() -> None:
     ).collect()
     timings["cardinality_sketch"] = round(time.time() - t0, 3)
 
+    # training-set tail: global token-budget cut (quality-ordered
+    # two-phase prefix sum) + deterministic epoch-shard materialization
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+        curation as _cu,
+    )
+
+    scored = text_analysis.token_counts(docs).select(
+        "doc_id", F.col("bpe_pieces").alias("n_tokens")
+    ).join(
+        text_analysis.quality_scores(docs).withColumn(
+            "quality_score", text_analysis.quality_score_col()
+        ).select("doc_id", "quality_score"),
+        "doc_id",
+    )
+    half_budget = 27 * docs.count()  # ~half the corpus's bpe tokens
+    t0 = time.time()
+    _cu.select_token_budget(scored, half_budget).count()
+    timings["token_budget_select"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _cu.write_training_shards(
+        docs, os.path.join(work, "shards"), seed=7, num_shards=32
+    )
+    timings["epoch_shard_write"] = round(time.time() - t0, 3)
+
     # decontamination + perplexity-filter scoring over the fixture docs
     from cs_search_engine_architecture_spark.operators import lm  # noqa: E402
 

@@ -172,6 +172,30 @@ UNION
 """
 
 
+def q_bool_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite boolean gate (round-5 consolidation of
+    ``bool_and_not`` + ``bool_precedence`` under the driver's 50-row
+    snapshot cap): the AND-NOT left-anti plan and the precedence
+    algebra (``or(spark, and(data, slow))`` — and binds tighter,
+    sea/query.pyx:71-74) as two arms of one row. Both arms keep their
+    original standalone oracles as the UNION branches."""
+    eng = gate_engine(spark, sf_dir)
+    a = eng.search_df("data and not slow").select(
+        F.lit("and_not").alias("arm"), "doc_id"
+    )
+    b = eng.search_df("spark or data and slow").select(
+        F.lit("precedence").alias("arm"), "doc_id"
+    )
+    return a.unionByName(b)
+
+
+SQL_BOOL_QUERIES = f"""
+SELECT 'and_not' AS arm, doc_id FROM ({SQL_BOOL_AND_NOT}) a
+UNION ALL
+SELECT 'precedence' AS arm, doc_id FROM ({SQL_BOOL_PRECEDENCE}) b
+"""
+
+
 def q_phrase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite positional gate: the reference phrase window
     (``"window order"``, fixed char window 0..10) plus the two
@@ -2702,6 +2726,100 @@ FROM c
 """
 
 
+TOKEN_BUDGET = 12_000  # ~44% of the sf0.01 corpus's 27,165 bpe pieces
+EPOCH_SEED = 7
+EPOCH_SHARDS = 8
+
+
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-set-tail gate (``operators/curation.py``).
+
+    ``budget`` arm — global token-budget selection: keep the
+    highest-quality docs (score desc, doc_id asc) whose INCLUSIVE
+    cumulative bpe-piece count stays ≤ TOKEN_BUDGET. Spark computes the
+    prefix sum two-phase (range partition + local cumsum + broadcast
+    bases — NO single-task window); the oracle is the plain SQL window
+    sum. Token counts are integers so the cut is exact; the ORDER
+    depends on the double quality score, whose per-column equality the
+    ``text_quality`` gate already pins — here the same expression tree
+    (left-assoc weighted sum) is mirrored verbatim.
+
+    ``shuffle`` arm — the deterministic epoch permutation:
+    ``shuffle_key = md5-prefix60(seed ':' doc_id)`` (exact 60-bit
+    integer, shared fragment ``D.hex_prefix60``), ``shard = key %
+    EPOCH_SHARDS``. Pure column arithmetic; integer-exact."""
+    from cs_search_engine_architecture_spark.operators import (
+        curation as CU,
+    )
+
+    docs = _docs(spark, sf_dir)
+    counts = TA.token_counts(docs).select(
+        "doc_id", F.col("bpe_pieces").alias("n_tokens")
+    )
+    qual = TA.quality_scores(docs).withColumn(
+        "quality_score", TA.quality_score_col()
+    ).select("doc_id", "quality_score")
+    kept = CU.select_token_budget(
+        counts.join(qual, "doc_id"), TOKEN_BUDGET
+    )
+    budget_arm = kept.select(
+        F.lit("budget").alias("arm"),
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.lit(None).cast("long").alias("shuffle_key"),
+        F.lit(None).cast("long").alias("shard"),
+    )
+    shuf = CU.epoch_shuffle(
+        docs.select("doc_id"), EPOCH_SEED, EPOCH_SHARDS
+    )
+    shuffle_arm = shuf.select(
+        F.lit("shuffle").alias("arm"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("cum_tokens"),
+        "shuffle_key",
+        F.col("shard").cast("long").alias("shard"),
+    )
+    return budget_arm.unionByName(shuffle_arm)
+
+
+def _sql_training_set() -> str:
+    qsql = TA.quality_sql(D.DUCKDB)
+    bpe = TA.token_counts_sql(D.DUCKDB)["bpe_pieces"]
+    # quality_score_col mirrored with the same left-assoc tree:
+    # ((least(1, qn/200.0)*0.4) + (alpha*0.3)) + (least(1, stop*5.0)*0.3)
+    score = (
+        "(least(1.0, qn / 200.0) * 0.4 + ar * 0.3"
+        " + least(1.0, sr * 5.0) * 0.3)"
+    )
+    key = D.md5_prefix60(
+        D.DUCKDB, f"concat('{EPOCH_SEED}:', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH t AS ({_DUCK_TOKS_CTE}),
+q AS (SELECT doc_id, {qsql['n_tokens']} AS qn, {qsql['alpha_ratio']} AS ar,
+             {qsql['stopword_ratio']} AS sr, {bpe} AS n_tokens FROM t),
+s AS (SELECT doc_id, n_tokens, {score} AS score FROM q),
+c AS (SELECT doc_id, n_tokens,
+      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cum FROM s),
+k AS (SELECT doc_id, {key} AS skey FROM documents)
+SELECT 'budget' AS arm, doc_id, n_tokens, cum AS cum_tokens,
+       CAST(NULL AS BIGINT) AS shuffle_key, CAST(NULL AS BIGINT) AS shard
+FROM c WHERE cum <= {TOKEN_BUDGET}
+UNION ALL
+SELECT 'shuffle' AS arm, doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS cum_tokens, skey AS shuffle_key,
+       skey % {EPOCH_SHARDS} AS shard
+FROM k
+"""
+
+
+SQL_TRAINING_SET = _sql_training_set()
+
+
 DECONTAM_N = 5
 
 
@@ -3243,8 +3361,8 @@ def queries():
         "postings_tf": q_postings_tf,
         "term_stats": q_term_stats,
         "bm25_topk": q_bm25_topk,
-        "bool_and_not": q_bool_and_not,
-        "bool_precedence": q_bool_precedence,
+        "bool_queries": q_bool_queries,
+        "training_set": q_training_set,
         "phrase_window": q_phrase_window,
         "dedup_exact": q_dedup_exact,
         "event_window_counts": q_event_window_counts,
@@ -3298,8 +3416,8 @@ def oracle_sql():
         "postings_tf": SQL_POSTINGS_TF,
         "term_stats": SQL_TERM_STATS,
         "bm25_topk": SQL_BM25_TOPK,
-        "bool_and_not": SQL_BOOL_AND_NOT,
-        "bool_precedence": SQL_BOOL_PRECEDENCE,
+        "bool_queries": SQL_BOOL_QUERIES,
+        "training_set": SQL_TRAINING_SET,
         "phrase_window": SQL_PHRASE_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "event_window_counts": SQL_EVENT_WINDOW_COUNTS,

@@ -1,0 +1,181 @@
+"""Training-set curation tail: global token-budget selection and
+deterministic epoch shuffling / shard materialization.
+
+These are the two steps between "hygienic corpus" and "bytes a trainer
+reads": pick the best documents until a global token budget is spent,
+then materialize the survivors in a deterministic pseudo-random order
+sharded for parallel readers.
+
+``select_token_budget`` — keep the highest-scoring documents whose
+INCLUSIVE cumulative token count (ordered score desc, doc_id asc) stays
+within the budget. The cut needs a global prefix sum over a
+quality-ordered corpus; a bare window (``sum().over(orderBy(...))``
+with no partitionBy) collapses to ONE task, so this reuses the packing
+module's two-phase shape (`packing.pack_sequences`): range-partition on
+the order keys, per-partition local cumsum in one ``mapInPandas`` pass,
+driver-side exclusive prefix over the per-partition totals (one tiny
+row each), broadcast the bases back. Token counts are integers, so the
+cut is exact and fold-order-free; only the ORDER depends on the
+(double) score, which the gate mirrors bit-identically in SQL.
+
+``epoch_shuffle`` / ``write_training_shards`` — a training run wants a
+deterministic, seed-reproducible permutation of the corpus without a
+global sort-and-rank (a global rank is the same single-task window
+trap). The contract instead: ``shuffle_key = md5-prefix60(seed ':' id)``
+(the repo's uniform order-preserving 60-bit hash, shared with the
+DuckDB oracle), ``shard = shuffle_key % num_shards``. A reader that
+streams shards in index order, each shard internally key-sorted, sees a
+deterministic pseudo-random epoch order; shards are uniform by
+construction (hash balance), so parallel readers stay balanced. At
+100 TB the shard count is set to the reader parallelism (thousands) —
+each shard is one hash partition, written key-sorted in one pass with
+no global exchange beyond the single hash shuffle.
+
+Reference has no training-set tail; this extends the pipeline the same
+way `packing`/`text_analysis` do (survey §2 extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dialect as D
+
+_BUDGET_SCHEMA = (
+    "doc_id long, n long, score double, local_incl long, pid int"
+)
+
+
+def _local_inclusive_cumsum(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    total = 0
+    for pdf in it:
+        n = pdf["n"].astype("int64")
+        incl = total + n.cumsum()
+        total += int(n.sum())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n": n,
+                "score": pdf["score"],
+                "local_incl": incl,
+                "pid": pid,
+            }
+        )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the best docs until ``budget`` tokens are spent.
+
+    Rule: order by (score desc, doc_id asc); keep a doc iff its
+    INCLUSIVE cumulative token count ≤ budget (the budget is never
+    exceeded; cumsum is monotone, so the kept set is a prefix of the
+    order). Returns ``(doc_id, n_tokens, <score_col>, cum_tokens)``
+    for kept docs only.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    ranged = base.repartitionByRange(
+        n_parts, F.col("score").desc(), F.col("doc_id").asc()
+    ).sortWithinPartitions(F.col("score").desc(), F.col("doc_id").asc())
+    # PINNED: `local` feeds two actions (partition totals, final join)
+    # and repartitionByRange SAMPLES boundaries — unpinned, the two
+    # executions can partition differently and desync the broadcast
+    # bases (the packing.pack_sequences lesson; CLAUDE.md invariant).
+    local = ranged.mapInPandas(
+        _local_inclusive_cumsum, _BUDGET_SCHEMA
+    ).localCheckpoint()
+    totals = sorted(
+        (r["pid"], r["t"])
+        for r in local.groupBy("pid").agg(F.sum("n").alias("t")).collect()
+    )
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((pid, acc))
+        acc += int(t or 0)
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, base long")
+    cum = F.col("base") + F.col("local_incl")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .where(cum <= F.lit(int(budget)))
+        .select(
+            "doc_id",
+            F.col("n").alias(tokens_col),
+            F.col("score").alias(score_col),
+            cum.alias("cum_tokens"),
+        )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add ``shuffle_key`` (exact bigint in [0, 2^60)) and ``shard``
+    (int in [0, num_shards)) — the deterministic epoch permutation.
+
+    The md5 is materialized into a column BEFORE the 15-term positional
+    arithmetic (`D.hex_prefix60`): neither engine CSEs repeated
+    ``substr(md5(x), j, 1)`` terms (measured 2× slower inlined)."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    with_h = df.withColumn(
+        "_shuffle_md5",
+        F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))),
+    )
+    keyed = with_h.withColumn(
+        "shuffle_key", F.expr(D.hex_prefix60(D.SPARK, "_shuffle_md5"))
+    ).drop("_shuffle_md5")
+    return keyed.withColumn(
+        "shard", (F.col("shuffle_key") % F.lit(int(num_shards))).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    seed: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize ``df`` as ``path/shard=K/`` parquet, each shard
+    internally sorted by ``shuffle_key`` (ties: id) — the deterministic
+    epoch order a trainer consumes shard-by-shard.
+
+    One hash shuffle on ``shard`` puts each shard in exactly one task
+    (same-valued keys hash together), so ``sortWithinPartitions`` gives
+    each shard file a total key order with no global exchange. Size
+    ``num_shards`` to the reader parallelism at scale — a shard is the
+    unit of both write and read parallelism."""
+    sh = epoch_shuffle(df, seed, num_shards, id_col)
+    (
+        sh.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

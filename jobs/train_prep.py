@@ -70,9 +70,16 @@ def main() -> None:
                          "'en:0.5,fr:0.3,zh:0.2' — strata outside the "
                          "list are dropped")
     ap.add_argument("--mixture-col", default="lang")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="global bpe-token budget: keep the highest-"
+                         "quality docs until the budget is spent")
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--stride", type=int, default=48)
     ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="also write shards/: chunks in deterministic "
+                         "epoch order, sharded for parallel readers")
+    ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -192,6 +199,29 @@ def main() -> None:
             n,
         )
 
+    # 5b. global token-budget cut: keep the highest-quality docs until
+    # the budget is spent (two-phase distributed prefix sum — the
+    # quality-ordered analogue of sequence packing's offset sum)
+    if args.token_budget is not None:
+        from cs_search_engine_architecture_spark.operators import (
+            curation as cu,
+        )
+
+        scored = ta.token_counts(docs, tc).select(
+            "doc_id", F.col("bpe_pieces").alias("n_tokens")
+        ).join(
+            ta.quality_scores(docs, tc).withColumn(
+                "quality_score", ta.quality_score_col()
+            ).select("doc_id", "quality_score"),
+            "doc_id",
+        )
+        kept = cu.select_token_budget(scored, args.token_budget).select(
+            "doc_id"
+        )
+        docs, n = stage(
+            "token_budget", docs.join(kept, "doc_id", "left_semi"), n
+        )
+
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
 
     # 6. chunking (row-local sliding-window explode)
@@ -229,6 +259,31 @@ def main() -> None:
         "wall_sec": round(time.time() - t0, 3),
         "num_sequences": int(n_seqs) + 1 if n_seqs is not None else 0,
     })
+
+    # 8. optional training-shard materialization: the chunk rows in
+    # deterministic seed-reproducible epoch order, one key-sorted
+    # parquet dir per shard (what a trainer's data loader reads)
+    if args.shuffle_seed is not None:
+        from cs_search_engine_architecture_spark.operators import (
+            curation as cu,
+        )
+
+        t0 = time.time()
+        cu.write_training_shards(
+            chunks.withColumn(
+                "chunk_id",
+                F.col("doc_id") * CHUNK_BASE + F.col("chunk_no"),
+            ),
+            os.path.join(args.output, "shards"),
+            seed=args.shuffle_seed,
+            num_shards=args.num_shards,
+            id_col="chunk_id",
+        )
+        stages.append({
+            "stage": "shards", "in": n_chunks, "out": n_chunks,
+            "dropped": 0, "wall_sec": round(time.time() - t0, 3),
+            "num_shards": args.num_shards,
+        })
 
     metrics = {"stages": stages, "seq_len": args.seq_len}
     with open(os.path.join(args.output, "metrics.json"), "w") as fh:

@@ -1,0 +1,109 @@
+"""Training-set curation tail (`operators/curation.py`):
+token-budget selection and deterministic epoch shuffle/shards."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_search_engine_architecture_spark.operators import curation as CU
+
+
+def _brute_budget(rows, budget):
+    """Reference keep-set: inclusive cumsum in (score desc, id asc)."""
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    kept, cum = {}, 0
+    for doc_id, n, _score in order:
+        cum += n
+        if cum > budget:
+            break
+        kept[doc_id] = cum
+    return kept
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_budget_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(0, 40), rng.choice([0.1, 0.25, 0.5, 0.9]))
+        for i in range(300)
+    ]
+    budget = sum(n for _, n, _ in rows) // 3
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in CU.select_token_budget(df, budget).collect()
+    }
+    assert got == _brute_budget(rows, budget)
+
+
+def test_budget_edges(spark):
+    rows = [(1, 10, 0.9), (2, 5, 0.5), (3, 7, 0.5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    # budget >= total keeps everything
+    assert CU.select_token_budget(df, 22).count() == 3
+    # budget below the best doc keeps nothing
+    assert CU.select_token_budget(df, 9).count() == 0
+    # score tie broken by doc_id asc: 2 admitted before 3
+    kept = {r["doc_id"] for r in CU.select_token_budget(df, 15).collect()}
+    assert kept == {1, 2}
+    # zero-token docs at the boundary still admit (cum unchanged)
+    df0 = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 0, 0.5)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    assert CU.select_token_budget(df0, 10).count() == 2
+
+
+def test_budget_deterministic_across_runs(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 30), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    a = sorted(CU.select_token_budget(df, 2000, num_partitions=7).collect())
+    b = sorted(CU.select_token_budget(df, 2000, num_partitions=3).collect())
+    assert a == b  # independent of partition count / sampled boundaries
+
+
+def test_epoch_shuffle_key_and_shard(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = CU.epoch_shuffle(df, seed=7, num_shards=8).collect()
+    assert len(out) == 200
+    for r in out:
+        assert 0 <= r["shuffle_key"] < 2**60
+        assert r["shard"] == r["shuffle_key"] % 8
+    # deterministic: same seed == same keys; different seed reorders
+    again = CU.epoch_shuffle(df, seed=7, num_shards=8).collect()
+    assert sorted(out) == sorted(again)
+    other = {
+        r["doc_id"]: r["shuffle_key"]
+        for r in CU.epoch_shuffle(df, seed=8, num_shards=8).collect()
+    }
+    base = {r["doc_id"]: r["shuffle_key"] for r in out}
+    assert base != other
+
+
+def test_write_training_shards_sorted_and_complete(spark, tmp_path):
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.concat(F.lit("p"), F.col("doc_id").cast("string"))
+    )
+    path = str(tmp_path / "shards")
+    CU.write_training_shards(df, path, seed=3, num_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(
+        range(500)
+    )
+    # every shard's file order IS shuffle_key order (the epoch contract)
+    import pyarrow.dataset as ds
+
+    for shard in range(4):
+        tbl = ds.dataset(f"{path}/shard={shard}").to_table()
+        keys = tbl.column("shuffle_key").to_pylist()
+        assert keys == sorted(keys)
+        assert all(k % 4 == shard for k in keys)

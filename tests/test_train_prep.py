@@ -47,7 +47,9 @@ def test_train_prep_pipeline(spark, tmp_path):
             sys.executable, os.path.join(repo, "jobs", "train_prep.py"),
             "--input", corpus, "--output", out, "--benchmark", bench,
             "--min-quality", "0.3", "--min-jaccard", "0.5",
+            "--token-budget", "10000",  # ample: cut must drop nothing
             "--chunk-size", "16", "--stride", "12", "--seq-len", "32",
+            "--shuffle-seed", "3", "--num-shards", "2",
             "--cores", "2",
         ],
         capture_output=True, text=True, timeout=480, cwd=repo,
@@ -61,6 +63,7 @@ def test_train_prep_pipeline(spark, tmp_path):
     assert by["quality_filter"]["dropped"] == 1  # doc 3
     assert by["decontaminate"]["dropped"] == 1  # doc 4
     assert by["decontaminate"]["out"] == 2  # docs 0 and 5 survive
+    assert by["token_budget"]["dropped"] == 0  # budget ample
 
     surv = {
         r["doc_id"]
@@ -79,6 +82,12 @@ def test_train_prep_pipeline(spark, tmp_path):
     for r in ordered:
         assert r["start_offset"] == off
         off += r["n_tokens"]
+    # shards/: every chunk present exactly once, shard dirs key-sorted
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() == chunks.count()
+    assert shards.select("chunk_id").distinct().count() == chunks.count()
+    assert {r["shard"] for r in shards.select("shard").distinct().collect()} \
+        <= {0, 1}
 
 
 def test_train_prep_span_dedup_stage(spark, tmp_path):
