@@ -2727,6 +2727,8 @@ FROM c
 
 
 TOKEN_BUDGET = 12_000  # ~44% of the sf0.01 corpus's 27,165 bpe pieces
+# per-lang budgets: en/es/fr cut mid-stratum, de+zh dropped entirely
+STRAT_BUDGETS = {"en": 6_000, "es": 2_000, "fr": 2_000}
 EPOCH_SEED = 7
 EPOCH_SHARDS = 8
 
@@ -2781,7 +2783,24 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key",
         F.col("shard").cast("long").alias("shard"),
     )
-    return budget_arm.unionByName(shuffle_arm)
+    # budget_strat arm: per-language budgets (the mixture × budget
+    # composition) — per-stratum two-phase prefix sum vs the oracle's
+    # PARTITION BY window
+    strat = CU.select_token_budget_stratified(
+        counts.join(qual, "doc_id").join(
+            docs.select("doc_id", "lang"), "doc_id"
+        ),
+        STRAT_BUDGETS,
+    )
+    strat_arm = strat.select(
+        F.lit("budget_strat").alias("arm"),
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.lit(None).cast("long").alias("shuffle_key"),
+        F.lit(None).cast("long").alias("shard"),
+    )
+    return budget_arm.unionByName(shuffle_arm).unionByName(strat_arm)
 
 
 def _sql_training_set() -> str:
@@ -2796,6 +2815,10 @@ def _sql_training_set() -> str:
     key = D.md5_prefix60(
         D.DUCKDB, f"concat('{EPOCH_SEED}:', CAST(doc_id AS VARCHAR))"
     )
+    langs = ", ".join(f"'{x}'" for x in STRAT_BUDGETS)
+    budget_case = "CASE d.lang " + " ".join(
+        f"WHEN '{x}' THEN {b}" for x, b in STRAT_BUDGETS.items()
+    ) + " END"
     return f"""
 WITH t AS ({_DUCK_TOKS_CTE}),
 q AS (SELECT doc_id, {qsql['n_tokens']} AS qn, {qsql['alpha_ratio']} AS ar,
@@ -2805,6 +2828,15 @@ c AS (SELECT doc_id, n_tokens,
       CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         AS BIGINT) AS cum FROM s),
+cs AS (SELECT s.doc_id, s.n_tokens, s.score, d.lang,
+             {budget_case} AS budget
+       FROM s JOIN documents d USING (doc_id)
+       WHERE d.lang IN ({langs})),
+cc AS (SELECT doc_id, n_tokens, budget,
+       CAST(sum(n_tokens) OVER (PARTITION BY lang
+         ORDER BY score DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum FROM cs),
 k AS (SELECT doc_id, {key} AS skey FROM documents)
 SELECT 'budget' AS arm, doc_id, n_tokens, cum AS cum_tokens,
        CAST(NULL AS BIGINT) AS shuffle_key, CAST(NULL AS BIGINT) AS shard
@@ -2814,6 +2846,10 @@ SELECT 'shuffle' AS arm, doc_id, CAST(NULL AS BIGINT) AS n_tokens,
        CAST(NULL AS BIGINT) AS cum_tokens, skey AS shuffle_key,
        skey % {EPOCH_SHARDS} AS shard
 FROM k
+UNION ALL
+SELECT 'budget_strat' AS arm, doc_id, n_tokens, cum AS cum_tokens,
+       CAST(NULL AS BIGINT) AS shuffle_key, CAST(NULL AS BIGINT) AS shard
+FROM cc WHERE cum <= budget
 """
 
 

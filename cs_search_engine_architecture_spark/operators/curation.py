@@ -129,6 +129,116 @@ def select_token_budget(
     )
 
 
+_STRAT_SCHEMA = (
+    "doc_id long, n long, score double, stratum string, "
+    "local_incl long, pid int"
+)
+
+
+def _local_stratified_cumsum(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-stratum inclusive cumsum within one partition. Rows arrive
+    sorted by (stratum, score desc, doc_id); each stratum's running
+    total carries across the partition's Arrow batches."""
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    carry: dict[str, int] = {}
+    for pdf in it:
+        n = pdf["n"].astype("int64")
+        incl = n.groupby(pdf["stratum"], sort=False).cumsum()
+        incl = incl + pdf["stratum"].map(
+            lambda s: carry.get(s, 0)
+        ).astype("int64")
+        for s, tot in n.groupby(pdf["stratum"], sort=False).sum().items():
+            carry[s] = carry.get(s, 0) + int(tot)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n": n,
+                "score": pdf["score"],
+                "stratum": pdf["stratum"],
+                "local_incl": incl,
+                "pid": pid,
+            }
+        )
+
+
+def select_token_budget_stratified(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-stratum token budgets — the data-mixture composition of
+    ``select_token_budget``: within each stratum (domain/language),
+    keep the highest-scoring docs whose inclusive per-stratum cumsum
+    stays ≤ that stratum's budget. Strata absent from ``budgets`` are
+    dropped (the `resample_to_mixture` convention). Returns
+    ``(doc_id, stratum_col, n_tokens, <score_col>, cum_tokens)``.
+
+    Same two-phase shape as the global cut, keyed by (stratum, score
+    desc, doc_id): the range partitioner keeps each stratum's order
+    contiguous across partitions, the local pass cumsums per stratum,
+    and the driver folds one tiny (pid, stratum) total per pair into
+    broadcast exclusive bases — never more than partitions × strata
+    rows driver-side."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = df.where(
+        F.col(stratum_col).isin(list(budgets.keys()))
+    ).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(stratum_col).cast("string").alias("stratum"),
+    )
+    ranged = base.repartitionByRange(
+        n_parts,
+        F.col("stratum").asc(),
+        F.col("score").desc(),
+        F.col("doc_id").asc(),
+    ).sortWithinPartitions(
+        F.col("stratum").asc(), F.col("score").desc(), F.col("doc_id").asc()
+    )
+    # pinned for the same boundary-sampling reason as the global cut
+    local = ranged.mapInPandas(
+        _local_stratified_cumsum, _STRAT_SCHEMA
+    ).localCheckpoint()
+    totals = local.groupBy("pid", "stratum").agg(
+        F.sum("n").alias("t")
+    ).collect()
+    acc: dict[str, int] = {}
+    offs = []
+    for r in sorted((r["pid"], r["stratum"], r["t"]) for r in totals):
+        pid, stratum, t = r
+        offs.append((pid, stratum, acc.get(stratum, 0),
+                     int(budgets[stratum])))
+        acc[stratum] = acc.get(stratum, 0) + int(t or 0)
+    off_df = spark.createDataFrame(
+        offs or [(0, "", 0, 0)],
+        "pid int, stratum string, base long, budget long",
+    )
+    cum = F.col("base") + F.col("local_incl")
+    return (
+        local.join(F.broadcast(off_df), ["pid", "stratum"])
+        .where(cum <= F.col("budget"))
+        .select(
+            "doc_id",
+            F.col("stratum").alias(stratum_col),
+            F.col("n").alias(tokens_col),
+            F.col("score").alias(score_col),
+            cum.alias("cum_tokens"),
+        )
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     seed: int,

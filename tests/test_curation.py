@@ -70,6 +70,43 @@ def test_budget_deterministic_across_runs(spark):
     assert a == b  # independent of partition count / sampled boundaries
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_stratified_budget_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    strata = ["en", "fr", "de", "zh"]
+    rows = [
+        (
+            i,
+            rng.randrange(0, 40),
+            rng.choice([0.1, 0.25, 0.5, 0.9]),
+            rng.choice(strata),
+        )
+        for i in range(400)
+    ]
+    budgets = {"en": 800, "fr": 400, "de": 150}  # zh dropped
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, n_tokens long, quality_score double, lang string",
+    )
+    out = CU.select_token_budget_stratified(df, budgets).collect()
+    # keep rule: inclusive per-stratum cumsum over the full stratum
+    # order ≤ budget (cumsum is monotone — the kept set is a prefix)
+    order = sorted(
+        (r for r in rows if r[3] in budgets),
+        key=lambda r: (r[3], -r[2], r[0]),
+    )
+    expect, cum = {}, {}
+    for doc_id, n, _s, st in order:
+        cum[st] = cum.get(st, 0) + n
+        if cum[st] <= budgets[st]:
+            expect[doc_id] = cum[st]
+    got = {r["doc_id"]: r["cum_tokens"] for r in out}
+    assert got == expect
+    # every kept row reports its stratum and respects its budget
+    for r in out:
+        assert r["cum_tokens"] <= budgets[r["lang"]]
+
+
 def test_epoch_shuffle_key_and_shard(spark):
     df = spark.range(200).withColumnRenamed("id", "doc_id")
     out = CU.epoch_shuffle(df, seed=7, num_shards=8).collect()
