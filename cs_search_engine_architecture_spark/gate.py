@@ -869,16 +869,31 @@ WHERE jaccard >= {JACCARD_MIN}
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the verified near-dup pairs: every doc
-    in a dup cluster labeled with the cluster's min doc_id (iterative
-    min-label propagation in Spark; the oracle computes the transitive
-    closure with a recursive CTE — genuinely different algorithms that
-    must agree exactly)."""
-    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_MIN)
-    return DD.dup_clusters(pairs)
+    """Composite near-dup-cluster gate. ``cc`` arm — connected
+    components over the verified near-dup pairs: every doc in a dup
+    cluster labeled with the cluster's min doc_id (iterative min-label
+    propagation in Spark; the oracle computes the transitive closure
+    with a recursive CTE — genuinely different algorithms that must
+    agree exactly). ``keep`` arm — the keep-best policy on those
+    clusters: per cluster the (quality_score desc, doc_id asc) winner,
+    computed as a skew-safe max(struct) aggregate in Spark vs the
+    oracle's row_number window."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(docs, min_jaccard=JACCARD_MIN)
+    cl = DD.dup_clusters(pairs)
+    cc_arm = cl.select(F.lit("cc").alias("arm"), "doc_id", "cluster_id")
+    qual = TA.quality_scores(docs).withColumn(
+        "quality_score", TA.quality_score_col()
+    ).select("doc_id", "quality_score")
+    keep_arm = DD.cluster_keep_best(cl, qual).select(
+        F.lit("keep").alias("arm"),
+        F.col("keep_doc_id").alias("doc_id"),
+        "cluster_id",
+    )
+    return cc_arm.unionByName(keep_arm)
 
 
-SQL_DEDUP_CLUSTERS = f"""
+_SQL_CC_CORE = f"""
 WITH RECURSIVE prs AS (
   SELECT doc_a, doc_b FROM ({SQL_DEDUP_JACCARD_PAIRS}) jp
 ),
@@ -894,6 +909,32 @@ reach (node, r) AS (
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def _sql_dedup_clusters() -> str:
+    qsql = TA.quality_sql(D.DUCKDB)
+    # the same quality_score_col tree the training_set oracle mirrors
+    score = (
+        "(least(1.0, qn / 200.0) * 0.4 + ar * 0.3"
+        " + least(1.0, sr * 5.0) * 0.3)"
+    )
+    return f"""
+WITH cl AS (SELECT * FROM ({_SQL_CC_CORE}) z),
+qt AS ({_DUCK_TOKS_CTE}),
+qq AS (SELECT doc_id, {qsql['n_tokens']} AS qn, {qsql['alpha_ratio']} AS ar,
+              {qsql['stopword_ratio']} AS sr FROM qt),
+qs AS (SELECT doc_id, {score} AS score FROM qq),
+r AS (SELECT cl.cluster_id, cl.doc_id,
+      row_number() OVER (PARTITION BY cl.cluster_id
+        ORDER BY qs.score DESC, cl.doc_id ASC) AS rn
+      FROM cl JOIN qs USING (doc_id))
+SELECT 'cc' AS arm, doc_id, cluster_id FROM cl
+UNION ALL
+SELECT 'keep' AS arm, doc_id, cluster_id FROM r WHERE rn = 1
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation over the events table —
@@ -2462,16 +2503,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = TA.stratified_sample(
         docs, "lang", {"en": 0.5, "zh": 0.2}, default=0.1, seed="mix",
     ).select(
-        F.lit("strat").alias("part"), "doc_id", "lang"
+        F.lit("strat").alias("part"), "doc_id", "lang",
+        F.lit(None).cast("long").alias("copy_no"),
     )
     mix = TA.resample_to_mixture(
         docs, "lang", MIX_SHARES, seed="mix"
-    ).select(F.lit("mix").alias("part"), "doc_id", "lang")
-    return strat.unionByName(mix)
+    ).select(
+        F.lit("mix").alias("part"), "doc_id", "lang",
+        F.lit(None).cast("long").alias("copy_no"),
+    )
+    # upsample arm: repeat-count resampling (fr repeats whole copies,
+    # de/zh fractionally downsample — one plan covers both directions);
+    # the oracle re-derives the integer copy plan from the data
+    up = TA.upsample_to_mixture(
+        docs, "lang", UPSAMPLE_SHARES, seed="up"
+    ).select(
+        F.lit("upsample").alias("part"), "doc_id", "lang",
+        F.col("copy_no").cast("long").alias("copy_no"),
+    )
+    return strat.unionByName(mix).unionByName(up)
 
+
+UPSAMPLE_SHARES = {"fr": 0.5, "de": 0.3, "zh": 0.2}
 
 _STRAT_BUCKET = D.split_bucket(D.DUCKDB, "doc_id", "mix")
 _MIX_VALUES = ", ".join(f"('{s}', {v})" for s, v in MIX_SHARES.items())
+# normalized-share literals: Python computes share/Σshares once and
+# embeds the repr (round-trips the exact double); the single share·T
+# double multiply then happens identically in Python and SQL
+_UP_DENOM = sum(UPSAMPLE_SHARES.values())
+_UP_FRACS = ", ".join(
+    f"('{s}', {v / _UP_DENOM!r})" for s, v in UPSAMPLE_SHARES.items()
+)
+_UP_LANGS = ", ".join(f"'{s}'" for s in UPSAMPLE_SHARES)
+_UP_KEY = D.md5_prefix60(
+    D.DUCKDB, "concat('up:', CAST(d.doc_id AS VARCHAR))"
+)
 SQL_STRATIFIED_SAMPLE = f"""
 WITH cnt AS (SELECT lang AS s, CAST(count(*) AS DOUBLE) AS c
              FROM documents GROUP BY lang),
@@ -2484,14 +2551,35 @@ thr AS (SELECT s,
              ELSE CAST(floor(((share * (SELECT scale FROM sc)) / c) * 1000)
                        AS INT)
         END AS t
-        FROM j)
-SELECT 'strat' AS part, doc_id, lang FROM documents
+        FROM j),
+upc AS (SELECT lang AS s, count(*) AS c FROM documents
+        WHERE lang IN ({_UP_LANGS}) GROUP BY lang),
+upt AS (SELECT sum(c) AS t FROM upc),
+upf(s, frac) AS (VALUES {_UP_FRACS}),
+upp AS (SELECT upc.s, upc.c,
+        CAST(floor(upf.frac * (SELECT t FROM upt)) AS BIGINT) AS outn
+        FROM upc JOIN upf ON upc.s = upf.s),
+upq AS (SELECT s, outn // c AS reps,
+        CAST((CAST(outn % c AS HUGEINT) * 1152921504606846976) // c
+             AS BIGINT) AS thr60
+        FROM upp),
+upx AS (SELECT d.doc_id, d.lang,
+        upq.reps + CASE WHEN {_UP_KEY} < upq.thr60 THEN 1 ELSE 0 END
+          AS copies
+        FROM documents d JOIN upq ON upq.s = d.lang)
+SELECT 'strat' AS part, doc_id, lang, CAST(NULL AS BIGINT) AS copy_no
+FROM documents
 WHERE {_STRAT_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 200
                         ELSE 100 END
 UNION ALL
-SELECT 'mix' AS part, d.doc_id, d.lang FROM documents d
+SELECT 'mix' AS part, d.doc_id, d.lang, CAST(NULL AS BIGINT) AS copy_no
+FROM documents d
 JOIN thr ON d.lang = thr.s
 WHERE {D.split_bucket(D.DUCKDB, 'd.doc_id', 'mix')} < thr.t
+UNION ALL
+SELECT 'upsample' AS part, doc_id, lang,
+       unnest(range(1, copies + 1)) AS copy_no
+FROM upx
 """
 
 

@@ -864,6 +864,44 @@ def dup_clusters(
     )
 
 
+def cluster_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, keep_doc_id) — per near-dup cluster, the winner by
+    (score desc, doc_id asc). Production pipelines keep the BEST copy
+    of a duplicate cluster (longest/cleanest/highest-quality), not the
+    lowest id; this is the policy step between ``dup_clusters`` and the
+    survivor anti-join.
+
+    Shape: the winner is an AGGREGATE ``max(struct(score, -doc_id))``
+    per cluster — partial-combines map-side, so a degenerate giant
+    cluster (boilerplate near-clique) never lands in one window
+    partition (the same skew rule as the span keep-first aggregate).
+    Scores are compared, never accumulated — no float-fold discipline
+    needed."""
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("double").alias("_score"),
+        ),
+        "doc_id",
+    )
+    won = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("_score"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("w")
+    )
+    return won.select(
+        "cluster_id", (-F.col("w.neg_id")).alias("keep_doc_id")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

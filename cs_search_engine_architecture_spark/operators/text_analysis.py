@@ -349,6 +349,90 @@ def resample_to_mixture(
     )
 
 
+def mixture_copy_plan(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    total: int | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Per-stratum ``(repeats, extra_thr60)`` copy plan that resamples
+    ``df`` to the target mixture WITH REPETITION — the "epochs per
+    domain" recipe (LLaMA-style data mixes repeat small high-value
+    domains rather than dropping everything to the smallest): stratum
+    ``k`` with count ``c_k`` owes ``out_k = floor(share_k/Σshares ·
+    T)`` output rows (``T`` = ``total`` or the present-strata input
+    size), delivered as ``out_k // c_k`` whole copies of every doc
+    plus one extra copy of the ~``out_k % c_k`` docs whose seeded
+    60-bit hash falls under ``extra_thr60 = (out_k % c_k)·2^60 //
+    c_k``. All arithmetic after the single ``share·T`` double multiply
+    is integer-exact, and the plan is derived from one tiny counts
+    aggregation — the oracle recomputes it from the same normalized-
+    share literals."""
+    bad = [s for s, v in target_shares.items() if not v > 0]
+    if bad:
+        raise ValueError(f"target shares must be > 0: {bad}")
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+        if r["s"] in target_shares
+    }
+    if not counts:
+        raise ValueError(
+            f"no target stratum present in column {stratum_col!r}: "
+            f"wanted {sorted(target_shares)}"
+        )
+    denom = sum(target_shares[s] for s in counts)
+    t_out = total if total is not None else sum(counts.values())
+    plan = {}
+    for s, c in counts.items():
+        out = int(target_shares[s] / denom * t_out)
+        plan[s] = (out // c, ((out % c) << 60) // c)
+    return plan
+
+
+def upsample_to_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    total: int | None = None,
+    id_col: str = "doc_id",
+    seed: str = "u1",
+) -> DataFrame:
+    """Deterministic repeat-count resampling to the target mixture:
+    every row of a target stratum appears ``repeats`` or ``repeats+1``
+    times (per ``mixture_copy_plan``), tagged with a 1-based
+    ``copy_no``; strata absent from ``target_shares`` are dropped.
+    Unifies up- and downsampling (a stratum above target gets
+    ``repeats = 0`` plus a fractional hash-threshold keep). Row-local
+    after the one tiny counts agg: CASE literals + a bounded
+    ``explode(sequence(...))`` sitting directly on the scan."""
+    plan = mixture_copy_plan(df, stratum_col, target_shares, total)
+    with_h = df.where(
+        F.col(stratum_col).isin(list(plan.keys()))
+    ).withColumn(
+        "_u_md5",
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+    )
+    key = F.expr(D.hex_prefix60(D.SPARK, "_u_md5"))
+    rep = thr = None
+    for s, (r, t) in sorted(plan.items()):
+        cond = F.col(stratum_col) == s
+        rep = F.when(cond, F.lit(r)) if rep is None else rep.when(cond, F.lit(r))
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    copies = rep + F.when(key < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        with_h.withColumn("_copies", copies.cast("long"))
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            "copy_no",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))),
+        )
+        .drop("_u_md5", "_copies")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_doc_count: int = 3,

@@ -62,6 +62,9 @@ def main() -> None:
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist")
     ap.add_argument("--min-jaccard", type=float, default=0.8)
+    ap.add_argument("--keep-best", action="store_true",
+                    help="near-dup clusters keep the highest-quality "
+                         "doc instead of the lowest doc_id")
     ap.add_argument("--span-dedup-w", type=int, default=None,
                     help="cut duplicate W-token spans (keep-first; "
                          "rewrites text as the normalized token stream)")
@@ -70,6 +73,12 @@ def main() -> None:
                          "'en:0.5,fr:0.3,zh:0.2' — strata outside the "
                          "list are dropped")
     ap.add_argument("--mixture-col", default="lang")
+    ap.add_argument("--mixture-mode", choices=["down", "up"],
+                    default="down",
+                    help="down = keep-fractions (binding stratum kept "
+                         "whole); up = repeat-count resampling "
+                         "(small domains replicated, copy_no-remapped "
+                         "doc ids)")
     ap.add_argument("--token-budget", type=int, default=None,
                     help="global bpe-token budget: keep the highest-"
                          "quality docs until the budget is spent")
@@ -122,9 +131,19 @@ def main() -> None:
     pairs = dedup.ngram_jaccard_pairs(
         docs, tc, min_jaccard=args.min_jaccard
     )
-    drop_near = dedup.dup_clusters(pairs).where(
-        F.col("doc_id") != F.col("cluster_id")
-    ).select("doc_id")
+    clusters = dedup.dup_clusters(pairs)
+    if args.keep_best:
+        qual = ta.quality_scores(docs, tc).withColumn(
+            "quality_score", ta.quality_score_col()
+        ).select("doc_id", "quality_score")
+        winners = dedup.cluster_keep_best(clusters, qual)
+        drop_near = clusters.join(winners, "cluster_id").where(
+            F.col("doc_id") != F.col("keep_doc_id")
+        ).select("doc_id")
+    else:
+        drop_near = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
     docs, n = stage(
         "near_dedup", docs.join(drop_near, "doc_id", "left_anti"), n
     )
@@ -193,11 +212,28 @@ def main() -> None:
             k: float(v)
             for k, v in (p.split(":") for p in args.mixture.split(","))
         }
-        docs, n = stage(
-            "mixture",
-            ta.resample_to_mixture(docs, args.mixture_col, shares),
-            n,
-        )
+        if args.mixture_mode == "up":
+            # repeat-count resampling: replicated docs get fresh ids
+            # (doc_id·1000 + copy_no — requires every stratum's copy
+            # count to stay under 1000)
+            plan = ta.mixture_copy_plan(docs, args.mixture_col, shares)
+            worst = max(r for r, _ in plan.values())
+            if worst >= 999:
+                raise SystemExit(
+                    f"--mixture-mode up: a stratum needs {worst} whole "
+                    "copies — id remap cap is 999; rebalance the shares"
+                )
+            up = ta.upsample_to_mixture(docs, args.mixture_col, shares)
+            mixed = up.withColumn(
+                "doc_id", F.col("doc_id") * 1000 + F.col("copy_no")
+            ).drop("copy_no")
+            docs, n = stage("mixture_up", mixed, n)
+        else:
+            docs, n = stage(
+                "mixture",
+                ta.resample_to_mixture(docs, args.mixture_col, shares),
+                n,
+            )
 
     # 5b. global token-budget cut: keep the highest-quality docs until
     # the budget is spent (two-phase distributed prefix sum — the

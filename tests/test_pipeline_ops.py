@@ -674,6 +674,63 @@ def test_dup_clusters_components(spark):
     assert got == want
 
 
+def test_upsample_to_mixture(spark):
+    """Repeat-count resampling: whole copies are exact per the integer
+    plan, fractional keeps are deterministic, non-target strata drop."""
+    rows = [(i, "fr" if i < 4 else "en") for i in range(16)] + [
+        (99, "zz")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = {"fr": 0.5, "en": 0.5}
+    plan = TA.mixture_copy_plan(df, "lang", shares)
+    # T=16, out=8 each: fr (4 docs) -> 2 whole copies, no remainder;
+    # en (12 docs) -> 0 whole copies + ~8 fractional keeps
+    assert plan["fr"] == (2, 0)
+    assert plan["en"] == (0, (8 << 60) // 12)
+    out = [
+        (r["doc_id"], r["lang"], r["copy_no"])
+        for r in TA.upsample_to_mixture(df, "lang", shares).collect()
+    ]
+    fr = sorted((d, c) for d, la, c in out if la == "fr")
+    assert fr == [(i, c) for i in range(4) for c in (1, 2)]
+    en = [(d, c) for d, la, c in out if la == "en"]
+    assert all(c == 1 for _, c in en)
+    assert 0 < len(en) < 12  # fractional keep, never the whole stratum
+    assert not [x for x in out if x[1] == "zz"]  # non-target dropped
+    again = [
+        (r["doc_id"], r["lang"], r["copy_no"])
+        for r in TA.upsample_to_mixture(df, "lang", shares).collect()
+    ]
+    assert sorted(out) == sorted(again)
+
+
+def test_cluster_keep_best(spark):
+    """Per-cluster keep-best policy: the (score desc, doc_id asc)
+    winner from a skew-safe max(struct) aggregate — ties break to the
+    LOWER doc_id, and every cluster yields exactly one winner."""
+    from cs_search_engine_architecture_spark.operators.dedup import (
+        cluster_keep_best,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21), (30, 31)], "doc_a long, doc_b long"
+    )
+    clusters = dup_clusters(pairs)
+    scores = spark.createDataFrame(
+        # cluster {1,2,3}: 2 wins on score; {20,21}: tie -> 20 (lower
+        # id); {30,31}: 31 wins on score
+        [(1, 0.2), (2, 0.9), (3, 0.5), (20, 0.4), (21, 0.4),
+         (30, 0.1), (31, 0.7)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["cluster_id"]: r["keep_doc_id"]
+        for r in cluster_keep_best(clusters, scores).collect()
+    }
+    assert got == {1: 2, 20: 20, 30: 31}
+
+
 def test_redact_text_planted_pii(spark):
     """Planted emails/IPs/phone-shaped spans are replaced with typed
     placeholders on BOTH engines (dialect parity incl. the Spark
