@@ -72,6 +72,88 @@ def _local_inclusive_cumsum(
         )
 
 
+_PRUNE_BUCKETS = 4096
+
+
+def _histogram_prune_predicate(
+    base: DataFrame, budget: int, stratum: bool = False
+):
+    """Prune predicate dropping docs that can never be admitted.
+
+    Buckets each score range into ``_PRUNE_BUCKETS`` equal slices and
+    sums tokens per bucket (one map-side-combined agg, bounded rows to
+    the driver). Walking buckets best-first, the bucket where the
+    running token total first goes STRICTLY over the budget is the
+    crossing bucket; every doc in a lower bucket has exclusive
+    cum > budget and is provably never kept. Returns a Column
+    predicate selecting the survivors (rows of strata with no
+    crossing, or degenerate score ranges, always pass), or ``None``
+    when no pruning is possible. ``budget`` is an int, or a
+    ``{stratum: int}`` dict when ``stratum=True``."""
+    keys = ["stratum"] if stratum else []
+    rng = base.groupBy(*keys).agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()
+    spans = {
+        (r["stratum"] if stratum else None): (r["lo"], r["hi"])
+        for r in rng
+        if r["lo"] is not None and r["hi"] > r["lo"]
+    }
+    if not spans:
+        return None
+
+    # bucket index per row: 0 = worst score, _PRUNE_BUCKETS-1 = best;
+    # clamp handles score == hi landing one past the end. The PRUNE
+    # FILTER reuses this exact expression (never a reconstructed
+    # `score >= floor` — FP rounding at bucket edges could disagree
+    # with the histogram's own assignment; same-expression >= bi* is
+    # airtight because floor((s-lo)/w) is monotone in s under IEEE).
+    def bucket_expr(lo: float, hi: float):
+        w = (hi - lo) / _PRUNE_BUCKETS
+        return F.least(
+            F.lit(_PRUNE_BUCKETS - 1),
+            F.floor((F.col("score") - F.lit(lo)) / F.lit(w)).cast("int"),
+        )
+
+    if stratum:
+        b = None
+        for s, (lo, hi) in spans.items():
+            cond = F.col("stratum") == s
+            e = bucket_expr(lo, hi)
+            b = F.when(cond, e) if b is None else b.when(cond, e)
+        bucket_col = b  # non-span strata fall through to NULL
+        bucketed = base.withColumn("_b", bucket_col)
+    else:
+        lo, hi = spans[None]
+        bucket_col = bucket_expr(lo, hi)
+        bucketed = base.withColumn("_b", bucket_col)
+    hist = bucketed.where(F.col("_b").isNotNull()).groupBy(
+        *keys, "_b"
+    ).agg(F.sum("n").alias("t")).collect()
+    per: dict = {}
+    for r in hist:
+        per.setdefault(r["stratum"] if stratum else None, {})[r["_b"]] = (
+            int(r["t"] or 0)
+        )
+    cuts: dict = {}
+    for s, bux in per.items():
+        acc = 0
+        for bi in sorted(bux, reverse=True):
+            acc += bux[bi]
+            if acc > (budget[s] if isinstance(budget, dict) else budget):
+                cuts[s] = bi  # crossing bucket: keep _b >= bi
+                break
+    if not cuts:
+        return None
+    if not stratum:
+        return bucket_col >= F.lit(cuts[None])
+    pred = None
+    for s, bi in cuts.items():
+        cond = (F.col("stratum") == s) & (bucket_col < F.lit(bi))
+        pred = cond if pred is None else pred | cond
+    return ~pred  # drop only provably-unkeepable rows; others pass
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,
@@ -87,6 +169,20 @@ def select_token_budget(
     exceeded; cumsum is monotone, so the kept set is a prefix of the
     order). Returns ``(doc_id, n_tokens, <score_col>, cum_tokens)``
     for kept docs only.
+
+    100 TB shape — histogram prune before the sort: the kept set is a
+    PREFIX of the score order, so docs that can never be admitted
+    (their exclusive prefix already exceeds the budget) need not enter
+    the range shuffle at all. One tiny fixed-width score histogram
+    (bucket → Σ tokens, ≤ ``_PRUNE_BUCKETS`` rows to the driver) finds
+    the bucket where the running total first EXCEEDS the budget; only
+    docs at-or-above that bucket's score floor are sorted and
+    prefix-summed. Sound because any doc scored strictly below the
+    crossing bucket has exclusive cum > budget (strict — so even a
+    zero-token doc sitting exactly at the budget is unaffected). At a
+    real curation ratio (keep 1% of 100 TB) this cuts ~99% of the
+    sort-shuffle; the kept set and every ``cum_tokens`` are
+    bit-identical to the unpruned plan (gate-verified).
     """
     spark = df.sparkSession
     n_parts = num_partitions or int(
@@ -97,6 +193,9 @@ def select_token_budget(
         F.col(tokens_col).cast("long").alias("n"),
         F.col(score_col).cast("double").alias("score"),
     )
+    prune = _histogram_prune_predicate(base, int(budget))
+    if prune is not None:
+        base = base.where(prune)
     ranged = base.repartitionByRange(
         n_parts, F.col("score").desc(), F.col("doc_id").asc()
     ).sortWithinPartitions(F.col("score").desc(), F.col("doc_id").asc())
@@ -199,6 +298,13 @@ def select_token_budget_stratified(
         F.col(score_col).cast("double").alias("score"),
         F.col(stratum_col).cast("string").alias("stratum"),
     )
+    # per-stratum histogram prune (see select_token_budget): only docs
+    # that might be admitted enter the sort-shuffle
+    prune = _histogram_prune_predicate(
+        base, {s: int(b) for s, b in budgets.items()}, stratum=True
+    )
+    if prune is not None:
+        base = base.where(prune)
     ranged = base.repartitionByRange(
         n_parts,
         F.col("stratum").asc(),

@@ -59,6 +59,30 @@ def test_budget_edges(spark):
     assert CU.select_token_budget(df0, 10).count() == 2
 
 
+def test_budget_histogram_prune_sound_and_effective(spark):
+    """The histogram pre-prune never changes the kept set (differential
+    vs brute force at a tight 5% budget) and actually cuts most of the
+    corpus out of the sort-shuffle."""
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 50), rng.random()) for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double"
+    )
+    budget = sum(n for _, n, _ in rows) // 20
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in CU.select_token_budget(df, budget).collect()
+    }
+    assert got == _brute_budget(rows, budget)
+    base = df.selectExpr(
+        "doc_id", "n_tokens as n", "quality_score as score"
+    )
+    pred = CU._histogram_prune_predicate(base, budget)
+    assert pred is not None
+    surv = base.where(pred).count()
+    assert len(got) <= surv < len(rows) // 2
+
+
 def test_budget_deterministic_across_runs(spark):
     rng = random.Random(7)
     rows = [(i, rng.randrange(0, 30), rng.random()) for i in range(500)]
