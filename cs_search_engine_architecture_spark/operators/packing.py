@@ -65,20 +65,31 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     num_partitions: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, start_offset, seq_first, seq_last) — each
     doc's global token offset (prefix sum in doc_id order) and the
-    range of ``seq_len``-token training sequences it lands in."""
+    range of ``seq_len``-token training sequences it lands in.
+
+    ``order_col`` packs in a caller-chosen total order instead of
+    doc_id (ties broken by id) — pass an epoch shuffle key
+    (`curation.epoch_shuffle`) to pack sequences in the trainer's
+    shuffled read order, the production shuffle-then-pack flow. Same
+    two-phase prefix sum either way."""
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    base = df.select(
+    cols = [
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n"),
-    )
-    ranged = base.repartitionByRange(n_parts, "doc_id").sortWithinPartitions(
-        "doc_id"
+    ]
+    if order_col is not None:
+        cols.append(F.col(order_col).cast("long").alias("_ord"))
+    base = df.select(*cols)
+    order = (["_ord", "doc_id"] if order_col is not None else ["doc_id"])
+    ranged = base.repartitionByRange(n_parts, *order).sortWithinPartitions(
+        *order
     )
     # PINNED via localCheckpoint: `local` is read twice (partition totals,
     # then the final join) and repartitionByRange SAMPLES its boundaries —

@@ -2,21 +2,28 @@
 job — the composition of the individually-gated hygiene operators:
 
   exact dedup -> near-dup collapse (MinHash-LSH candidates, n-gram
-  Jaccard verify, transitive cluster keep-one) -> duplicate-span cut
-  (optional) -> quality / language filter -> benchmark decontamination
-  -> domain-mixture rebalance (optional) -> chunking -> sequence packing
+  Jaccard verify, transitive clusters; keep-one = min doc_id or
+  --keep-best quality winner) -> duplicate-span cut (optional) ->
+  quality / language filter -> benchmark decontamination ->
+  domain-mixture rebalance (optional; --mixture-mode down or up) ->
+  global token-budget cut (optional) -> chunking -> sequence packing
+  (epoch-ordered under --shuffle-seed) -> training shards (optional)
 
     spark-submit jobs/train_prep.py --input docs.parquet --output /out \
         [--benchmark bench.parquet] [--min-quality 0.4] [--langs en,fr] \
-        [--min-jaccard 0.8] [--span-dedup-w 50] \
+        [--min-jaccard 0.8] [--keep-best] [--span-dedup-w 50] \
         [--mixture en:0.5,fr:0.3,zh:0.2] [--mixture-col lang] \
-        [--chunk-size 64] [--stride 48] \
-        [--seq-len 256] [--text-col text] [--cores N]
+        [--mixture-mode down|up] [--token-budget N] \
+        [--chunk-size 64] [--stride 48] [--seq-len 256] \
+        [--shuffle-seed S --num-shards K] [--text-col text] [--cores N]
 
 Writes under --output:
   corpus/   surviving documents (post-filter, pre-chunk)
   chunks/   (doc_id, chunk_no, chunk_text, n_tokens) sliding windows
-  packed/   (chunk_id, n_tokens, start_offset, seq_first, seq_last)
+  packed/   (chunk_id, n_tokens, start_offset, seq_first, seq_last) —
+            offsets in epoch order when --shuffle-seed is given
+  shards/   (with --shuffle-seed) chunk rows as shard=K/ parquet, each
+            shard key-sorted: the trainer's deterministic read order
   metrics.json  per-stage wall seconds + in/out doc counts (lineage)
 
 Every stage is DataFrame algebra over the operators' documented 100 TB
@@ -273,17 +280,33 @@ def main() -> None:
     stages.append({"stage": "chunk", "in": n, "out": n_chunks,
                    "dropped": 0, "wall_sec": round(time.time() - t0, 3)})
 
-    # 7. sequence packing (two-phase distributed prefix sum)
+    # 7. sequence packing (two-phase distributed prefix sum). With a
+    # shuffle seed, sequences pack in the EPOCH order — the same key
+    # order the shards are written in, so offsets follow the trainer's
+    # actual read order (shuffle-then-pack).
     t0 = time.time()
-    packed = packing.pack_sequences(
-        chunks.select(
-            (F.col("doc_id") * CHUNK_BASE + F.col("chunk_no")).alias(
-                "chunk_id"
-            ),
-            "n_tokens",
+    chunk_src = chunks.select(
+        (F.col("doc_id") * CHUNK_BASE + F.col("chunk_no")).alias(
+            "chunk_id"
         ),
+        "n_tokens",
+    )
+    order_col = None
+    if args.shuffle_seed is not None:
+        from cs_search_engine_architecture_spark.operators import (
+            curation as cu,
+        )
+
+        chunk_src = cu.epoch_shuffle(
+            chunk_src, args.shuffle_seed, args.num_shards,
+            id_col="chunk_id",
+        )
+        order_col = "shuffle_key"
+    packed = packing.pack_sequences(
+        chunk_src,
         seq_len=args.seq_len,
         id_col="chunk_id",
+        order_col=order_col,
     )
     packed.write.mode("overwrite").parquet(
         os.path.join(args.output, "packed")

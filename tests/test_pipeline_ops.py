@@ -865,6 +865,34 @@ def test_pack_sequences_prefix_sum(spark):
     assert spans, "some docs must cross sequence boundaries"
 
 
+def test_pack_sequences_in_epoch_order(spark):
+    """order_col packs in the shuffled read order (ties: doc_id) — the
+    shuffle-then-pack trainer flow — and matches the serial reference
+    cumsum over the same order."""
+    from cs_search_engine_architecture_spark.operators.curation import (
+        epoch_shuffle,
+    )
+    from cs_search_engine_architecture_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, (i * 37) % 100) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    keyed = epoch_shuffle(df, seed=5, num_shards=1)
+    out = pack_sequences(
+        keyed, 256, num_partitions=8, order_col="shuffle_key"
+    )
+    got = {r["doc_id"]: r["start_offset"] for r in out.collect()}
+    order = sorted(
+        keyed.select("doc_id", "n_tokens", "shuffle_key").collect(),
+        key=lambda r: (r["shuffle_key"], r["doc_id"]),
+    )
+    acc = 0
+    for r in order:
+        assert got[r["doc_id"]] == acc
+        acc += r["n_tokens"]
+
+
 def test_chunk_documents_windows(spark):
     rows = [
         (0, " ".join(f"w{i}" for i in range(10))),  # 10 tokens

@@ -75,9 +75,10 @@ def test_train_prep_pipeline(spark, tmp_path):
     packed = spark.read.parquet(os.path.join(out, "packed"))
     assert packed.count() == chunks.count()
     assert by["pack"]["num_sequences"] >= 1
-    # packing preserves (doc_id, chunk_no) order: offsets are a prefix
-    # sum over the ordered chunk ids
-    ordered = packed.orderBy("doc_id").collect()
+    # with --shuffle-seed, packing follows the EPOCH order (the shard
+    # read order): offsets form one contiguous prefix sum — walk rows
+    # by offset and check each starts where the previous ended
+    ordered = packed.orderBy("start_offset", "doc_id").collect()
     off = 0
     for r in ordered:
         assert r["start_offset"] == off
