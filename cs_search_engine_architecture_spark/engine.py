@@ -1590,6 +1590,41 @@ class SearchEngine:
             F.expr(f"stack({len(qs)}, {stack}) AS (quantile, value)")
         )
 
+    def export_matches(
+        self,
+        query: str,
+        path: str,
+        with_text: bool = False,
+        predicate=None,
+    ) -> int:
+        """Write the FULL masked match set of ``query`` — every
+        (doc_id, score), not a top-k — to ``path`` as parquet; returns
+        the row count (from the write's own frame, no second job).
+        The ETL/export companion to cursor paging: reindexing,
+        downstream joins, corpus extraction. ``with_text`` joins the
+        match set back to the corpus (semi-join on doc_id — the
+        corpus-side scan prunes columns, never the reverse join
+        direction); ``predicate`` restricts in filter context (selects,
+        never scores — same discipline as ``filtered_search``).
+        Distributed end to end: scores stream from executors straight
+        to the parquet sink, nothing passes through the driver."""
+        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        if not ast:
+            self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            ).write.mode("overwrite").parquet(path)
+            return 0
+        out = self._scored(ast)
+        if predicate is not None:
+            admitted = self.current_corpus().where(predicate).select(
+                "doc_id"
+            )
+            out = out.join(admitted, "doc_id", "left_semi")
+        if with_text:
+            out = out.join(self.current_corpus(), "doc_id")
+        out.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path).count()
+
     def count(self, query: str) -> int:
         """Total-hit count of ``query`` (Lucene
         ``TotalHitCountCollector`` shape): the size of the FULL masked

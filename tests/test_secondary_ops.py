@@ -734,3 +734,37 @@ def test_top_hits_top_groups_restriction(spark, engine, docs):
         for r in full.collect() if r.group in top2
     ]
     assert [(r.group, r.doc_id, r.score, r.grank) for r in got.collect()] == want
+
+
+def test_export_matches_full_set(spark, engine, tmp_path):
+    """export_matches writes the FULL masked match set (== count()),
+    filter context restricts it, with_text joins the corpus back."""
+    from pyspark.sql import functions as F
+
+    q = "spark or data"
+    n = engine.count(q)
+    path = str(tmp_path / "export")
+    assert engine.export_matches(q, path) == n
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert set(back.columns) == {"doc_id", "score"}
+    # scores equal the serving scores for the same docs (spot: top-5)
+    top = engine.search_collect(q, 5)  # list of (doc_id, score)
+    exported = {r["doc_id"]: r["score"] for r in back.collect()}
+    for doc_id, score in top:
+        assert exported[doc_id] == score
+    # filter context: admitted subset only, scores unchanged
+    p2 = str(tmp_path / "export2")
+    n2 = engine.export_matches(q, p2, predicate=F.col("doc_id") % 2 == 0)
+    back2 = {r["doc_id"]: r["score"] for r in
+             spark.read.parquet(p2).collect()}
+    assert 0 < n2 < n and all(d % 2 == 0 for d in back2)
+    assert all(back2[d] == exported[d] for d in back2)
+    # with_text: corpus columns ride along
+    p3 = str(tmp_path / "export3")
+    engine.export_matches(q, p3, with_text=True)
+    assert "text" in spark.read.parquet(p3).columns
+    # degenerate query exports an empty frame, returns 0
+    p4 = str(tmp_path / "export4")
+    assert engine.export_matches("and or", p4) == 0
+    assert spark.read.parquet(p4).count() == 0
