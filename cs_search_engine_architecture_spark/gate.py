@@ -877,11 +877,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly). ``keep`` arm — the keep-best policy on those
     clusters: per cluster the (quality_score desc, doc_id asc) winner,
     computed as a skew-safe max(struct) aggregate in Spark vs the
-    oracle's row_number window."""
+    oracle's row_number window. ``split`` arm — leakage-safe split
+    assignment over the SAME clusters: members hash their cluster id,
+    everyone else their own id (``split_assign_leakage_safe``), so the
+    oracle re-derives the whole cluster→bucket→split chain."""
     docs = _docs(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(docs, min_jaccard=JACCARD_MIN)
     cl = DD.dup_clusters(pairs)
-    cc_arm = cl.select(F.lit("cc").alias("arm"), "doc_id", "cluster_id")
+    null_split = F.lit(None).cast("string").alias("split")
+    cc_arm = cl.select(
+        F.lit("cc").alias("arm"), "doc_id", "cluster_id", null_split
+    )
     qual = TA.quality_scores(docs).withColumn(
         "quality_score", TA.quality_score_col()
     ).select("doc_id", "quality_score")
@@ -889,8 +895,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("keep").alias("arm"),
         F.col("keep_doc_id").alias("doc_id"),
         "cluster_id",
+        null_split,
     )
-    return cc_arm.unionByName(keep_arm)
+    split_arm = TA.split_assign_leakage_safe(docs, cl).select(
+        F.lit("split").alias("arm"),
+        "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        "split",
+    )
+    return cc_arm.unionByName(keep_arm).unionByName(split_arm)
 
 
 _SQL_CC_CORE = f"""
@@ -918,6 +931,9 @@ def _sql_dedup_clusters() -> str:
         "(least(1.0, qn / 200.0) * 0.4 + ar * 0.3"
         " + least(1.0, sr * 5.0) * 0.3)"
     )
+    bucket = D.split_bucket(D.DUCKDB, "coalesce(cl.cluster_id, d.doc_id)")
+    t_hi = int(0.8 * D.SPLIT_BUCKETS)
+    v_hi = t_hi + int(0.1 * D.SPLIT_BUCKETS)
     return f"""
 WITH cl AS (SELECT * FROM ({_SQL_CC_CORE}) z),
 qt AS ({_DUCK_TOKS_CTE}),
@@ -928,9 +944,15 @@ r AS (SELECT cl.cluster_id, cl.doc_id,
       row_number() OVER (PARTITION BY cl.cluster_id
         ORDER BY qs.score DESC, cl.doc_id ASC) AS rn
       FROM cl JOIN qs USING (doc_id))
-SELECT 'cc' AS arm, doc_id, cluster_id FROM cl
+SELECT 'cc' AS arm, doc_id, cluster_id, NULL AS split FROM cl
 UNION ALL
-SELECT 'keep' AS arm, doc_id, cluster_id FROM r WHERE rn = 1
+SELECT 'keep' AS arm, doc_id, cluster_id, NULL AS split FROM r WHERE rn = 1
+UNION ALL
+SELECT 'split' AS arm, d.doc_id, NULL AS cluster_id,
+       CASE WHEN {bucket} < {t_hi} THEN 'train'
+            WHEN {bucket} < {v_hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
 """
 
 

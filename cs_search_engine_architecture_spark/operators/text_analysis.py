@@ -261,6 +261,50 @@ def split_assign(
     )
 
 
+def split_assign_leakage_safe(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "s1",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """(doc_id, split) — like ``split_assign`` but near-dup-cluster
+    aware: every member of a dup cluster hashes its CLUSTER id (the
+    cluster's min doc_id from ``dedup.dup_clusters``), so a document
+    and its near-duplicates can never straddle the train/test
+    boundary — the leakage mode plain per-doc hashing leaves open
+    (a test doc whose near-copy sits in train is memorized, not
+    generalized). Unclustered docs hash their own id, so their
+    assignment is IDENTICAL to ``split_assign`` under the same seed
+    (the two operators agree everywhere except inside clusters).
+
+    ``clusters`` is any (doc_id, cluster_id) frame — typically
+    ``dup_clusters(<pair generator>)``. Shape at 100 TB: one
+    equi-join corpus ⋈ cluster table on doc_id (the cluster table
+    holds only docs with at least one near-dup — a small fraction of
+    the corpus), then the same row-local bucket hash as
+    ``split_assign``. No window, no extra shuffle beyond the join."""
+    cl = clusters.select(
+        F.col("doc_id").alias("_cl_doc"), F.col("cluster_id").alias("_cl_id")
+    )
+    keyed = df.select(F.col(id_col).alias("doc_id")).join(
+        cl, F.col("doc_id") == F.col("_cl_doc"), "left"
+    )
+    bucket = F.expr(
+        D.split_bucket(D.SPARK, "coalesce(_cl_id, doc_id)", seed)
+    )
+    t_hi = int(train * D.SPLIT_BUCKETS)
+    v_hi = t_hi + int(val * D.SPLIT_BUCKETS)
+    return keyed.select(
+        "doc_id",
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -776,6 +776,35 @@ def test_split_assign_deterministic_proportions(spark):
     assert other != a  # re-seed produces a different fold
 
 
+def test_split_assign_leakage_safe(spark):
+    """Near-dup clusters never straddle the split boundary: every
+    member hashes the CLUSTER id (so all agree, and all equal the
+    label doc's plain assignment); unclustered docs are identical to
+    ``split_assign`` under the same seed; and plain per-doc hashing
+    provably DOES leak on the same clusters (the mode this closes)."""
+    ids = spark.range(2_000).withColumnRenamed("id", "doc_id")
+    # synthetic dup clusters: doc i ~ doc i+1000, label = min id = i
+    members = [(i, i) for i in range(200)] + [
+        (i + 1000, i) for i in range(200)
+    ]
+    clusters = spark.createDataFrame(members, "doc_id long, cluster_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in TA.split_assign_leakage_safe(ids, clusters).collect()
+    }
+    plain = {r["doc_id"]: r["split"] for r in TA.split_assign(ids).collect()}
+    assert set(got) == set(range(2_000))
+    for i in range(200):
+        assert got[i] == got[i + 1000]  # no cluster straddles
+        assert got[i] == plain[i]  # member takes the label doc's bucket
+    # the leak is real: plain hashing splits at least one cluster
+    assert any(plain[i] != plain[i + 1000] for i in range(200))
+    clustered = set(range(200)) | {i + 1000 for i in range(200)}
+    for d, s in got.items():
+        if d not in clustered:
+            assert s == plain[d]  # unclustered assignment unchanged
+
+
 def test_quantized_cosine_recall(spark):
     """int8-quantized cosine: top-10 overlaps the exact float top-10
     almost entirely on real fixture vectors, python/SQL query
