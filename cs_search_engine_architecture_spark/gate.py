@@ -2841,6 +2841,8 @@ TOKEN_BUDGET = 12_000  # ~44% of the sf0.01 corpus's 27,165 bpe pieces
 STRAT_BUDGETS = {"en": 6_000, "es": 2_000, "fr": 2_000}
 EPOCH_SEED = 7
 EPOCH_SHARDS = 8
+DIVERSITY_CAP = 3  # keep-best per semantic bucket
+DIVERSITY_PLANES = 4  # 16 buckets over sf0.01's 500 docs — a real cut
 
 
 def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2859,7 +2861,15 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shuffle`` arm — the deterministic epoch permutation:
     ``shuffle_key = md5-prefix60(seed ':' doc_id)`` (exact 60-bit
     integer, shared fragment ``D.hex_prefix60``), ``shard = key %
-    EPOCH_SHARDS``. Pure column arithmetic; integer-exact."""
+    EPOCH_SHARDS``. Pure column arithmetic; integer-exact.
+
+    ``diverse`` arm — SemDeDup-style semantic capping
+    (``curation.diversity_cap``): per hyperplane-LSH embedding bucket
+    keep the DIVERSITY_CAP best docs by (quality desc, doc_id asc).
+    Column mapping (composite schema reuse): ``shuffle_key`` carries
+    the bucket, ``shard`` carries the within-bucket rank. The bucket
+    sign bits and the quality ORDER reuse trees this gate and
+    ``dedup_embedding_pairs`` already pin; the output is all-integer."""
     from cs_search_engine_architecture_spark.operators import (
         curation as CU,
     )
@@ -2910,7 +2920,23 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("shuffle_key"),
         F.lit(None).cast("long").alias("shard"),
     )
-    return budget_arm.unionByName(shuffle_arm).unionByName(strat_arm)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    div = CU.diversity_cap(
+        qual, emb, DIVERSITY_CAP, num_planes=DIVERSITY_PLANES
+    )
+    diverse_arm = div.select(
+        F.lit("diverse").alias("arm"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.col("bucket").cast("long").alias("shuffle_key"),
+        F.col("rank").cast("long").alias("shard"),
+    )
+    return (
+        budget_arm.unionByName(shuffle_arm)
+        .unionByName(strat_arm)
+        .unionByName(diverse_arm)
+    )
 
 
 def _sql_training_set() -> str:
@@ -2929,6 +2955,7 @@ def _sql_training_set() -> str:
     budget_case = "CASE d.lang " + " ".join(
         f"WHEN '{x}' THEN {b}" for x, b in STRAT_BUDGETS.items()
     ) + " END"
+    bucket = D.lsh_bucket(D.DUCKDB, "embedding", DIVERSITY_PLANES, 64)
     return f"""
 WITH t AS ({_DUCK_TOKS_CTE}),
 q AS (SELECT doc_id, {qsql['n_tokens']} AS qn, {qsql['alpha_ratio']} AS ar,
@@ -2947,7 +2974,13 @@ cc AS (SELECT doc_id, n_tokens, budget,
          ORDER BY score DESC, doc_id ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS BIGINT) AS cum FROM cs),
-k AS (SELECT doc_id, {key} AS skey FROM documents)
+k AS (SELECT doc_id, {key} AS skey FROM documents),
+e AS (SELECT vec_id AS doc_id, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings),
+dv AS (SELECT s.doc_id, e.bucket,
+       row_number() OVER (PARTITION BY e.bucket
+         ORDER BY s.score DESC, s.doc_id ASC) AS rnk
+       FROM s JOIN e USING (doc_id))
 SELECT 'budget' AS arm, doc_id, n_tokens, cum AS cum_tokens,
        CAST(NULL AS BIGINT) AS shuffle_key, CAST(NULL AS BIGINT) AS shard
 FROM c WHERE cum <= {TOKEN_BUDGET}
@@ -2960,6 +2993,11 @@ UNION ALL
 SELECT 'budget_strat' AS arm, doc_id, n_tokens, cum AS cum_tokens,
        CAST(NULL AS BIGINT) AS shuffle_key, CAST(NULL AS BIGINT) AS shard
 FROM cc WHERE cum <= budget
+UNION ALL
+SELECT 'diverse' AS arm, doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS cum_tokens, bucket AS shuffle_key,
+       CAST(rnk AS BIGINT) AS shard
+FROM dv WHERE rnk <= {DIVERSITY_CAP}
 """
 
 

@@ -371,6 +371,64 @@ def epoch_shuffle(
     )
 
 
+def diversity_cap(
+    quality: DataFrame,
+    emb: DataFrame,
+    cap: int,
+    num_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """(doc_id, bucket, rank) — semantic diversity capping: keep at most
+    ``cap`` documents per SEMANTIC bucket, best-quality first. The
+    bucket is the random-hyperplane LSH signature of the document's
+    embedding (``dialect.lsh_bucket`` — ``num_planes`` sign bits of
+    deterministic md5-seeded hyperplane dot products), a deterministic,
+    oracle-mirrorable stand-in for a cluster id: near-angular documents
+    share sign patterns, so capping a bucket caps a semantic
+    neighborhood. This is the SemDeDup-style step (public: Abbas et
+    al. 2023, "SemDeDup") between near-dup removal and budget
+    selection — near-dup dedup kills copies, this kills REDUNDANCY
+    (the 10⁶ boilerplate product pages that are all distinct text but
+    one idea), keeping the ``cap`` best exemplars per neighborhood.
+
+    Keep rule: per bucket, rank = row_number over (quality desc,
+    doc_id asc), keep rank ≤ cap. Unlike keep-FIRST (cap=1, where the
+    skew-safe max(struct) aggregate applies — `dedup.cluster_keep_best`),
+    top-k per group uses the rank window DELIBERATELY: Spark ≥3.5
+    rewrites ``row_number() <= k`` filters into WindowGroupLimit with a
+    map-side PARTIAL limit, so every map task forwards at most ``cap``
+    rows per bucket and a hot bucket reaches the reduce side as
+    ``cap × num_map_tasks`` rows, not its full population — bounded at
+    any corpus size (the same shape msearch's per-query windows rely
+    on; asserted in tests). Quality doubles ride only in the ORDER;
+    the output is integer columns, so the gate hash is exact."""
+    q = quality.select(
+        F.col(id_col).alias("doc_id"), F.col(score_col).alias("_q")
+    )
+    e = emb.select(
+        F.col(emb_id_col).alias("doc_id"),
+        F.expr(D.lsh_bucket(D.SPARK, vec_col, num_planes, dims))
+        .cast("int")
+        .alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("_q"), F.asc("doc_id"))
+    )
+    return (
+        q.join(e, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(cap))
+        .select("doc_id", "bucket", "rank")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

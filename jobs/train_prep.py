@@ -5,9 +5,11 @@ job — the composition of the individually-gated hygiene operators:
   Jaccard verify, transitive clusters; keep-one = min doc_id or
   --keep-best quality winner) -> duplicate-span cut (optional) ->
   quality / language filter -> benchmark decontamination ->
-  domain-mixture rebalance (optional; --mixture-mode down or up) ->
-  global token-budget cut (optional) -> chunking -> sequence packing
-  (epoch-ordered under --shuffle-seed) -> training shards (optional)
+  semantic diversity capping (optional; --diversity-cap over
+  --embeddings) -> domain-mixture rebalance (optional; --mixture-mode
+  down or up) -> global token-budget cut (optional) -> chunking ->
+  sequence packing (epoch-ordered under --shuffle-seed) -> training
+  shards (optional)
 
     spark-submit jobs/train_prep.py --input docs.parquet --output /out \
         [--benchmark bench.parquet] [--min-quality 0.4] [--langs en,fr] \
@@ -86,6 +88,16 @@ def main() -> None:
                          "whole); up = repeat-count resampling "
                          "(small domains replicated, copy_no-remapped "
                          "doc ids)")
+    ap.add_argument("--diversity-cap", type=int, default=None,
+                    help="keep at most N docs per hyperplane-LSH "
+                         "embedding bucket (SemDeDup-style semantic "
+                         "capping; requires --embeddings)")
+    ap.add_argument("--embeddings", default=None,
+                    help="(vec_id, embedding) parquet aligned to doc_id")
+    ap.add_argument("--diversity-planes", type=int, default=8)
+    ap.add_argument("--diversity-dims", type=int, default=64,
+                    help="embedding dimensionality (the hyperplane "
+                         "coefficients embed as literals of this width)")
     ap.add_argument("--token-budget", type=int, default=None,
                     help="global bpe-token budget: keep the highest-"
                          "quality docs until the budget is spent")
@@ -209,6 +221,32 @@ def main() -> None:
         ).where(~F.col("contaminated")).select("doc_id")
         docs, n = stage(
             "decontaminate", docs.join(clean, "doc_id", "left_semi"), n
+        )
+
+    # 4b. semantic diversity capping (SemDeDup-style): at most
+    # --diversity-cap docs per hyperplane-LSH embedding bucket, best
+    # quality first. Near-dup dedup removed copies; this removes
+    # REDUNDANCY (distinct texts, one idea). WindowGroupLimit bounds
+    # hot buckets map-side, so the stage is one join + one bounded
+    # shuffle at any corpus size.
+    if args.diversity_cap is not None:
+        if not args.embeddings:
+            raise SystemExit("--diversity-cap requires --embeddings")
+        from cs_search_engine_architecture_spark.operators import (
+            curation as cu,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        qual = ta.quality_scores(docs, tc).withColumn(
+            "quality_score", ta.quality_score_col()
+        ).select("doc_id", "quality_score")
+        kept_div = cu.diversity_cap(
+            qual, emb, args.diversity_cap,
+            num_planes=args.diversity_planes,
+            dims=args.diversity_dims,
+        ).select("doc_id")
+        docs, n = stage(
+            "diversity_cap", docs.join(kept_div, "doc_id", "left_semi"), n
         )
 
     # 5. rebalance to the target domain mixture (deterministic

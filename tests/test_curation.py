@@ -168,3 +168,46 @@ def test_write_training_shards_sorted_and_complete(spark, tmp_path):
         keys = tbl.column("shuffle_key").to_pylist()
         assert keys == sorted(keys)
         assert all(k % 4 == shard for k in keys)
+
+
+def test_diversity_cap_matches_bruteforce(spark):
+    """SemDeDup-style capping: per hyperplane-LSH bucket keep the cap
+    best (quality desc, doc_id asc) — verified against a pure-python
+    mirror (similarity.bucket_of shares the md5 plane source with the
+    SQL fragment), and the plan must carry WindowGroupLimit (the
+    map-side partial per-group limit that bounds hot buckets)."""
+    import random
+
+    from cs_search_engine_architecture_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = random.Random(11)
+    dims, planes, cap = 8, 3, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)], rng.choice(
+            [0.2, 0.4, 0.6, 0.8]))
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    qual = spark.createDataFrame(
+        [(i, q) for i, _, q in rows], "doc_id long, quality_score double"
+    )
+    got = CU.diversity_cap(
+        qual, emb, cap, num_planes=planes, dims=dims
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    res = {(r["doc_id"], r["bucket"], r["rank"]) for r in got.collect()}
+    # python mirror
+    by_bucket = {}
+    for i, v, q in rows:
+        by_bucket.setdefault(SIM.bucket_of(v, planes), []).append((i, q))
+    want = set()
+    for b, members in by_bucket.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, _q) in enumerate(members[:cap], start=1):
+            want.add((i, b, rank))
+    assert res == want

@@ -131,3 +131,59 @@ def test_train_prep_span_dedup_stage(spark, tmp_path):
     assert 2 not in texts  # both halves duplicated doc 0 -> emptied
     assert texts[3] == ""  # token-free doc passes through, not dropped
     assert by["span_dedup"]["dropped"] == 1
+
+
+def test_train_prep_diversity_cap_stage(spark, tmp_path):
+    """--diversity-cap keeps at most N docs per hyperplane-LSH
+    embedding bucket (quality desc, doc_id asc). Texts are word
+    permutations (equal quality, distinct strings — survive exact and
+    span-free near dedup is disabled), embeddings put docs 0-3 in one
+    bucket and 4-5 in the antipodal one, so cap=2 keeps {0,1,4,5}."""
+    words = LONG.split()
+    import random
+
+    rng = random.Random(5)
+
+    def perm(i):
+        w = words[:]
+        rng.shuffle(w)
+        return " ".join(w)
+
+    rows = [(i, perm(i)) for i in range(6)]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus
+    )
+    v = [1.0] * 8
+    emb_rows = [(i, v) for i in range(4)] + [
+        (i, [-x for x in v]) for i in (4, 5)
+    ]
+    embp = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>"
+    ).write.parquet(embp)
+
+    out = str(tmp_path / "prep")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "train_prep.py"),
+            "--input", corpus, "--output", out,
+            "--min-jaccard", "1.01",  # permutations ARE jaccard-1 dups
+            "--diversity-cap", "2", "--embeddings", embp,
+            "--diversity-planes", "4", "--diversity-dims", "8",
+            "--chunk-size", "16", "--stride", "12", "--seq-len", "32",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=480, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    by = {s["stage"]: s for s in metrics["stages"]}
+    assert by["diversity_cap"]["in"] == 6
+    assert by["diversity_cap"]["out"] == 4
+    surv = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert surv == {0, 1, 4, 5}
