@@ -353,6 +353,15 @@ def main() -> None:
         docs, os.path.join(work, "shards"), seed=7, num_shards=32
     )
     timings["epoch_shard_write"] = round(time.time() - t0, 3)
+    # semantic diversity capping: per-LSH-bucket top-k over embeddings
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        t0 = time.time()
+        _cu.diversity_cap(
+            scored.select("doc_id", "quality_score"), emb, 3, num_planes=8
+        ).count()
+        timings["diversity_cap"] = round(time.time() - t0, 3)
 
     # decontamination + perplexity-filter scoring over the fixture docs
     from cs_search_engine_architecture_spark.operators import lm  # noqa: E402
