@@ -7,9 +7,10 @@ job — the composition of the individually-gated hygiene operators:
   quality / language filter -> benchmark decontamination ->
   semantic diversity capping (optional; --diversity-cap over
   --embeddings) -> domain-mixture rebalance (optional; --mixture-mode
-  down or up) -> global token-budget cut (optional) -> chunking ->
-  sequence packing (epoch-ordered under --shuffle-seed) -> training
-  shards (optional)
+  down or up) -> global token-budget cut (optional) -> leakage-safe
+  train/val/test splits (optional; --split-seed, clusters at the
+  looser --split-jaccard) -> chunking -> sequence packing
+  (epoch-ordered under --shuffle-seed) -> training shards (optional)
 
     spark-submit jobs/train_prep.py --input docs.parquet --output /out \
         [--benchmark bench.parquet] [--min-quality 0.4] [--langs en,fr] \
@@ -101,6 +102,13 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None,
                     help="global bpe-token budget: keep the highest-"
                          "quality docs until the budget is spent")
+    ap.add_argument("--split-seed", default=None,
+                    help="assign leakage-safe train/val/test splits "
+                         "(near-dup clusters at --split-jaccard hash "
+                         "their cluster id); chunk/pack train only")
+    ap.add_argument("--split-jaccard", type=float, default=0.5)
+    ap.add_argument("--split-train", type=float, default=0.8)
+    ap.add_argument("--split-val", type=float, default=0.1)
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--stride", type=int, default=48)
     ap.add_argument("--seq-len", type=int, default=256)
@@ -303,7 +311,31 @@ def main() -> None:
             "token_budget", docs.join(kept, "doc_id", "left_semi"), n
         )
 
+    # 5c. leakage-safe train/val/test assignment: clusters computed at
+    # a LOOSER threshold than dedup (--split-jaccard < --min-jaccard):
+    # dedup removed COPIES, but a near-miss pair that survived it must
+    # still never straddle train/test (the memorization leak). Members
+    # of a split-cluster hash the CLUSTER id; everyone else their own
+    # id — one extra candidate-join pass over the survivors. The split
+    # column is written into corpus/; chunking/packing then consume the
+    # train split only.
+    if args.split_seed is not None:
+        split_pairs = dedup.ngram_jaccard_pairs(
+            docs, tc, min_jaccard=args.split_jaccard
+        )
+        split_clusters = dedup.dup_clusters(split_pairs)
+        splits = ta.split_assign_leakage_safe(
+            docs, split_clusters, seed=args.split_seed,
+            train=args.split_train, val=args.split_val,
+        )
+        docs = docs.join(splits, "doc_id")
+
     docs.write.mode("overwrite").parquet(os.path.join(args.output, "corpus"))
+
+    if args.split_seed is not None:
+        docs, n = stage(
+            "split_train_filter", docs.where(F.col("split") == "train"), n
+        )
 
     # 6. chunking (row-local sliding-window explode)
     t0 = time.time()

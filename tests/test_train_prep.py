@@ -187,3 +187,53 @@ def test_train_prep_diversity_cap_stage(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     }
     assert surv == {0, 1, 4, 5}
+
+
+def test_train_prep_leakage_safe_splits(spark, tmp_path):
+    """--split-seed writes a leakage-safe split column: near-dup pairs
+    at the (looser) --split-jaccard threshold land in ONE split, and
+    chunking consumes the train split only."""
+    words = LONG.split()
+    rows = [(i, " ".join(words[i:] + words[:i])) for i in range(8)]
+    # rotations share ALL tokens (jaccard 1.0 on shingle sets is not
+    # guaranteed, but token overlap is high); add distinct docs too
+    rows += [
+        (10, "completely different text about gardens and rivers and "
+             "mountains flowing slowly under the bright morning sun"),
+        (11, "another unrelated document describing compilers parsers "
+             "and the virtual machines that execute the generated code"),
+    ]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        corpus
+    )
+    out = str(tmp_path / "prep")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "train_prep.py"),
+            "--input", corpus, "--output", out,
+            "--min-jaccard", "1.01",  # keep near-dups in the corpus
+            "--split-seed", "s9", "--split-jaccard", "0.5",
+            "--chunk-size", "16", "--stride", "12", "--seq-len", "32",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, timeout=480, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    corp = spark.read.parquet(os.path.join(out, "corpus"))
+    got = {r["doc_id"]: r["split"] for r in corp.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    rot_splits = {got[i] for i in range(8) if i in got}
+    assert len(rot_splits) == 1  # the near-dup cluster never straddles
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    by = {s["stage"]: s for s in metrics["stages"]}
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert by["split_train_filter"]["out"] == n_train
+    # chunks come from train docs only
+    chunk_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "chunks"))
+        .select("doc_id").distinct().collect()
+    }
+    assert chunk_docs <= {d for d, s in got.items() if s == "train"}
