@@ -13,6 +13,7 @@
     spark-submit jobs/maintain.py auto    --index /path/idx \
         [--max-delta-segments 4] [--max-masked-fraction 0.1]
     spark-submit jobs/maintain.py status  --index /path/idx
+    spark-submit jobs/maintain.py fsck    --index /path/idx [--deep]
 
 Adds are frozen-stats delta segments, deletes are query-time tombstone
 masks, compact folds both into a fresh-stats rebuild (see
@@ -41,9 +42,11 @@ def main() -> None:
         "action",
         choices=[
             "add", "delete", "update", "merge", "compact", "auto", "status",
-            "dedup-store",
+            "dedup-store", "fsck",
         ],
     )
+    ap.add_argument("--deep", action="store_true",
+                    help="fsck: also decode every block's bytes")
     ap.add_argument("--max-delta-segments", type=int, default=4)
     ap.add_argument("--max-masked-fraction", type=float, default=0.10)
     ap.add_argument("--index", required=True)
@@ -156,6 +159,16 @@ def main() -> None:
             max_masked_fraction=args.max_masked_fraction,
         )
         print(json.dumps({"action": "auto", **out}))
+    elif args.action == "fsck":
+        from cs_search_engine_architecture_spark.operators import (  # noqa: E402
+            fsck,
+        )
+
+        report = fsck.fsck_index(spark, args.index, deep=args.deep)
+        print(json.dumps({"action": "fsck", **report}))
+        if not report["ok"]:
+            spark.stop()
+            sys.exit(1)
     else:  # status
         print(json.dumps({
             "action": "status",

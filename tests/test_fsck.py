@@ -1,0 +1,146 @@
+"""Index integrity checker (`operators/fsck.py`): a clean index (base
+and with maintenance state) passes every check, and seeded corruption
+of each guarded invariant is detected and named."""
+
+import glob
+import json
+import os
+import shutil
+
+from cs_search_engine_architecture_spark.operators import fsck, indexer
+
+DOCS = [
+    (0, "spark shuffle makes wide plans fast"),
+    (1, "hash join beats merge join on small tables"),
+    (2, "sorted merge join shines for big runs"),
+    (3, "the planner picks hash join or merge join"),
+    (4, "spark planner prefers broadcast hash join"),
+    (5, "a shuffle heavy query with skewed keys"),
+    (6, "spark spark spark repeated for frequency"),
+    (7, "delta gap varint blocks compress postings"),
+]
+
+
+def _build(spark, tmp_path, name="idx"):
+    out = str(tmp_path / name)
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / f"{name}_corpus.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _status(report, check, tier="base"):
+    hits = [
+        c for c in report["checks"]
+        if c["check"] == check and c["tier"] == tier
+    ]
+    assert hits, f"no check named {check} on tier {tier}"
+    return hits[0]["status"]
+
+
+def test_fsck_clean_index_passes(spark, tmp_path):
+    out = _build(spark, tmp_path)
+    report = fsck.fsck_index(spark, out, deep=True)
+    assert report["ok"], [c for c in report["checks"]
+                          if c["status"] != "ok"]
+    names = {c["check"] for c in report["checks"]}
+    assert {"meta_json", "manifest_shards", "meta_num_postings",
+            "block_term_disjoint", "deep_bad_monotonic",
+            "doc_lens_unique"} <= names
+
+
+def test_fsck_clean_under_maintenance_state(spark, tmp_path):
+    """adds + deletes + updates leave a protocol-consistent index —
+    every tier (base and deltas) must still pass, and the updated-id
+    invariants are checked and green."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "a fresh added doc")]))
+    indexer.delete_docs(spark, out, [5])
+    indexer.update_docs(spark, out, _df(spark, [(0, "updated text zero")]))
+    report = fsck.fsck_index(spark, out, deep=True)
+    assert report["ok"], [c for c in report["checks"]
+                          if c["status"] != "ok"]
+    assert _status(report, "updated_have_tombstones") == "ok"
+    assert _status(report, "updated_staged_in_delta") == "ok"
+    tiers = {c["tier"] for c in report["checks"]}
+    assert any(t.startswith("delta_") for t in tiers)
+
+
+def test_fsck_detects_meta_postings_drift(spark, tmp_path):
+    out = _build(spark, tmp_path)
+    mp = os.path.join(out, "meta.json")
+    meta = json.load(open(mp))
+    meta["num_postings"] += 7
+    json.dump(meta, open(mp, "w"))
+    report = fsck.fsck_index(spark, out)
+    assert not report["ok"]
+    assert _status(report, "meta_num_postings") == "fail"
+
+
+def test_fsck_detects_missing_shard(spark, tmp_path):
+    """Deleting one term_bucket directory (a lost shard) fails the
+    manifest comparison AND the postings total."""
+    out = _build(spark, tmp_path)
+    shard = sorted(glob.glob(os.path.join(out, "blocks", "term_bucket=*")))[0]
+    shutil.rmtree(shard)
+    report = fsck.fsck_index(spark, out)
+    assert not report["ok"]
+    assert _status(report, "manifest_shards") == "fail"
+    assert _status(report, "meta_num_postings") == "fail"
+
+
+def test_fsck_detects_orphan_updated_id(spark, tmp_path):
+    """An updated_ids row without its tombstone (fail-closed broken) and
+    without staged delta rows (lost update) fails both invariants."""
+    out = _build(spark, tmp_path)
+    spark.createDataFrame([(3,)], "doc_id long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "updated_ids"))
+    report = fsck.fsck_index(spark, out)
+    assert not report["ok"]
+    assert _status(report, "updated_have_tombstones") == "fail"
+    assert _status(report, "updated_staged_in_delta") == "fail"
+
+
+def test_fsck_deep_detects_byte_corruption(spark, tmp_path):
+    """Flipping the varint doc_ids payload of one block (keeping the
+    metadata) is invisible to the surface pass and caught by --deep."""
+    import pandas as pd
+
+    out = _build(spark, tmp_path)
+    shard_files = sorted(
+        glob.glob(os.path.join(out, "blocks", "term_bucket=*", "*.parquet"))
+    )
+    target = next(
+        f for f in shard_files
+        if len(pd.read_parquet(f))  # first non-empty shard file
+    )
+    pdf = pd.read_parquet(target)
+    buf = bytearray(pdf.loc[0, "doc_ids_bin"])
+    buf[0] ^= 0x7F  # corrupt the first varint delta
+    pdf.loc[0, "doc_ids_bin"] = bytes(buf)
+    pdf.to_parquet(target, index=False)
+    crc = os.path.join(
+        os.path.dirname(target), "." + os.path.basename(target) + ".crc"
+    )
+    if os.path.exists(crc):  # stale Hadoop checksum sidecar
+        os.remove(crc)
+    surface = fsck.fsck_index(spark, out)
+    deep = fsck.fsck_index(spark, out, deep=True)
+    surface_names = {
+        c["check"] for c in surface["checks"] if c["status"] == "fail"
+    }
+    assert not surface_names.intersection({"deep_bad_endpoints"})
+    assert not deep["ok"]
+    assert any(
+        c["check"].startswith("deep_") and c["status"] == "fail"
+        for c in deep["checks"]
+    )
