@@ -11,6 +11,8 @@ the individually-gated hygiene operators into one JSON:
                 candidate-pair count; distinct-W-gram KMV estimate vs
                 total grams (duplicated-substring mass proxy)
   pii           docs with at least one redactable span
+  semantic_redundancy (with --embeddings) hyperplane-LSH bucket
+                concentration + what a SemDeDup-style cap would keep
   contamination (with --benchmark) docs sharing n-grams with the
                 eval suite
 
@@ -58,6 +60,12 @@ def main() -> None:
     ap.add_argument("--lang-col", default="lang",
                     help="declared language column; language_id is "
                          "used when the column is absent")
+    ap.add_argument("--embeddings", default=None,
+                    help="(vec_id, embedding) parquet: adds the "
+                         "semantic-redundancy section")
+    ap.add_argument("--diversity-planes", type=int, default=8)
+    ap.add_argument("--diversity-dims", type=int, default=64)
+    ap.add_argument("--diversity-cap", type=int, default=3)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
@@ -169,6 +177,50 @@ def main() -> None:
             1.0 - distinct_est / n_grams, 4
         ) if n_grams else 0.0,
     }
+
+    # semantic redundancy (with --embeddings): hyperplane-LSH bucket
+    # concentration — how much of the corpus sits in few semantic
+    # neighborhoods, and what a SemDeDup-style cap would keep. One
+    # groupBy over the bucket expression; top buckets only to driver.
+    if args.embeddings:
+        from cs_search_engine_architecture_spark.functions import (  # noqa: E402
+            dialect as D,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        buckets = emb.select(
+            F.expr(
+                D.lsh_bucket(
+                    D.SPARK, "embedding", args.diversity_planes,
+                    args.diversity_dims,
+                )
+            ).cast("int").alias("bucket")
+        ).groupBy("bucket").count()
+        bagg = buckets.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("count").alias("n_vecs"),
+            F.max("count").alias("max_bucket"),
+            F.sum(F.least(F.col("count"), F.lit(args.diversity_cap)))
+            .alias("kept_at_cap"),
+        ).collect()[0]
+        top = [
+            {"bucket": r["bucket"], "docs": r["count"]}
+            for r in buckets.orderBy(F.desc("count")).limit(8).collect()
+        ]
+        n_vecs = int(bagg["n_vecs"] or 0)
+        report["semantic_redundancy"] = {
+            "planes": args.diversity_planes,
+            "occupied_buckets": int(bagg["n_buckets"] or 0),
+            "vectors": n_vecs,
+            "largest_bucket": int(bagg["max_bucket"] or 0),
+            "top_buckets": top,
+            f"kept_at_cap_{args.diversity_cap}": int(
+                bagg["kept_at_cap"] or 0
+            ),
+            "redundant_share": round(
+                1.0 - int(bagg["kept_at_cap"] or 0) / n_vecs, 4
+            ) if n_vecs else 0.0,
+        }
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)

@@ -32,6 +32,14 @@ def test_corpus_report(spark, tmp_path):
     spark.createDataFrame(
         [(0, rows[4][1])], "doc_id long, text string"
     ).write.parquet(bench)
+    # embeddings: docs 0-2 share one vector (one semantic bucket),
+    # 3-4 its negation -> 2 occupied buckets; cap 1 keeps 2
+    v = [1.0] * 8
+    emb = str(tmp_path / "e.parquet")
+    spark.createDataFrame(
+        [(i, v) for i in range(3)] + [(i, [-x for x in v]) for i in (3, 4)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
 
     out = str(tmp_path / "report.json")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,6 +48,8 @@ def test_corpus_report(spark, tmp_path):
             sys.executable, os.path.join(repo, "jobs", "corpus_report.py"),
             "--input", corpus, "--benchmark", bench, "--output", out,
             "--decontaminate-n", "5", "--cores", "2",
+            "--embeddings", emb, "--diversity-planes", "4",
+            "--diversity-dims", "8", "--diversity-cap", "1",
         ],
         capture_output=True, text=True, timeout=480, cwd=repo,
     )
@@ -57,3 +67,9 @@ def test_corpus_report(spark, tmp_path):
     assert rep["contamination"]["contaminated_docs"] == 1  # doc 4
     assert 0 <= rep["quality"]["p10"] <= rep["quality"]["p50"] \
         <= rep["quality"]["p90"] <= 1
+    sem = rep["semantic_redundancy"]
+    assert sem["occupied_buckets"] == 2
+    assert sem["vectors"] == 5
+    assert sem["largest_bucket"] == 3
+    assert sem["kept_at_cap_1"] == 2
+    assert abs(sem["redundant_share"] - 0.6) < 1e-9
