@@ -381,6 +381,7 @@ def diversity_cap(
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "quality_score",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bucket, rank) — semantic diversity capping: keep at most
     ``cap`` documents per SEMANTIC bucket, best-quality first. The
@@ -394,6 +395,12 @@ def diversity_cap(
     selection — near-dup dedup kills copies, this kills REDUNDANCY
     (the 10⁶ boilerplate product pages that are all distinct text but
     one idea), keeping the ``cap`` best exemplars per neighborhood.
+
+    Pass ``buckets`` (any ``(doc_id, bucket)`` frame) to substitute a
+    different neighborhood definition for the LSH signature — e.g.
+    k-means/IVF cells from ``similarity.ivf_assign`` (the published
+    SemDeDup setting) or connected-component cluster ids; ``emb`` and
+    the plane parameters are then ignored.
 
     Keep rule: per bucket, rank = row_number over (quality desc,
     doc_id asc), keep rank ≤ cap. Unlike keep-FIRST (cap=1, where the
@@ -409,12 +416,18 @@ def diversity_cap(
     q = quality.select(
         F.col(id_col).alias("doc_id"), F.col(score_col).alias("_q")
     )
-    e = emb.select(
-        F.col(emb_id_col).alias("doc_id"),
-        F.expr(D.lsh_bucket(D.SPARK, vec_col, num_planes, dims))
-        .cast("int")
-        .alias("bucket"),
-    )
+    if buckets is not None:
+        e = buckets.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+    else:
+        e = emb.select(
+            F.col(emb_id_col).alias("doc_id"),
+            F.expr(D.lsh_bucket(D.SPARK, vec_col, num_planes, dims))
+            .cast("int")
+            .alias("bucket"),
+        )
     from pyspark.sql import Window
 
     w = (

@@ -211,3 +211,28 @@ def test_diversity_cap_matches_bruteforce(spark):
         for rank, (i, _q) in enumerate(members[:cap], start=1):
             want.add((i, b, rank))
     assert res == want
+
+
+def test_diversity_cap_with_supplied_buckets(spark):
+    """`buckets=` substitutes any (doc_id, bucket) neighborhood frame
+    (e.g. IVF cells) for the LSH signature — same keep rule."""
+    qual = spark.createDataFrame(
+        [(i, float(i % 5) / 10) for i in range(40)],
+        "doc_id long, quality_score double",
+    )
+    cells = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "doc_id long, bucket int"
+    )
+    got = CU.diversity_cap(qual, None, 2, buckets=cells).collect()
+    assert len(got) == 8  # 4 buckets x cap 2
+    for r in got:
+        assert r["rank"] <= 2
+        # best quality in bucket b is 0.4 (doc_id % 5 == 4)
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    rows = {r["doc_id"]: r for r in qual.collect()}
+    for b, members in by_bucket.items():
+        cand = [i for i in range(40) if i % 4 == b]
+        cand.sort(key=lambda i: (-rows[i]["quality_score"], i))
+        assert sorted(members) == sorted(cand[:2])
