@@ -253,8 +253,16 @@ def main() -> None:
             num_planes=args.diversity_planes,
             dims=args.diversity_dims,
         ).select("doc_id")
+        # docs with no embedding row have no known neighborhood: they
+        # pass through (the cap prunes only where it can see)
+        no_emb = docs.join(
+            emb.select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_anti",
+        ).select("doc_id")
         docs, n = stage(
-            "diversity_cap", docs.join(kept_div, "doc_id", "left_semi"), n
+            "diversity_cap",
+            docs.join(kept_div.unionByName(no_emb), "doc_id", "left_semi"),
+            n,
         )
 
     # 5. rebalance to the target domain mixture (deterministic

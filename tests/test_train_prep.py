@@ -149,7 +149,10 @@ def test_train_prep_diversity_cap_stage(spark, tmp_path):
         rng.shuffle(w)
         return " ".join(w)
 
-    rows = [(i, perm(i)) for i in range(6)]
+    rows = [(i, perm(i)) for i in range(6)] + [
+        (9, "an embedding free document that must pass the cap stage "
+            "untouched because its neighborhood is unknown")
+    ]
     corpus = str(tmp_path / "corpus.parquet")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         corpus
@@ -180,13 +183,13 @@ def test_train_prep_diversity_cap_stage(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     metrics = json.load(open(os.path.join(out, "metrics.json")))
     by = {s["stage"]: s for s in metrics["stages"]}
-    assert by["diversity_cap"]["in"] == 6
-    assert by["diversity_cap"]["out"] == 4
+    assert by["diversity_cap"]["in"] == 7
+    assert by["diversity_cap"]["out"] == 5
     surv = {
         r["doc_id"]
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     }
-    assert surv == {0, 1, 4, 5}
+    assert surv == {0, 1, 4, 5, 9}  # 9 has no embedding: passes through
 
 
 def test_train_prep_leakage_safe_splits(spark, tmp_path):
