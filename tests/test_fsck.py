@@ -144,3 +144,45 @@ def test_fsck_deep_detects_byte_corruption(spark, tmp_path):
         c["check"].startswith("deep_") and c["status"] == "fail"
         for c in deep["checks"]
     )
+
+
+def test_fsck_holds_under_random_maintenance(spark, tmp_path):
+    """Property: after ANY random sequence of add/delete/update/merge
+    the protocol invariants fsck guards must all hold (surface pass per
+    sequence, deep pass at the end)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["spark", "join", "merge", "plan", "block", "qqv", "qqw"]
+    out = _build(spark, tmp_path)
+    live = {d for d, _ in DOCS}
+    next_id = 100
+
+    def rand_rows(ids):
+        return _df(spark, [
+            (d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 7))))
+            for d in ids
+        ])
+
+    for step in range(8):
+        op = rng.random()
+        if op < 0.3:
+            indexer.add_docs(spark, out, rand_rows([next_id]))
+            live.add(next_id)
+            next_id += 1
+        elif op < 0.45 and len(live) > 4:
+            victim = rng.choice(sorted(live))
+            indexer.delete_docs(spark, out, [victim])
+            live.discard(victim)
+        elif op < 0.6:
+            indexer.merge_deltas(spark, out)
+        else:
+            ids = rng.sample(sorted(live), min(2, len(live)))
+            indexer.update_docs(spark, out, rand_rows(ids))
+        report = fsck.fsck_index(spark, out)
+        bad = [c for c in report["checks"] if c["status"] == "fail"]
+        assert not bad, (step, bad)
+    deep = fsck.fsck_index(spark, out, deep=True)
+    assert deep["ok"], [c for c in deep["checks"]
+                        if c["status"] != "ok"]
