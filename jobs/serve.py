@@ -15,6 +15,10 @@ Commands at the prompt (any other line is a query):
     facet:<column> | facet:off                   facet counts per query (needs --corpus)
     stats:<column> | stats:off                   numeric stats agg per query (needs --corpus)
     next                                         next page of the last query
+    count:<query>                                match count, no ranking
+    explain:<doc_id> <query>                     per-term score breakdown
+    mlt:<doc_id>                                 more-like-this from a seed doc
+    sig:<query>                                  significant terms (JLH)
     syn:{"term": ["alt"]} <query>                query-time synonym expansion
     rescore:<phrase> :: <query>                  two-phase proximity rescore
     status                                       index maintenance state
@@ -189,6 +193,24 @@ def main() -> None:
             import json as _json
 
             print(_json.dumps(eng.explain_score(q, did)))
+            continue
+        if low.startswith("mlt:"):
+            # mlt:<doc_id> — more-like-this from a seed doc
+            rest = line.split(":", 1)[1].strip()
+            try:
+                seed = int(rest)
+            except ValueError:
+                print("- usage: mlt:<doc_id>")
+                continue
+            try:
+                rows = eng.more_like_this(
+                    seed, top_k=top_k, corpus=corpus
+                ).collect()
+            except Exception as exc:
+                print(f"- more_like_this failed: {type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}")
+                continue
+            _print_rows(rows, None)
             continue
         if low.startswith("sig:"):
             q = line.split(":", 1)[1].strip()

@@ -447,6 +447,7 @@ def test_serve_repl_smoke(spark, tmp_path):
         "stats:doc_id\nalpha\nstats:off\n"
         'syn:{"alpha": ["gamma"]} alpha and beta\n'
         "rescore:alpha beta :: alpha or gamma\n"
+        "mlt:1\nmlt:notanid\n"
         "syn:notjson\nrescore:missing-separator\nexit\n"
     )
     proc = subprocess.run(
@@ -463,6 +464,8 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert "usage: rescore:<proximity phrase> :: <query>" in proc.stdout
     assert "stats[doc_id]: count=" in proc.stdout
     assert "- stats off" in proc.stdout
+    assert "usage: mlt:<doc_id>" in proc.stdout
+    assert "#3" in proc.stdout  # mlt:1 surfaces another odd-gamma doc
 
 
 def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
