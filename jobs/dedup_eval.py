@@ -49,6 +49,11 @@ def main() -> None:
                          "are bimodal), exposing the LSH S-curve")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--thresholds", default="0.5,0.7,0.8,0.9")
+    ap.add_argument("--embeddings", default=None,
+                    help="(vec_id, embedding) parquet: also evaluate "
+                         "the banded hyperplane-LSH generator against "
+                         "exact all-pairs cosine truth")
+    ap.add_argument("--cosine-thresholds", default="0.4,0.6,0.8")
     ap.add_argument("--output", default=None)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -66,10 +71,12 @@ def main() -> None:
 
         rng = random.Random(13)
         vocab = [f"w{i:04d}" for i in range(4000)]
-        rows, did = [], 0
+        rows, emb_rows, did = [], [], 0
         for _ in range(args.synthetic):
             base = [rng.choice(vocab) for _ in range(60)]
+            bvec = [rng.uniform(-1, 1) for _ in range(64)]
             rows.append((did, " ".join(base)))
+            emb_rows.append((did, bvec))
             did += 1
             for rate in (0.05, 0.15, 0.3, 0.5):
                 mut = [
@@ -77,11 +84,19 @@ def main() -> None:
                     for w in base
                 ]
                 rows.append((did, " ".join(mut)))
+                # graded vector perturbation: small rate = high cosine
+                emb_rows.append((did, [
+                    x + rng.gauss(0.0, 1.2 * rate) for x in bvec
+                ]))
                 did += 1
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         docs = docs.repartition(8).cache()
+        synthetic_emb = spark.createDataFrame(
+            emb_rows, "vec_id long, embedding array<float>"
+        ).repartition(8).cache()
     else:
         docs = spark.read.parquet(args.input)
+        synthetic_emb = None
     tc = args.text_col
     n_docs = docs.count()
 
@@ -150,6 +165,58 @@ def main() -> None:
         report[name] = entry
         cand.unpersist()
     truth.unpersist()
+
+    # embedding near-dup generator: exact all-pairs COSINE truth vs the
+    # banded hyperplane-LSH candidates — measures the collision-bound
+    # recall claim (1-(1-((1-θ/π)^P))^B) on real vectors
+    emb = (
+        spark.read.parquet(args.embeddings) if args.embeddings
+        else synthetic_emb
+    )
+    if emb is not None:
+        cths = sorted(float(t) for t in args.cosine_thresholds.split(","))
+        we = dedup._emb_with_norm(emb, "vec_id", "embedding")
+        ea = we.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        eb = we.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = (
+            F.expr(D.dot_product(D.SPARK, "va", "vb"))
+            / (F.col("na") * F.col("nb"))
+        )
+        etruth = (
+            ea.join(eb, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos"))
+            .where(F.col("cos") >= min(cths))
+            .cache()
+        )
+        etruth_counts = {
+            t: etruth.where(F.col("cos") >= t).count() for t in cths
+        }
+        ecand = dedup.embedding_lsh_candidates(emb).cache()
+        n_ecand = ecand.count()
+        ehit = etruth.join(ecand, ["id_a", "id_b"], "left_semi")
+        entry = {"candidates": n_ecand}
+        for t in cths:
+            n_true = etruth_counts[t]
+            n_hit = ehit.where(F.col("cos") >= t).count()
+            entry[f"recall@cos{t}"] = (
+                round(n_hit / n_true, 4) if n_true else None
+            )
+        n_ver = ecand.join(etruth, ["id_a", "id_b"], "left_semi").count()
+        entry["precision_vs_min_thr"] = (
+            round(n_ver / n_ecand, 4) if n_ecand else None
+        )
+        report["embedding_lsh"] = entry
+        report["true_pairs_at_cos"] = {
+            str(t): c for t, c in etruth_counts.items()
+        }
+        ecand.unpersist()
+        etruth.unpersist()
 
     out = json.dumps(report, indent=1)
     if args.output:
