@@ -77,23 +77,33 @@ def _deep_verify(it):
     for pdf in it:
         bad_n = bad_mono = bad_ends = bad_scores = 0
         for _, row in pdf.iterrows():
-            ids = delta_decode(varint_decode(row["doc_ids_bin"]))
             c = int(row["count"])
-            if len(ids) != c:
+            try:
+                ids = delta_decode(varint_decode(row["doc_ids_bin"]))
+                if len(ids) != c or len(ids) == 0:
+                    bad_n += 1
+                    continue
+            except Exception:  # torn/truncated bytes ARE the finding
                 bad_n += 1
                 continue
-            if len(ids) > 1 and not (np.diff(ids) > 0).all():
+            # elementwise compare, NOT np.diff: uint64 diff of a
+            # DECREASING pair wraps to a huge positive and passes >0
+            if len(ids) > 1 and not (ids[1:] > ids[:-1]).all():
                 bad_mono += 1
             if ids[0] != row["first_doc"] or ids[-1] != row["last_doc"]:
                 bad_ends += 1
-            sc = decode_scores(row["scores_bin"])
-            if len(sc) != c or (
-                len(sc)
-                and (
-                    np.float32(sc.max()) != np.float32(row["max_score"])
-                    or np.float32(sc.min()) != np.float32(row["min_score"])
-                )
-            ):
+            try:
+                sc = decode_scores(row["scores_bin"])
+                if len(sc) != c or (
+                    len(sc)
+                    and (
+                        np.float32(sc.max()) != np.float32(row["max_score"])
+                        or np.float32(sc.min())
+                        != np.float32(row["min_score"])
+                    )
+                ):
+                    bad_scores += 1
+            except Exception:  # e.g. length not a multiple of 4
                 bad_scores += 1
         yield pd.DataFrame(
             {
@@ -157,6 +167,10 @@ def fsck_index(
     # ---- per-tier block metadata scan ----
     for name, d in tiers:
         if not os.path.isdir(os.path.join(d, "blocks")):
+            # a delta tier already failed segment_dirs above; a BASE
+            # tier with no blocks dir is total postings loss
+            if name == "base":
+                add("segment_dirs", "base", "fail", "blocks dir missing")
             continue
         blocks = _tier_blocks(spark, d)
         flags = blocks.select(
@@ -269,14 +283,19 @@ def fsck_index(
                      f"{res[f'sum({c})']} of {total} blocks")
 
     # ---- doc_lens (base) ----
-    dl = spark.read.parquet(os.path.join(index_path, "doc_lens"))
-    n_dl, n_dl_distinct = dl.agg(
-        F.count("*"), F.countDistinct("doc_id")
-    ).collect()[0]
-    gate("doc_lens_unique", "base", n_dl == n_dl_distinct,
-         f"{n_dl} rows, {n_dl_distinct} distinct ids")
-    gate("doc_lens_bounded", "base", n_dl <= int(meta["num_documents"]),
-         f"{n_dl} rows > meta num_documents {meta['num_documents']}")
+    try:
+        dl = spark.read.parquet(os.path.join(index_path, "doc_lens"))
+        n_dl, n_dl_distinct = dl.agg(
+            F.count("*"), F.countDistinct("doc_id")
+        ).collect()[0]
+        gate("doc_lens_unique", "base", n_dl == n_dl_distinct,
+             f"{n_dl} rows, {n_dl_distinct} distinct ids")
+        gate("doc_lens_bounded", "base",
+             n_dl <= int(meta["num_documents"]),
+             f"{n_dl} rows > meta num_documents {meta['num_documents']}")
+    except Exception as exc:
+        add("doc_lens_unique", "base", "fail",
+            f"unreadable: {type(exc).__name__}")
 
     # ---- maintenance state ----
     tomb = IX.load_tombstones(spark, index_path)

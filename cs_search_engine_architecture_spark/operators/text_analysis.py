@@ -236,6 +236,22 @@ def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _split_label(key_expr: str, seed: str, train: float, val: float):
+    """The shared bucket-hash -> train/val/test mapping (one source of
+    truth: `split_assign` and `split_assign_leakage_safe` pin mutual
+    agreement outside clusters, so their threshold arithmetic and
+    label chain must never diverge)."""
+    bucket = F.expr(D.split_bucket(D.SPARK, key_expr, seed))
+    t_hi = int(train * D.SPLIT_BUCKETS)
+    v_hi = t_hi + int(val * D.SPLIT_BUCKETS)
+    return (
+        F.when(bucket < t_hi, F.lit("train"))
+        .when(bucket < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -249,15 +265,9 @@ def split_assign(
     no RNG state), stable under repartitioning (keyed on the id, not
     the row position — ``randomSplit`` is neither), and re-seedable for
     fresh folds. Row-local; no shuffle."""
-    bucket = F.expr(D.split_bucket(D.SPARK, id_col, seed))
-    t_hi = int(train * D.SPLIT_BUCKETS)
-    v_hi = t_hi + int(val * D.SPLIT_BUCKETS)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.when(bucket < t_hi, F.lit("train"))
-        .when(bucket < v_hi, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        _split_label(id_col, seed, train, val),
     )
 
 
@@ -291,17 +301,9 @@ def split_assign_leakage_safe(
     keyed = df.select(F.col(id_col).alias("doc_id")).join(
         cl, F.col("doc_id") == F.col("_cl_doc"), "left"
     )
-    bucket = F.expr(
-        D.split_bucket(D.SPARK, "coalesce(_cl_id, doc_id)", seed)
-    )
-    t_hi = int(train * D.SPLIT_BUCKETS)
-    v_hi = t_hi + int(val * D.SPLIT_BUCKETS)
     return keyed.select(
         "doc_id",
-        F.when(bucket < t_hi, F.lit("train"))
-        .when(bucket < v_hi, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        _split_label("coalesce(_cl_id, doc_id)", seed, train, val),
     )
 
 

@@ -188,38 +188,33 @@ def main() -> None:
         )
 
         emb = spark.read.parquet(args.embeddings)
-        buckets = emb.select(
+        # ONE scan: the grouped result is <= 2^planes rows, so collect
+        # it once and derive every stat driver-side (a second action
+        # would re-pay the full hyperplane-dot bucketing scan)
+        rows = emb.select(
             F.expr(
                 D.lsh_bucket(
                     D.SPARK, "embedding", args.diversity_planes,
                     args.diversity_dims,
                 )
             ).cast("int").alias("bucket")
-        ).groupBy("bucket").count()
-        bagg = buckets.agg(
-            F.count("*").alias("n_buckets"),
-            F.sum("count").alias("n_vecs"),
-            F.max("count").alias("max_bucket"),
-            F.sum(F.least(F.col("count"), F.lit(args.diversity_cap)))
-            .alias("kept_at_cap"),
-        ).collect()[0]
-        top = [
-            {"bucket": r["bucket"], "docs": r["count"]}
-            for r in buckets.orderBy(F.desc("count")).limit(8).collect()
-        ]
-        n_vecs = int(bagg["n_vecs"] or 0)
+        ).groupBy("bucket").count().collect()
+        by_size = sorted(rows, key=lambda r: -r["count"])
+        counts = [r["count"] for r in by_size]
+        n_vecs = sum(counts)
+        kept = sum(min(c, args.diversity_cap) for c in counts)
         report["semantic_redundancy"] = {
             "planes": args.diversity_planes,
-            "occupied_buckets": int(bagg["n_buckets"] or 0),
+            "occupied_buckets": len(counts),
             "vectors": n_vecs,
-            "largest_bucket": int(bagg["max_bucket"] or 0),
-            "top_buckets": top,
-            f"kept_at_cap_{args.diversity_cap}": int(
-                bagg["kept_at_cap"] or 0
-            ),
-            "redundant_share": round(
-                1.0 - int(bagg["kept_at_cap"] or 0) / n_vecs, 4
-            ) if n_vecs else 0.0,
+            "largest_bucket": counts[0] if counts else 0,
+            "top_buckets": [
+                {"bucket": r["bucket"], "docs": r["count"]}
+                for r in by_size[:8]
+            ],
+            f"kept_at_cap_{args.diversity_cap}": kept,
+            "redundant_share": round(1.0 - kept / n_vecs, 4)
+            if n_vecs else 0.0,
         }
 
     if args.benchmark:

@@ -54,6 +54,12 @@ def main() -> None:
                          "the banded hyperplane-LSH generator against "
                          "exact all-pairs cosine truth")
     ap.add_argument("--cosine-thresholds", default="0.4,0.6,0.8")
+    ap.add_argument("--emb-dims", type=int, default=64,
+                    help="embedding width — MUST match the vectors: "
+                         "the hyperplane coefficients embed as "
+                         "literals of this width, and a mismatch "
+                         "NULLs every dot product (all vectors land "
+                         "in bucket 0 = meaningless all-pairs eval)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
@@ -197,7 +203,9 @@ def main() -> None:
         etruth_counts = {
             t: etruth.where(F.col("cos") >= t).count() for t in cths
         }
-        ecand = dedup.embedding_lsh_candidates(emb).cache()
+        ecand = dedup.embedding_lsh_candidates(
+            emb, dims=args.emb_dims
+        ).cache()
         n_ecand = ecand.count()
         ehit = etruth.join(ecand, ["id_a", "id_b"], "left_semi")
         entry = {"candidates": n_ecand}

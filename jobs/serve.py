@@ -203,9 +203,10 @@ def main() -> None:
                 print("- usage: mlt:<doc_id>")
                 continue
             try:
-                rows = eng.more_like_this(
-                    seed, top_k=top_k, corpus=corpus
-                ).collect()
+                # corpus=None -> update-aware current_corpus() fetches
+                # the seed's CURRENT text (the static --corpus parquet
+                # would serve a stale row after in-place updates)
+                rows = eng.more_like_this(seed, top_k=top_k).collect()
             except Exception as exc:
                 print(f"- more_like_this failed: {type(exc).__name__}: "
                       f"{str(exc).splitlines()[0][:200]}")
