@@ -95,7 +95,10 @@ def _occurrence_stats(df: DataFrame, w: int, text_col: str) -> DataFrame:
     (the skew collapses before the shuffle), and the join back is an
     equi-join AQE's skew handling CAN split. Keep-first semantics are
     identical: rank 1 ⇔ equal to the per-hash minimum."""
-    occ = gram_occurrences(df, w, text_col)
+    return _occ_with_stats(gram_occurrences(df, w, text_col))
+
+
+def _occ_with_stats(occ: DataFrame) -> DataFrame:
     stats = occ.groupBy("gram_hash").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -184,6 +187,13 @@ def _rebuild_excluding(
     toks = df.select(
         "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
     )
+    return _rebuild_from_tokens(toks, cut_spans)
+
+
+def _rebuild_from_tokens(toks: DataFrame, cut_spans: DataFrame) -> DataFrame:
+    """``_rebuild_excluding`` over a pre-tokenized ``(doc_id, toks)``
+    frame — the staged path reads this from parquet so the corpus is
+    tokenized exactly once."""
     stream = toks.select(
         "doc_id",
         F.posexplode("toks").alias("pos0", "tok"),
@@ -217,12 +227,67 @@ def _rebuild_excluding(
 
 
 def remove_duplicate_spans(
-    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+    df: DataFrame,
+    w: int = SPAN_W,
+    text_col: str = "text",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Cleaned corpus with every removable span cut (see
     ``_rebuild_excluding`` for the output contract and shape). The
-    first occurrence of each duplicated gram survives."""
-    return _rebuild_excluding(df, removable_spans(df, w, text_col), text_col)
+    first occurrence of each duplicated gram survives.
+
+    ``stage_dir`` (optional) materializes the tokenized corpus and the
+    gram-occurrence frame to parquet once (the SPIMI discipline the
+    index build uses) instead of recomputing the tokenize+hash+explode
+    lineage on every consumer — the default plan tokenizes the corpus
+    three times (both sides of the stats join plus the rebuild's token
+    stream). Results are identical (pinned by
+    ``test_staged_removal_matches_default``); at cluster scale the
+    staged path turns three corpus-wide regex/md5 passes into one
+    write + cheap columnar re-reads."""
+    if stage_dir is None:
+        return _rebuild_excluding(
+            df, removable_spans(df, w, text_col), text_col
+        )
+    toks, occ = _stage_occurrences(df, w, text_col, stage_dir)
+    rem = _occ_with_stats(occ).where(
+        (F.col("n_occ") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    return _rebuild_from_tokens(
+        toks, _islands(rem.select("doc_id", "pos"), w)
+    )
+
+
+def _stage_occurrences(
+    df: DataFrame, w: int, text_col: str, stage_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write ``(doc_id, toks)`` and ``(doc_id, pos, gram_hash)`` to
+    parquet under ``stage_dir`` and return readers over the staged
+    files. The expensive regex tokenize runs once (toks write) and the
+    md5 gram hashing once (occ write, reading staged toks); every
+    downstream consumer scans compressed scalar columns."""
+    import os
+
+    spark = df.sparkSession
+    toks_path = os.path.join(stage_dir, "toks")
+    occ_path = os.path.join(stage_dir, "occ")
+    df.select(
+        "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
+    ).write.mode("overwrite").parquet(toks_path)
+    toks = spark.read.parquet(toks_path)
+    toks.select(
+        "doc_id",
+        F.posexplode(F.expr(D.gram_hashes(D.SPARK, "toks", w))).alias(
+            "pos0", "gram_hash"
+        ),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash"
+    ).write.mode("overwrite").parquet(occ_path)
+    return toks, spark.read.parquet(occ_path)
 
 
 # ----------------------------------------------------------------------

@@ -78,6 +78,11 @@ def main() -> None:
     ap.add_argument("--span-dedup-w", type=int, default=None,
                     help="cut duplicate W-token spans (keep-first; "
                          "rewrites text as the normalized token stream)")
+    ap.add_argument("--span-stage-dir", default=None,
+                    help="parquet-stage the tokenized corpus + gram "
+                         "occurrences once instead of recomputing the "
+                         "tokenize lineage on every consumer (the "
+                         "cluster-scale shape; identical output)")
     ap.add_argument("--mixture", default=None,
                     help="target domain shares over --mixture-col, e.g. "
                          "'en:0.5,fr:0.3,zh:0.2' — strata outside the "
@@ -186,7 +191,9 @@ def main() -> None:
             spans as sp,
         )
 
-        cleaned = sp.remove_duplicate_spans(docs, args.span_dedup_w, tc)
+        cleaned = sp.remove_duplicate_spans(
+            docs, args.span_dedup_w, tc, stage_dir=args.span_stage_dir
+        )
         # drop only docs whose text was ENTIRELY duplicated (kept=0
         # with removals); a doc that had zero normalized tokens to
         # begin with (kept=0, removed=0) passes through

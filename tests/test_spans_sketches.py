@@ -95,6 +95,26 @@ def test_short_docs_emit_no_grams_and_pass_through(spark):
     assert out == {0: "a b", 1: "a b", 2: ""}
 
 
+def test_staged_removal_matches_default(spark, tmp_path):
+    """``stage_dir`` (tokenize/hash once to parquet, SPIMI discipline)
+    must be plan-only: identical rows to the default recompute path on
+    a corpus exercising inter-doc, intra-doc, and total-wipe dups."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    default = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in SP.remove_duplicate_spans(docs, W).collect()
+    }
+    staged = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in SP.remove_duplicate_spans(
+            docs, W, stage_dir=str(tmp_path / "span_stage")
+        ).collect()
+    }
+    assert staged == default
+
+
 def test_keep_first_invariant_on_fixture(spark, tmp_path):
     """Every duplicated gram hash retains EXACTLY ONE occurrence whose
     token range survives removal — the global (doc_id, pos) minimum."""
