@@ -144,15 +144,25 @@ def _islands(occ: DataFrame, w: int) -> DataFrame:
 
 
 def duplicate_spans(
-    df: DataFrame, w: int = SPAN_W, text_col: str = "text"
+    df: DataFrame,
+    w: int = SPAN_W,
+    text_col: str = "text",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document: every token range
     covered by W-grams that occur more than once in the corpus
     (including the canonical first occurrence — this is the detection
     view; ``remove_duplicate_spans`` is the keep-first edit view).
     Output: (doc_id, span_start, span_end, n_grams), token positions
-    1-based inclusive."""
-    dup = _occurrence_stats(df, w, text_col).where(F.col("n_occ") > 1)
+    1-based inclusive. ``stage_dir`` parquet-stages the occurrence
+    frame once instead of recomputing the tokenize+hash+explode on
+    both sides of the stats join (see ``remove_duplicate_spans``)."""
+    if stage_dir is None:
+        occ_stats = _occurrence_stats(df, w, text_col)
+    else:
+        _, occ = _stage_occurrences(df, w, text_col, stage_dir)
+        occ_stats = _occ_with_stats(occ)
+    dup = occ_stats.where(F.col("n_occ") > 1)
     return _islands(dup.select("doc_id", "pos"), w)
 
 

@@ -113,6 +113,16 @@ def test_staged_removal_matches_default(spark, tmp_path):
         ).collect()
     }
     assert staged == default
+    det_default = {
+        tuple(r) for r in SP.duplicate_spans(docs, W).collect()
+    }
+    det_staged = {
+        tuple(r)
+        for r in SP.duplicate_spans(
+            docs, W, stage_dir=str(tmp_path / "det_stage")
+        ).collect()
+    }
+    assert det_staged == det_default
 
 
 def test_keep_first_invariant_on_fixture(spark, tmp_path):
