@@ -1022,17 +1022,7 @@ class SearchEngine:
         through the masked join path — update-aware like every other
         compiled query (the delta compiler understands the same AST
         node). Extension beyond the reference parser."""
-        if isinstance(phrase, str):
-            ast0 = parse_query(
-                f'"{phrase}"', analyzer=self.meta.get("analyzer", "reference")
-            )
-            values = (
-                list(ast0["values"])
-                if ast0 and ast0["type"] == "phrase"
-                else ([ast0["value"]] if ast0 else [])
-            )
-        else:
-            values = list(phrase)
+        values = self._proximity_values(phrase)
         if not values:
             return self.spark.createDataFrame([], "doc_id long, score double")
         ast = {
@@ -1615,13 +1605,22 @@ class SearchEngine:
             ).write.mode("overwrite").parquet(path)
             return 0
         out = self._scored(ast)
+        # current_corpus() keeps the SOURCE id column name; scored
+        # frames always call it doc_id — align before joining (a
+        # custom --doc-id-col index crashes otherwise)
+        id_col = self.meta.get("doc_id_col", "doc_id")
         if predicate is not None:
             admitted = self.current_corpus().where(predicate).select(
-                "doc_id"
+                F.col(id_col).cast("long").alias("doc_id")
             )
             out = out.join(admitted, "doc_id", "left_semi")
         if with_text:
-            out = out.join(self.current_corpus(), "doc_id")
+            out = out.join(
+                self.current_corpus().withColumn(
+                    "doc_id", F.col(id_col).cast("long")
+                ).drop(*([id_col] if id_col != "doc_id" else [])),
+                "doc_id",
+            )
         out.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path).count()
 
@@ -2029,17 +2028,28 @@ class SearchEngine:
         top_k: int = 10,
         pre_select_k: int = 50,
         ltr_weights: str | None = None,
+        candidates: DataFrame | None = None,
     ) -> DataFrame:
         """``exact_search(..., ltr_enabled=True)`` parity
         (``sea/engine.pyx:584-607``): BM25 retrieves, the top
         ``pre_select_k`` get R1 features, the ListNet MLP re-ranks them,
         and the final order is (ltr_score desc, doc_id asc) limit k.
-        Returns (doc_id, score [index BM25], ltr_score)."""
+        Returns (doc_id, score [index BM25], ltr_score).
+
+        ``candidates`` (optional) replaces the BM25 retrieval with a
+        caller-supplied (doc_id, score) frame — e.g. a
+        ``filtered_search`` page, so LTR composes with filter context
+        (the filter selects candidates; features/scores are computed
+        exactly as on the unfiltered path)."""
         from cs_search_engine_architecture_spark.operators import ltr
 
         if ltr_weights is None:
             raise ValueError("search_ltr requires an ltr_weights .npz path")
-        top = self.search(query, pre_select_k)
+        top = (
+            candidates.select("doc_id", "score")
+            if candidates is not None
+            else self.search(query, pre_select_k)
+        )
         feats = self.ltr_features(query, top=top)
         order = ltr.feature_order(self.meta["num_fields"])
         scored = ltr.rerank(feats, ltr_weights, order)

@@ -183,14 +183,16 @@ def _dedup_store_meta(store_path: str) -> dict:
         return json.load(fh)
 
 
-def _next_manual_segment(store_path: str) -> str:
+def _next_manual_segment(store_path: str, subdir: str = "sigs") -> str:
     """``m<N>`` names for manual (non-streaming) appends — disjoint
-    from the integer live-ingest segment namespace by construction."""
+    from the integer live-ingest segment namespace by construction.
+    Shared by every segment-keyed store (dedup sigs, span grams) so
+    the slot-allocation policy cannot drift between them."""
     import os
 
     existing = {
         d.split("=", 1)[1]
-        for d in os.listdir(os.path.join(store_path, "sigs"))
+        for d in os.listdir(os.path.join(store_path, subdir))
         if d.startswith("seg=")
     }
     n = 0

@@ -196,6 +196,9 @@ def percolate(
         queries, analyzer
     )
     toks = tokenize_postings(docs, list(fields), doc_id_col, analyzer)
+    # tokenize_postings reads `doc_id_col` from the source but always
+    # emits the id as a literal `doc_id` column — everything below keys
+    # on that name, whatever the caller's id column was called.
     out: DataFrame | None = None
 
     if term_plans:
@@ -215,10 +218,10 @@ def percolate(
         qterms = spark.createDataFrame(
             rows, "query_id string, term string, required int, is_neg int"
         )
-        pres = toks.select(doc_id_col, "term")  # unique per (doc, term)
+        pres = toks.select("doc_id", "term")  # unique per (doc, term)
         agg = (
             pres.join(F.broadcast(qterms), "term")
-            .groupBy("query_id", doc_id_col)
+            .groupBy("query_id", "doc_id")
             .agg(
                 F.sum(1 - F.col("is_neg")).alias("matched"),
                 F.max("required").alias("required"),
@@ -232,12 +235,12 @@ def percolate(
                 | (F.col("matched") >= F.col("required"))
             )
             & (F.col("neg_hit") == 0)
-        ).select("query_id", F.col(doc_id_col).alias("doc_id"))
+        ).select("query_id", "doc_id")
 
     for qid, values in phrase_plans:
-        m = phrase_match(toks, values, doc_id_col).select(
+        m = phrase_match(toks, values).select(
             F.lit(qid).alias("query_id"),
-            F.col(doc_id_col).alias("doc_id"),
+            "doc_id",
         )
         out = m if out is None else out.unionByName(m)
 
@@ -249,16 +252,16 @@ def percolate(
     for qid, ast, terms in mixed_plans:
         agg = (
             toks.where(F.col("term").isin(list(terms)))
-            .select(doc_id_col, "term")
-            .groupBy(doc_id_col)
+            .select("doc_id", "term")
+            .groupBy("doc_id")
             .agg(F.collect_set("term").alias("mt"))
         )
         if _eval_presence_py(ast, frozenset()):
             # the query matches docs containing NONE of its terms
             # (e.g. "a or not b") — every batch doc is a candidate
             base = (
-                docs.select(doc_id_col)
-                .join(agg, doc_id_col, "left")
+                docs.select(F.col(doc_id_col).alias("doc_id"))
+                .join(agg, "doc_id", "left")
                 .withColumn(
                     "mt",
                     F.coalesce(
@@ -271,7 +274,7 @@ def percolate(
             base = agg
         m = base.where(_ast_presence_expr(ast)).select(
             F.lit(qid).alias("query_id"),
-            F.col(doc_id_col).alias("doc_id"),
+            "doc_id",
         )
         out = m if out is None else out.unionByName(m)
 

@@ -356,17 +356,13 @@ def span_store_append(
     allocated (disjoint from integer streaming batch ids)."""
     import os
 
+    from cs_search_engine_architecture_spark.operators.dedup import (
+        _next_manual_segment,
+    )
+
     meta = _span_store_meta(store_path)
     if segment is None:
-        existing = {
-            d.split("=", 1)[1]
-            for d in os.listdir(os.path.join(store_path, "grams"))
-            if d.startswith("seg=")
-        }
-        n = 0
-        while f"m{n}" in existing:
-            n += 1
-        segment = f"m{n}"
+        segment = _next_manual_segment(store_path, subdir="grams")
     _gram_stats(new_df, meta["w"], meta["text_col"]).write.mode(
         "overwrite"
     ).parquet(os.path.join(store_path, "grams", f"seg={segment}"))
@@ -428,11 +424,9 @@ def _probe_removable(
     store_hit = occ.join(
         store.select("gram_hash"), "gram_hash", "left_semi"
     ).select("doc_id", "pos")
-    stats = occ.groupBy("gram_hash").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct("doc_id", "pos")).alias("first"),
-    )
-    intra = occ.join(stats, "gram_hash").where(F.col("n_occ") > 1)
+    # the corpus keep-first stats shape verbatim (skew-safe aggregate,
+    # never a row_number window) — one definition for both paths
+    intra = _occ_with_stats(occ).where(F.col("n_occ") > 1)
     if not keep_batch_first:
         intra = intra.where(
             ~(

@@ -429,7 +429,21 @@ def mixture_copy_plan(
             f"no target stratum present in column {stratum_col!r}: "
             f"wanted {sorted(target_shares)}"
         )
-    denom = sum(target_shares[s] for s in counts)
+    return _copy_plan(counts, target_shares, total)
+
+
+def _copy_plan(
+    counts: dict, target_shares: dict, total: int | None
+) -> dict:
+    """The pure arithmetic of ``mixture_copy_plan`` over an
+    already-collected ``{stratum: count}`` dict."""
+    # fold shares in target_shares' OWN insertion order (filtered to
+    # present strata), never counts order: counts comes from collect()
+    # whose row order Spark does not guarantee, and a different double
+    # fold order can shift denom by an ulp and flip floor(share·T) by
+    # a whole doc — the gate oracle embeds literals computed with this
+    # exact fold, so both sides must use it
+    denom = sum(v for s, v in target_shares.items() if s in counts)
     t_out = total if total is not None else sum(counts.values())
     plan = {}
     for s, c in counts.items():

@@ -88,5 +88,18 @@ class PercolateStream:
         q.awaitTermination()
 
     def alerts(self) -> DataFrame:
-        """(query_id, doc_id, batch) — every match fired so far."""
+        """(query_id, doc_id, batch) — every match fired so far.
+        Before any non-empty batch has fired the log holds only the
+        underscore-hidden checkpoint dir (no data files), which
+        ``read.parquet`` refuses to infer a schema from — return the
+        empty typed frame instead of crashing the caller."""
+        if not any(
+            e.startswith("batch=") for e in (
+                os.listdir(self.alerts_path)
+                if os.path.isdir(self.alerts_path) else ()
+            )
+        ):
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, batch int"
+            )
         return self.spark.read.parquet(self.alerts_path)

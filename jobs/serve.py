@@ -76,6 +76,12 @@ def main() -> None:
     t0 = time.time()
     eng = SearchEngine(spark, args.index)
     corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    # normalize a custom --doc-id-col corpus once at load: every REPL
+    # surface (text preview, facets, stats, filtered search) keys the
+    # corpus on a literal doc_id column
+    id_col = eng.meta.get("doc_id_col", "doc_id")
+    if corpus is not None and id_col != "doc_id" and id_col in corpus.columns:
+        corpus = corpus.withColumnRenamed(id_col, "doc_id")
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     print(f"loaded in {(time.time() - t0) * 1000:.1f} ms")
 
@@ -415,10 +421,21 @@ def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
     paged = False
     if mode == "exact":
         if ltr_on and low != "next":
-            res = eng.search(
-                query, top_k, ltr_enabled=True,
-                ltr_weights=args.ltr_weights,
-            )
+            if filt is not None:
+                # filter selects candidates (filter context), LTR
+                # re-ranks them — neither surface is silently dropped
+                cand = eng.filtered_search(
+                    query, corpus, filt, top_k=max(50, top_k)
+                )
+                res = eng.search_ltr(
+                    query, top_k, ltr_weights=args.ltr_weights,
+                    candidates=cand,
+                )
+            else:
+                res = eng.search(
+                    query, top_k, ltr_enabled=True,
+                    ltr_weights=args.ltr_weights,
+                )
         elif filt is not None:
             # filter-context scores are the unfiltered scores, so the
             # cursor's total order partitions the filtered set exactly

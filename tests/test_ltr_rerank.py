@@ -288,3 +288,26 @@ def test_ltr_features_batch_matches_sequential(spark):
             for r in eng.ltr_features(q).collect()
         }
         assert batch.get(qid, {}) == seq, qid
+
+
+def test_search_ltr_candidates_frame(eng_oracle, weights_path):
+    """search_ltr(candidates=...) — the filter-context composition arm
+    the serve REPL uses — re-ranks a caller-supplied (doc_id, score)
+    frame identically to the default BM25 retrieval when given the
+    same candidate set."""
+    engine, _ = eng_oracle
+    query = "spark or join"
+    default = [
+        (r["doc_id"], r["ltr_score"])
+        for r in engine.search_ltr(
+            query, top_k=5, pre_select_k=8, ltr_weights=weights_path
+        ).collect()
+    ]
+    cand = engine.search(query, 8)
+    via_cand = [
+        (r["doc_id"], r["ltr_score"])
+        for r in engine.search_ltr(
+            query, top_k=5, ltr_weights=weights_path, candidates=cand
+        ).collect()
+    ]
+    assert via_cand == default

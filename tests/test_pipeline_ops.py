@@ -1507,3 +1507,38 @@ def test_mixture_fractions_errors(spark):
         ta.mixture_fractions(df, "lang", {"De": 0.5, "Fr": 0.5})
     with pytest.raises(ValueError, match="must be > 0"):
         ta.mixture_fractions(df, "lang", {"en": 0.0})
+
+
+def test_copy_plan_fold_order_is_share_insertion_order():
+    """The mixture-plan share normalization folds doubles in
+    target_shares' insertion order, never the collected counts order:
+    [0.16, 0.77, 0.7, 0.27] sums to 1.9 or 1.9000000000000001
+    depending on fold order, and with total chosen so share/denom
+    lands exactly on an integer, that single ulp flips int(share/d*T)
+    by a whole doc."""
+    shares = {"a": 0.16, "b": 0.77, "c": 0.7, "d": 0.27}
+    denom = ((0.16 + 0.77) + 0.7) + 0.27  # insertion-order fold
+    # total=1007 discriminates: 0.7/1.9*1007 = 371.0 but
+    # 0.7/1.9000000000000001*1007 = 370.99999999999994 -> int() flips
+    total = 1007
+    expected = {
+        s: int(shares[s] / denom * total) for s in shares
+    }
+    # adversarial counts orders (collect() order is arbitrary): the
+    # plan's out_k = reps*c + popcount-ish extras must match the
+    # insertion-order expectation for every ordering
+    import itertools
+
+    from cs_search_engine_architecture_spark.operators.text_analysis import (
+        _copy_plan,
+    )
+
+    counts_base = {"a": 7, "b": 11, "c": 13, "d": 17}
+    for order in itertools.permutations(counts_base):
+        counts = {s: counts_base[s] for s in order}
+        plan = _copy_plan(counts, shares, total)
+        for s, (reps, thr60) in plan.items():
+            c = counts_base[s]
+            out = reps * c + (thr60 * c + (1 << 60) - 1 >> 60)
+            # reps*c + ceil(thr60*c / 2^60) reconstructs out_k exactly
+            assert out == expected[s], (s, order)

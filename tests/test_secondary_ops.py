@@ -441,6 +441,26 @@ def test_serve_repl_smoke(spark, tmp_path):
         num_buckets=4, corpus_path=src,
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # a tiny deterministic 5->2->2->1 MLP for the 1-field index, so the
+    # REPL's ltr toggle (and its composition with an active filter) can
+    # be driven end to end
+    import numpy as np
+
+    d, h = 5, 2
+    wpath = str(tmp_path / "mlp.npz")
+    np.savez(
+        wpath,
+        w0=np.array([[((i * 7 + j * 3) % 11 - 5) / 8.0 for j in range(h)]
+                     for i in range(d)]),
+        b0=np.array([(j - 0.5) / 4.0 for j in range(h)]),
+        w1=np.array([[((i * 5 + j * 7) % 9 - 4) / 8.0 for j in range(h)]
+                     for i in range(h)]),
+        b1=np.array([(j - 1) / 8.0 for j in range(h)]),
+        w2=np.array([[((j * 3) % 5 - 2) / 4.0] for j in range(h)]),
+        b2=np.array([0.125]),
+        means=np.zeros(d),
+        stds=np.ones(d),
+    )
     script = (
         "topk:3\nalpha\nnext\nfilter:lang = 'en'\nalpha\nfilter:off\n"
         "facet:lang\nalpha or gamma\nstatus\nrefresh\n"
@@ -448,11 +468,17 @@ def test_serve_repl_smoke(spark, tmp_path):
         'syn:{"alpha": ["gamma"]} alpha and beta\n'
         "rescore:alpha beta :: alpha or gamma\n"
         "mlt:1\nmlt:notanid\n"
-        "syn:notjson\nrescore:missing-separator\nexit\n"
+        "syn:notjson\nrescore:missing-separator\n"
+        # ltr composed WITH an active filter: candidates come from
+        # filtered_search, the MLP re-ranks them — the filter must not
+        # be silently dropped (only en/even docs may surface)
+        "filter:lang = 'en'\nenable:ltr\nalpha\ndisable:ltr\nfilter:off\n"
+        "exit\n"
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "jobs", "serve.py"),
-         "--index", out, "--corpus", src, "--cores", "2"],
+         "--index", out, "--corpus", src, "--cores", "2",
+         "--ltr-weights", wpath],
         input=script, capture_output=True, text=True, timeout=480, cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -466,6 +492,16 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert "- stats off" in proc.stdout
     assert "usage: mlt:<doc_id>" in proc.stdout
     assert "#3" in proc.stdout  # mlt:1 surfaces another odd-gamma doc
+    import re
+
+    ltr_ids = [
+        int(re.search(r"#(\d+)", ln).group(1))
+        for ln in proc.stdout.splitlines() if "ltr_score=" in ln
+    ]
+    assert ltr_ids, "ltr+filter query produced no re-ranked rows"
+    assert all(
+        i % 2 == 0 for i in ltr_ids
+    ), f"ltr re-rank leaked past the active lang='en' filter: {ltr_ids}"
 
 
 def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):

@@ -384,3 +384,29 @@ def test_percolate_stream_alerts(spark):
             analyzer="simple",
         )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_percolate_stream_alerts_before_first_batch(spark):
+    """alerts() before any non-empty batch has fired: the log dir
+    holds only the underscore-hidden checkpoint, which read.parquet
+    cannot infer a schema from — the typed empty frame comes back
+    instead of a crash."""
+    from cs_search_engine_architecture_spark.streaming.alerts import (
+        PercolateStream,
+    )
+
+    base = "/tmp/spark_sea_test_alerts_empty"
+    shutil.rmtree(base, ignore_errors=True)
+    ps = PercolateStream(
+        spark, {"a1": "spark"}, os.path.join(base, "alerts"),
+        analyzer="simple",
+    )
+    # never constructed on disk at all
+    assert ps.alerts().collect() == []
+    # checkpoint dir exists but no batch= partition yet
+    os.makedirs(os.path.join(base, "alerts", "_checkpoint"))
+    out = ps.alerts()
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "batch",
+    ]
