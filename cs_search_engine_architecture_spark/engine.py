@@ -725,7 +725,14 @@ class SearchEngine:
             return
         bad = materialized.where(~F.col("sha_ok")).limit(5).collect()
         if bad:
-            ids = [r["doc_id"] for r in bad]
+            # materialize() with a custom doc_id_col keeps the CORPUS
+            # id column name, not a literal doc_id — report whatever id
+            # field the row actually carries
+            id_field = (
+                "doc_id" if "doc_id" in materialized.columns
+                else materialized.columns[0]
+            )
+            ids = [r[id_field] for r in bad]
             raise ValueError(
                 f"content_sha256 mismatch for doc_ids {ids}: served rows "
                 "do not match the indexed snapshot"
@@ -776,8 +783,6 @@ class SearchEngine:
         as soon as the engine sees the segment (refresh/reload) — no
         compaction needed; its postings serve from the delta blocks
         through the same shared scan."""
-        from cs_search_engine_architecture_spark.operators import msearch as ms
-
         pref = prefix.rstrip("*")
         matched = (
             self.term_stats()
@@ -1876,6 +1881,14 @@ class SearchEngine:
             allpos = pos_frames[0]
             for f in pos_frames[1:]:
                 allpos = allpos.unionByName(f)
+            # restrict to the top-k ids BEFORE the aggregate: a hot
+            # term's positional decode otherwise shuffles the whole
+            # match set through the groupBy just to snippet k rows —
+            # the broadcast semi-join pushes through the union into
+            # each leaf's pruned scan
+            allpos = allpos.join(
+                F.broadcast(top.select("doc_id")), "doc_id", "left_semi"
+            )
             firstpos = allpos.groupBy("doc_id").agg(
                 F.min_by("_pos", "_leaf").alias("snippet_pos")
             )

@@ -298,11 +298,14 @@ def select_token_budget_stratified(
         F.col(score_col).cast("double").alias("score"),
         F.col(stratum_col).cast("string").alias("stratum"),
     )
+    # the stratum column is cast to STRING above, so every lookup keyed
+    # by a collected stratum value must use string keys — a budgets
+    # dict keyed by ints (a numeric domain-id column) would otherwise
+    # KeyError after the isin filter happily accepted it
+    budgets = {str(s): int(b) for s, b in budgets.items()}
     # per-stratum histogram prune (see select_token_budget): only docs
     # that might be admitted enter the sort-shuffle
-    prune = _histogram_prune_predicate(
-        base, {s: int(b) for s, b in budgets.items()}, stratum=True
-    )
+    prune = _histogram_prune_predicate(base, budgets, stratum=True)
     if prune is not None:
         base = base.where(prune)
     ranged = base.repartitionByRange(

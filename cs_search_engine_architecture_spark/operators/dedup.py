@@ -245,15 +245,17 @@ def dedup_store_delete(spark, store_path: str, ids) -> None:
     import os
 
     frame = (
-        ids
+        # any single-column id frame, whatever it is named (the same
+        # contract as ivf_delete)
+        ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
         if isinstance(ids, DataFrame)
         else spark.createDataFrame(
             [(int(i),) for i in ids], "doc_id long"
         )
     )
-    frame.select(F.col("doc_id").cast("long")).write.mode(
-        "append"
-    ).parquet(os.path.join(store_path, "tombstones"))
+    frame.write.mode("append").parquet(
+        os.path.join(store_path, "tombstones")
+    )
 
 
 def _store_tombstones(spark, store_path: str):

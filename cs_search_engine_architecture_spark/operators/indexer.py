@@ -708,6 +708,34 @@ def _encode_stream_arrow(block_size: int, num_fields: int, shard_span: int | Non
     return fn
 
 
+def _count_checking_ids(corpus: DataFrame, id_col: str, group_span) -> int:
+    """Row count fused with a doc-id domain check (one scan, no extra
+    job vs the plain ``count()`` it replaces). The block layout packs
+    ``doc_group = doc_id // group_span`` into the high 32 bits of a
+    SIGNED 64-bit block id and the numpy kernels round-trip ids through
+    int64/uint64 — a negative or out-of-range id would otherwise
+    surface as an opaque ``OverflowError`` deep inside an encode task;
+    the WAND shard math additionally rides exact integer-in-double
+    division, binding at 2^53."""
+    span = max(int(group_span or 1), 1)
+    hi_cap = min((1 << 31) * span - 1, (1 << 53) - 1)
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.max(F.col(id_col).cast("long")).alias("hi"),
+    ).collect()[0]
+    if row["n"] and (
+        row["lo"] is None or row["lo"] < 0 or row["hi"] > hi_cap
+    ):
+        raise ValueError(
+            f"doc ids must be non-null and in [0, {hi_cap}] "
+            f"(got min={row['lo']}, max={row['hi']}): the block layout "
+            f"packs doc_id // {span} into the high 32 bits of a signed "
+            "64-bit block id"
+        )
+    return int(row["n"])
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -750,7 +778,7 @@ def build_index(
         work
     )
     _PHASES["tokenize_stage"] = time.time() - t0
-    num_documents = corpus.count()
+    num_documents = _count_checking_ids(corpus, doc_id_col, group_span)
     return _finalize_index(
         spark, postings, num_documents, out_path, fields,
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
@@ -1035,6 +1063,38 @@ def build_index_resumable(
     os.makedirs(ckpt_dir, exist_ok=True)
     t0 = time.time()
 
+    # resuming with a DIFFERENT num_slices would skip checkpoints cut
+    # with the old pmod layout while Phase B reads the whole postings
+    # parent dir — duplicated/missing docs with no error. Refuse: the
+    # slice predicate recorded in each checkpoint must match this run's
+    # layout, and no staged slice dir may fall outside it.
+    want_mod = f"pmod({doc_id_col}, {num_slices})"
+    for e in sorted(os.listdir(ckpt_dir)):
+        if not (e.startswith("slice_") and e.endswith(".json")):
+            continue
+        with open(os.path.join(ckpt_dir, e)) as fh:
+            prev = json.load(fh)
+        if want_mod not in prev.get("predicate", want_mod):
+            raise ValueError(
+                f"build_index_resumable: checkpoint {e} was cut with "
+                f"predicate {prev.get('predicate')!r}, incompatible "
+                f"with num_slices={num_slices}; resume with the "
+                "original num_slices or clear the work dir"
+            )
+    pdir = os.path.join(work, "postings")
+    if os.path.isdir(pdir):
+        stale = [
+            e for e in os.listdir(pdir)
+            if e.startswith("slice=")
+            and not 0 <= int(e.split("=", 1)[1]) < num_slices
+        ]
+        if stale:
+            raise ValueError(
+                f"build_index_resumable: staged slice dirs {stale} fall "
+                f"outside num_slices={num_slices}; resume with the "
+                "original num_slices or clear the work dir"
+            )
+
     done = 0
     for i in range(num_slices):
         ck_path = os.path.join(ckpt_dir, f"slice_{i}.json")
@@ -1052,8 +1112,12 @@ def build_index_resumable(
         slice_postings.write.mode("overwrite").option(
             "compression", "lz4"
         ).parquet(slice_path)
-        num_docs = part.count()
-        num_postings = spark.read.parquet(slice_path).count()
+        num_docs = _count_checking_ids(part, doc_id_col, group_span)
+        # explicit schema: a zero-doc slice writes no data files and
+        # schema inference over the empty dir fails
+        num_postings = spark.read.schema(
+            packed_postings_schema(len(fields))
+        ).parquet(slice_path).count()
         wall = time.time() - ts
         ck = {
             "slice": i,
@@ -1079,7 +1143,12 @@ def build_index_resumable(
         with open(os.path.join(ckpt_dir, f"slice_{i}.json")) as fh:
             ckpts.append(json.load(fh))
     num_documents = sum(c["num_docs"] for c in ckpts)
-    postings = spark.read.parquet(os.path.join(work, "postings"))
+    # explicit schema: an empty corpus writes no data files under any
+    # slice, and schema inference over an empty directory fails (the
+    # same guard build_index's staged read has)
+    postings = spark.read.schema(
+        packed_postings_schema(len(fields))
+    ).parquet(os.path.join(work, "postings"))
     return _finalize_index(
         spark, postings, num_documents, out_path, fields,
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
@@ -1201,7 +1270,13 @@ def delete_docs(spark: SparkSession, index_path: str, doc_ids) -> int:
     design) and fails CLOSED on a crash (a torn updated_ids masks docs,
     never double-serves)."""
     if isinstance(doc_ids, DataFrame):
-        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+        # pin the caller's plan: it is re-executed for the count, the
+        # tombstone write, the updated_ids probe and the retirement
+        # anti-join below, and a non-deterministic input (unpinned
+        # limit/sample) would desynchronize tombstones from retirement
+        df = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
+        ).localCheckpoint()
     else:
         ids = [(int(d),) for d in doc_ids]
         df = spark.createDataFrame(ids, "doc_id long")
@@ -1306,7 +1381,14 @@ def compact_index(
         num_buckets=meta.get("num_buckets", DEFAULT_NUM_BUCKETS),
         doc_id_col=meta.get("doc_id_col", "doc_id"),
         corpus_path=meta.get("corpus_path"),
+        group_span=meta.get("group_span", DEFAULT_GROUP_SPAN),
+        hot_df=meta.get("hot_df", DEFAULT_HOT_DF),
+        encode_mode=meta.get("encode_mode", "group"),
     )
+    # shard_span=None is a deliberate layout choice (WAND disabled) —
+    # only fall back to the default when the key predates the feature
+    if "wand_shard_span" in meta:
+        kwargs["shard_span"] = meta["wand_shard_span"]
     if meta.get("field_boosts"):
         kwargs["boosts"] = meta["field_boosts"]
     if meta.get("bm25_bs"):
@@ -1329,6 +1411,36 @@ def compact_index(
 # recovery pass would then delete live data); a name the delta glob
 # cannot match never can.
 _MERGE_TMP_RELDIR = os.path.join("work", "merge_tmp_segment")
+
+# live-ingest segments are numbered LIVE_SEGMENT_BASE + batch_id
+# (streaming/ingest.py imports this); manual add_docs slots allocate
+# strictly below it so the two namespaces can never collide.
+LIVE_SEGMENT_BASE = 10_000
+
+
+def _next_delta_segment(index_path: str) -> int:
+    """Next free MANUAL delta slot: one past the highest existing
+    sub-live numeric segment id. Never ``len(dirs)`` — explicit-segment
+    replays and crash protocols leave holes in the numbering, and a
+    count would then re-use (i.e. silently OVERWRITE with
+    ``mode('overwrite')``) the highest live slot; and live-ingest dirs
+    in the listing would push a count into the live namespace."""
+    ids = []
+    for d in _delta_dirs(index_path):
+        try:
+            n = int(os.path.basename(d).split("_", 1)[1])
+        except ValueError:
+            continue
+        if n < LIVE_SEGMENT_BASE:
+            ids.append(n)
+    nxt = max(ids) + 1 if ids else 0
+    if nxt >= LIVE_SEGMENT_BASE:
+        raise ValueError(
+            f"add_docs: manual delta slots exhausted (next slot {nxt} "
+            f"reaches the live-ingest namespace >= {LIVE_SEGMENT_BASE}); "
+            "run compact_index or pass an explicit segment"
+        )
+    return nxt
 
 
 def _delta_dirs(index_path: str) -> list[str]:
@@ -1418,19 +1530,37 @@ def add_docs(
     fields = meta["fields"]
     nf = len(fields)
     id_col = meta.get("doc_id_col", "doc_id")
-    deltas = _delta_dirs(index_path)
     # explicit segment ids make replays IDEMPOTENT (a re-run of the same
     # streaming micro-batch overwrites its own delta instead of
     # appending a duplicate) — the live-ingest path keys this on the
     # Structured Streaming batch_id
-    seg = len(deltas) if segment is None else int(segment)
+    seg = _next_delta_segment(index_path) if segment is None else int(segment)
     out = out_dir or os.path.join(index_path, f"delta_{seg:05d}")
 
     if check_ids:
+        # doc_lens alone misses zero-posting docs (an all-empty-fields
+        # row writes no posting, hence no doc_lens row — see
+        # load_doc_lens) — union the staged corpus ids so such an id
+        # cannot be re-added and double-appear in current_corpus
         existing = load_doc_lens(spark, index_path, nf).select("doc_id")
+        src = meta.get("corpus_path")
+        if src and os.path.exists(src):
+            existing = existing.union(
+                spark.read.parquet(src).select(
+                    F.col(id_col).cast("long").alias("doc_id")
+                )
+            )
+        for d in _delta_dirs(index_path):
+            cp = os.path.join(d, "corpus")
+            if os.path.exists(cp):
+                existing = existing.union(
+                    spark.read.parquet(cp).select(
+                        F.col(id_col).cast("long").alias("doc_id")
+                    )
+                )
         dup = (
             new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .join(existing, "doc_id", "inner")
+            .join(existing, "doc_id", "left_semi")
             .limit(1)
             .count()
         )
@@ -1531,7 +1661,7 @@ def add_docs(
     )
     delta_meta = {
         "segment": seg,
-        "num_documents": int(corpus.count()),
+        "num_documents": _count_checking_ids(corpus, id_col, group_span),
         "num_postings": int(postings.count()),
         "base_num_documents": n_base,
     }

@@ -81,19 +81,17 @@ def _decode_keep_term(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def multi_term_postings(
-    blocks: DataFrame, terms: list[str], num_buckets: int
-) -> DataFrame:
-    """Decoded ``(term, doc_id, score)`` postings for ALL ``terms`` in one
-    scan. The per-term ``(term_bucket == hash(term)) AND (term == t)``
-    conjunctions constant-fold, so the scan prunes to the union of the
-    terms' bucket directories and then to row groups via parquet min/max
-    stats on ``term`` — same pushdown as the single-term path
-    (``decode.term_postings``), amortized over the whole batch."""
-    if not terms:
-        raise ValueError("multi_term_postings needs at least one term")
+def _term_scan_cond(blocks: DataFrame, terms: list[str], num_buckets: int):
+    """Pushdown predicate for a multi-term block scan. ≤32 terms: an
+    OR-chain of per-term ``(term_bucket == hash(t)) AND (term == t)``
+    conjunctions (constant-folds into directory + row-group pruning).
+    Larger batches: an OR-chain grows the expression tree linearly and
+    Catalyst's optimization passes super-linearly, so two IN-sets prune
+    the same partitions/row groups (term alone already determines the
+    rows — the bucket set only exists for directory pruning, and a
+    false (bucket, term) combination matches nothing)."""
     if len(terms) <= 32:
-        cond = reduce(
+        return reduce(
             or_,
             [
                 (
@@ -106,28 +104,35 @@ def multi_term_postings(
                 for t in terms
             ],
         )
-    else:
-        # large batches: an OR-chain of per-term conjunctions grows the
-        # expression tree linearly and Catalyst's optimization passes
-        # super-linearly; two IN-sets prune the same partitions/row
-        # groups (term alone already determines the rows — the bucket
-        # set only exists for directory pruning, and a false
-        # (bucket, term) combination matches nothing)
-        buckets = (
-            blocks.sparkSession.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(num_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .distinct()
-            .collect()
+    buckets = (
+        blocks.sparkSession.createDataFrame(
+            [(t,) for t in terms], "term string"
         )
-        cond = F.col("term_bucket").isin([r["b"] for r in buckets]) & F.col(
-            "term"
-        ).isin(list(terms))
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return F.col("term_bucket").isin([r["b"] for r in buckets]) & F.col(
+        "term"
+    ).isin(list(terms))
+
+
+def multi_term_postings(
+    blocks: DataFrame, terms: list[str], num_buckets: int
+) -> DataFrame:
+    """Decoded ``(term, doc_id, score)`` postings for ALL ``terms`` in one
+    scan. The per-term ``(term_bucket == hash(term)) AND (term == t)``
+    conjunctions constant-fold, so the scan prunes to the union of the
+    terms' bucket directories and then to row groups via parquet min/max
+    stats on ``term`` — same pushdown as the single-term path
+    (``decode.term_postings``), amortized over the whole batch."""
+    if not terms:
+        raise ValueError("multi_term_postings needs at least one term")
+    cond = _term_scan_cond(blocks, terms, num_buckets)
     filtered = blocks.where(cond).select("term", "doc_ids_bin", "scores_bin")
     return filtered.mapInPandas(_decode_keep_term, _DECODE_SCHEMA)
 
@@ -182,19 +187,7 @@ def multi_term_postings_pos(
     scan (same pushdown, plus the position columns)."""
     if not terms:
         raise ValueError("multi_term_postings_pos needs at least one term")
-    cond = reduce(
-        or_,
-        [
-            (
-                F.col("term_bucket")
-                == F.pmod(
-                    F.xxhash64(F.lit(t)), F.lit(num_buckets)
-                ).cast("int")
-            )
-            & (F.col("term") == t)
-            for t in terms
-        ],
-    ) if len(terms) <= 32 else F.col("term").isin(list(terms))
+    cond = _term_scan_cond(blocks, terms, num_buckets)
     filtered = blocks.where(cond).select(
         "term", "doc_ids_bin", "scores_bin", "pos_counts_bin", "positions_bin"
     )

@@ -92,16 +92,15 @@ def lsh_buckets(
 
 
 def _plane_dots(qvec: Sequence[float], num_planes: int) -> list:
-    """Driver-side per-plane signed dot products (same md5 hyperplanes
-    as ``dialect.hyperplane_dot`` / ``lsh_bucket``)."""
-    import hashlib
-
+    """Driver-side per-plane signed dot products over THE coefficient
+    rows the SQL bucketing embeds (``dialect.hyperplane_coefs`` is the
+    single source — a re-derived copy here could silently diverge and
+    probe the wrong partition with no error)."""
     dots = []
     for p in range(num_planes):
+        coefs = D.hyperplane_coefs(p, len(qvec))
         dot = 0.0
-        for d, x in enumerate(qvec, start=1):
-            h = hashlib.md5(f"p{p}_{d}".encode()).hexdigest()
-            coef = (ord(h[0]) % 2) * 2 - 1
+        for x, coef in zip(qvec, coefs):
             dot += float(x) * coef
         dots.append(dot)
     return dots
@@ -413,9 +412,7 @@ def ivf_add(
     # tier guard: appending the wrong payload shape would not fail loudly
     # (probes read with an enforced schema and would silently null the
     # missing columns) — check the existing cells' schema up front
-    existing = new_emb.sparkSession.read.parquet(
-        os.path.join(index_path, "cells")
-    )
+    existing = spark.read.parquet(os.path.join(index_path, "cells"))
     is_quantized_index = "qvec" in existing.columns
     if is_quantized_index != quantized:
         raise ValueError(

@@ -263,6 +263,30 @@ def shard_and_topk(
     return pd.DataFrame({"doc_id": inter[sel], "score": total[sel]})
 
 
+_MAX_FALLBACK_SHARDS = 4096
+
+
+def _fallback_span(sel: DataFrame, shard_span: int) -> int:
+    """Effective shard span for the explode-based variants (indexes
+    built WITHOUT the shard-aligned layout, where a block's doc range
+    is unbounded): a sparse term's block can overlap arbitrarily many
+    fixed-span shards, so ``sequence(first/span, last/span)`` would fan
+    one block row out to (range/span + 1) copies — a shuffle blowup at
+    web scale and a 'Too long sequence' failure on wide id spaces. Grow
+    the span until the observed doc-id range fits ~_MAX_FALLBACK_SHARDS
+    shards (one cheap metadata-column agg; the aligned ``*_sharded``
+    serving paths never take it)."""
+    b = sel.agg(
+        F.min("first_doc").alias("lo"), F.max("last_doc").alias("hi")
+    ).collect()[0]
+    if b["hi"] is None:
+        return int(shard_span)
+    need = (
+        int(b["hi"]) - int(b["lo"]) + _MAX_FALLBACK_SHARDS
+    ) // _MAX_FALLBACK_SHARDS
+    return max(int(shard_span), need)
+
+
 def wand_and_topk(
     spark: SparkSession,
     blocks: DataFrame,
@@ -278,12 +302,13 @@ def wand_and_topk(
     ).select(
         "term", "first_doc", "last_doc", "doc_ids_bin", "scores_bin"
     )
+    shard_span = _fallback_span(sel, shard_span)
     sharded = sel.withColumn(
         "shard",
         F.explode(
             F.sequence(
-                (F.col("first_doc") / shard_span).cast("long"),
-                (F.col("last_doc") / shard_span).cast("long"),
+                F.expr(f"first_doc div {shard_span}"),
+                F.expr(f"last_doc div {shard_span}"),
             )
         ),
     )
@@ -393,12 +418,13 @@ def wand_or_topk(
         "term", "first_doc", "last_doc", "count", "max_score", "min_score",
         "doc_ids_bin", "scores_bin",
     )
+    shard_span = _fallback_span(sel, shard_span)
     sharded = sel.withColumn(
         "shard",
         F.explode(
             F.sequence(
-                (F.col("first_doc") / shard_span).cast("long"),
-                (F.col("last_doc") / shard_span).cast("long"),
+                F.expr(f"first_doc div {shard_span}"),
+                F.expr(f"last_doc div {shard_span}"),
             )
         ),
     )

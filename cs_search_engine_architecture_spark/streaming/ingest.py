@@ -157,7 +157,10 @@ class StreamingIndexer:
 
 # live-ingest delta segments live far above any manual add_docs slot
 # (manual naming counts existing dirs; it never reaches this base)
-LIVE_SEGMENT_BASE = 10_000
+# canonical definition lives next to the slot allocator it constrains
+from cs_search_engine_architecture_spark.operators.indexer import (  # noqa: E402
+    LIVE_SEGMENT_BASE,
+)
 
 
 class LiveStreamingIndexer:

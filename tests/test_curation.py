@@ -236,3 +236,29 @@ def test_diversity_cap_with_supplied_buckets(spark):
         cand = [i for i in range(40) if i % 4 == b]
         cand.sort(key=lambda i: (-rows[i]["quality_score"], i))
         assert sorted(members) == sorted(cand[:2])
+
+
+def test_stratified_budget_accepts_non_string_strata(spark):
+    """budgets keyed by ints over a numeric stratum column: the
+    stratum value is cast to string internally, so every driver-side
+    lookup must use normalized keys (this used to KeyError once the
+    histogram prune or the exclusive-base fold ran)."""
+    from cs_search_engine_architecture_spark.operators import curation
+
+    rows = [
+        (i, 10, float(100 - i), i % 2) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality_score double, dom int"
+    )
+    kept = curation.select_token_budget_stratified(
+        df, {0: 50, 1: 30}, stratum_col="dom"
+    ).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(str(r["dom"]), []).append(r)
+    # inclusive cumsum <= budget: dom 0 keeps 5 docs (50 tokens),
+    # dom 1 keeps 3 (30) — best scores first
+    assert len(by_dom["0"]) == 5 and len(by_dom["1"]) == 3
+    assert all(r["cum_tokens"] <= 50 for r in by_dom["0"])
+    assert all(r["cum_tokens"] <= 30 for r in by_dom["1"])

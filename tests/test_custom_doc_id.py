@@ -105,3 +105,32 @@ def test_export_matches_custom_id(spark, custom_engine, tmp_path):
     # the unfiltered path either
     n_all = custom_engine.export_matches("data", out, with_text=False)
     assert n_all == 3
+
+
+def test_assert_sha_ok_reports_custom_id_column(spark):
+    """assert_sha_ok on a materialized frame whose id column is NOT
+    doc_id (custom --doc-id-col indexes keep the corpus name): the
+    violation must surface as the intended ValueError naming the ids,
+    not a KeyError on a missing doc_id field."""
+    bad = spark.createDataFrame(
+        [(7, "text", False)], "id long, text string, sha_ok boolean"
+    )
+    with pytest.raises(ValueError, match="content_sha256"):
+        SearchEngine.assert_sha_ok(bad)
+
+
+def test_dedup_store_delete_any_id_column(spark, tmp_path):
+    """dedup_store_delete accepts any single-column id frame (the
+    ivf_delete contract), not only one literally named doc_id."""
+    from cs_search_engine_architecture_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared prefix text variant {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    dedup.build_dedup_store(docs, store)
+    ids = spark.createDataFrame([(3,)], "custom_name long")
+    dedup.dedup_store_delete(spark, store, ids)
+    tomb = spark.read.parquet(os.path.join(store, "tombstones"))
+    assert [r["doc_id"] for r in tomb.collect()] == [3]
