@@ -104,9 +104,17 @@ def _sessionize_fn(gap_seconds: float):
             start = last = None
             n, total = 0, 0.0
         out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # one global sort over the WHOLE batch for this key: the group
+        # arrives as multiple Arrow chunks when it exceeds
+        # maxRecordsPerBatch, and sorting each chunk independently
+        # would let disorder across a chunk boundary move `last`
+        # backwards and corrupt session boundaries silently
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks).sort_values("ts") if chunks else None
+        )
+        if batch is not None:
+            for ts, value in zip(batch["ts"], batch["value"]):
                 t = ts.timestamp()
                 if last is not None and t - last > gap_seconds:
                     out_rows.append((user_id, start, last, n, total))

@@ -35,8 +35,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cs_search_engine_architecture_spark.operators.indexer import (
     DEFAULT_BLOCK_SIZE,
+    DEFAULT_GROUP_SPAN,
+    DEFAULT_HOT_DF,
     DEFAULT_NUM_BUCKETS,
+    REF_K,
     _finalize_index,
+    packed_postings_schema,
     tokenize_postings_packed,
 )
 
@@ -139,13 +143,24 @@ class StreamingIndexer:
         batches = self.batches()
         if not batches:
             raise ValueError("no staged batches to compact")
-        postings = self.spark.read.parquet(self.stage_dir)
+        # read ONLY committed batch dirs: a crash between the postings
+        # write and the meta-json commit leaves an orphan (possibly
+        # partial) batch= dir whose docs are absent from num_documents —
+        # folding its postings in would silently skew N/avgdl/idf
+        paths = [
+            os.path.join(self.stage_dir, f"batch={b['batch_id']}")
+            for b in batches
+        ]
+        postings = self.spark.read.schema(
+            packed_postings_schema(len(self.fields))
+        ).parquet(*paths)
         num_documents = sum(b["num_docs"] for b in batches)
         return _finalize_index(
             self.spark, postings, num_documents, self.out_path, self.fields,
             doc_id_col=self.doc_id_col, analyzer=self.analyzer,
             block_size=self.block_size, num_buckets=self.num_buckets,
-            group_span=2048, hot_df=2048, boosts=None, bs=None, k=1.5,
+            group_span=DEFAULT_GROUP_SPAN, hot_df=DEFAULT_HOT_DF,
+            boosts=None, bs=None, k=REF_K,
             corpus_path=f"stream:{self.stage_dir}", t0=time.time(),
             extra_meta={
                 "streaming": True,
@@ -156,7 +171,7 @@ class StreamingIndexer:
 
 
 # live-ingest delta segments live far above any manual add_docs slot
-# (manual naming counts existing dirs; it never reaches this base)
+# (indexer._next_delta_segment allocates strictly below this base);
 # canonical definition lives next to the slot allocator it constrains
 from cs_search_engine_architecture_spark.operators.indexer import (  # noqa: E402
     LIVE_SEGMENT_BASE,

@@ -113,11 +113,13 @@ def main() -> None:
         "ws_tokens": int(agg["ws_tokens"] or 0),
         "bpe_tokens": int(agg["bpe_tokens"] or 0),
     }
+    # percentile_approx over zero rows is NULL, not an array
+    q_pcts = agg["q_pcts"] or [0.0, 0.0, 0.0]
     report["quality"] = {
         "mean": round(float(agg["q_mean"] or 0), 4),
-        "p10": round(float(agg["q_pcts"][0]), 4),
-        "p50": round(float(agg["q_pcts"][1]), 4),
-        "p90": round(float(agg["q_pcts"][2]), 4),
+        "p10": round(float(q_pcts[0]), 4),
+        "p50": round(float(q_pcts[1]), 4),
+        "p90": round(float(q_pcts[2]), 4),
         "mean_dup_line_frac": round(float(agg["rep_line"] or 0), 4),
         "mean_dup_word_frac": round(float(agg["rep_word"] or 0), 4),
         "mean_dup_trigram_frac": round(float(agg["rep_tri"] or 0), 4),
@@ -162,7 +164,12 @@ def main() -> None:
     lsh_pairs = dedup.lsh_candidate_pairs(
         dedup.minhash_signatures(docs, tc)
     ).count()
-    grams = spans.gram_occurrences(docs, args.span_w, tc)
+    # pin the gram lineage: count() and the distinct sketch would each
+    # re-run the full tokenize+explode scan — the report's heaviest
+    # stage — without it
+    grams = spans.gram_occurrences(docs, args.span_w, tc).select(
+        "gram_hash"
+    ).localCheckpoint()
     n_grams = grams.count()
     sk = sketches.approx_distinct(
         grams, "gram_hash", args.sketch_k

@@ -47,7 +47,12 @@ def main() -> None:
     matches = eng.percolate(queries, spark.read.parquet(args.docs))
     if args.out:
         matches.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"out": args.out, "matches": matches.count()}))
+        # count the just-written parquet — re-counting `matches` would
+        # re-run the whole percolation (tokenize + every query join)
+        n = spark.read.schema("query_id string, doc_id long").parquet(
+            args.out
+        ).count()
+        print(json.dumps({"out": args.out, "matches": n}))
     else:
         matches.orderBy("query_id", "doc_id").show(100, False)
     spark.stop()

@@ -112,6 +112,10 @@ def main() -> None:
                 continue
             if want == "combined" and not ltr_on and args.ltr_weights:
                 ltr_on = True
+                # same cursor hazard enable:ltr guards against — a
+                # later mode:exact + 'next' must not continue an
+                # unreranked walk under a '+ltr' prompt
+                cursor = None
                 print("- enabled ltr (combined mode reranks)")
             mode = want
             print(f"- switched to {mode}")
@@ -144,7 +148,7 @@ def main() -> None:
             print(f"- top_k = {top_k}")
             continue
         if low.startswith("filter:"):
-            pred = line.split(":", 1)[1]
+            pred = line.split(":", 1)[1].strip()
             if pred.lower() == "off":
                 filt = None
                 cursor = None  # filter context changed — walk restarts
@@ -157,7 +161,7 @@ def main() -> None:
                 print(f"- filter: {filt}")
             continue
         if low.startswith("facet:"):
-            col = line.split(":", 1)[1]
+            col = line.split(":", 1)[1].strip()
             if col.lower() == "off":
                 facet = None
                 print("- facets off")

@@ -130,3 +130,45 @@ def test_sessionize_across_microbatches(spark, events, tmp_path):
     assert len(got) > 0
     assert got == want
     assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+
+
+def test_sessionizer_sorts_across_arrow_chunks():
+    """One key's micro-batch events arrive as MULTIPLE Arrow chunks
+    when the group exceeds maxRecordsPerBatch; disorder across a chunk
+    boundary must still sessionize like one globally-sorted stream
+    (per-chunk sorting let `last` move backwards: a negative gap never
+    closes a session, silently corrupting boundaries)."""
+    import pandas as pd
+
+    from cs_search_engine_architecture_spark.streaming.analytics import (
+        _sessionize_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    fn = _sessionize_fn(gap_seconds=10.0)
+    # chunk 2 holds events EARLIER than chunk 1's tail
+    chunk1 = pd.DataFrame({
+        "ts": pd.to_datetime([100, 200], unit="s"),
+        "value": [1.0, 1.0],
+    })
+    chunk2 = pd.DataFrame({
+        "ts": pd.to_datetime([50, 150], unit="s"),
+        "value": [1.0, 1.0],
+    })
+    state = FakeState()
+    out = list(fn((1,), iter([chunk1, chunk2]), state))
+    closed = [
+        (int(r["session_start"].timestamp()), int(r["n_events"]))
+        for pdf in out
+        for r in pdf.to_dict("records")
+    ]
+    # global order 50,100,150,200 with gap 10 -> three closed
+    # single-event sessions; the open one (200) stays in state
+    assert closed == [(50, 1), (100, 1), (150, 1)]
+    start, last, n, total = state.val
+    assert (start, last, n, total) == (200.0, 200.0, 1, 1.0)

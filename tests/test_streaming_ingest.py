@@ -410,3 +410,41 @@ def test_percolate_stream_alerts_before_first_batch(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "doc_id", "batch",
     ]
+
+
+def test_streaming_compact_excludes_orphan_batches(spark):
+    """A crash between the batch postings write and the meta-json
+    commit leaves an orphan batch= dir; compact() must fold ONLY
+    committed batches — an orphan's postings would otherwise enter the
+    index while its docs are absent from N/avgdl (silently skewed
+    stats)."""
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        tokenize_postings_packed,
+    )
+
+    base = "/tmp/spark_sea_test_orphan_batch"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = os.path.join(base, "idx")
+    ing = StreamingIndexer(
+        spark, idx, fields=["text"], analyzer="simple", num_buckets=4
+    )
+    committed = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    ing._process_batch(committed, 0)
+
+    # simulate the crash: batch=1 postings staged, NO meta json
+    orphan = spark.createDataFrame(
+        [(2, "orphanword only here")], "doc_id long, text string"
+    )
+    tokenize_postings_packed(
+        orphan, ["text"], "doc_id", "simple"
+    ).write.mode("overwrite").parquet(
+        os.path.join(ing.stage_dir, "batch=1")
+    )
+
+    meta = ing.compact()
+    assert meta["num_documents"] == 2
+    eng = SearchEngine(spark, idx, cache=False)
+    assert eng.search("orphanword", 5).collect() == []
+    assert len(eng.search("alpha", 5).collect()) == 2
