@@ -2075,11 +2075,15 @@ class SearchEngine:
 
     def semantic_search(
         self, embeddings: DataFrame, qvec, top_k: int = 10,
-        id_col: str = "vec_id",
+        id_col: str = "vec_id", predicate=None,
     ) -> DataFrame:
         """R3: exact brute-force cosine top-k over the embeddings table
         (the reference is also exact — no ANN; ``sea/engine.pyx:555-565``).
-        Returns (doc_id, similarity)."""
+        Returns (doc_id, similarity). ``predicate`` (over the embedding
+        table's columns) is pre-filter semantics — the exact top-k of
+        the admitted rows, the vector twin of ``filtered_search``'s
+        filter context (admitted docs score identically under any
+        filter)."""
         from cs_search_engine_architecture_spark.operators.similarity import (
             brute_force_topk,
         )
@@ -2088,7 +2092,8 @@ class SearchEngine:
             # over-fetch by the tombstone count so the mask cannot
             # shrink the semantic top-k (same exactness argument as the
             # lexical fast paths)
-            embeddings, qvec, top_k + self._num_tombstones(), id_col=id_col
+            embeddings, qvec, top_k + self._num_tombstones(), id_col=id_col,
+            predicate=predicate,
         ).select(F.col("id").alias("doc_id"), F.col("cos").alias("similarity"))
         # mask with DEAD ids only: in-place-updated docs still exist —
         # their tombstone masks old lexical postings, not the doc
@@ -2099,6 +2104,40 @@ class SearchEngine:
             scored.join(F.broadcast(dead), "doc_id", "left_anti")
             .orderBy(F.desc("similarity"), F.asc("doc_id"))
             .limit(top_k)
+        )
+
+    def semantic_search_mmr(
+        self, embeddings: DataFrame, qvec, top_k: int = 10,
+        candidate_k: int = 50, lam: float = 0.7,
+        id_col: str = "vec_id", predicate=None,
+    ) -> DataFrame:
+        """Diversified semantic top-k: MMR greedy selection
+        (``similarity.mmr_rerank``) over the masked exact candidates —
+        near-duplicate hits stop crowding the page. ``lam = 1.0``
+        reduces to ``semantic_search``'s order exactly. Candidate
+        generation is the distributed masked ``semantic_search`` (so
+        deletes/updates and ``predicate`` filter context compose); only
+        the ``candidate_k`` survivors' vectors reach the driver for the
+        inherently-sequential greedy pass. Returns
+        (doc_id, similarity, mmr, rank). Extension beyond the
+        reference."""
+        from cs_search_engine_architecture_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        cands = self.semantic_search(
+            embeddings, qvec, candidate_k, id_col, predicate=predicate
+        ).select(
+            F.col("doc_id").alias("id"), F.col("similarity").alias("cos")
+        )
+        return mmr_rerank(
+            embeddings, qvec, k=top_k, lam=lam, id_col=id_col,
+            candidates=cands,
+        ).select(
+            F.col("id").alias("doc_id"),
+            F.col("cos").alias("similarity"),
+            "mmr",
+            "rank",
         )
 
     def _hybrid_union(

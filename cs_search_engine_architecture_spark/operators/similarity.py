@@ -62,8 +62,18 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
-    """Exact cosine top-k (deterministic tie-break: cos desc, id asc)."""
+    """Exact cosine top-k (deterministic tie-break: cos desc, id asc).
+
+    ``predicate`` (SQL string or Column over the embedding table's
+    columns) is PRE-filter semantics — rows are filtered before any
+    scoring, so the result is the exact top-k of the admitted set
+    (never fewer than k admitted hits because k were spent on filtered
+    rows, the failure mode of post-filtering an ANN result). The
+    filter runs on the scan, so parquet pushdown prunes first."""
+    if predicate is not None:
+        emb = emb.where(predicate)
     return (
         cosine_scores(emb, qvec, id_col, vec_col)
         .orderBy(F.desc("cos"), F.asc("id"))
@@ -162,12 +172,20 @@ def build_ann_index(
     dims: int = DIMS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: Sequence[str] | None = None,
 ) -> None:
     """Persist the embeddings bucketed by LSH bucket: one directory per
     bucket (``partitionBy``), so a probe's ``bucket = q`` predicate is
     pure partition pruning — the scan reads 1/2^planes of the table.
     This is the write-time form of ``lsh_topk`` (which recomputes
     buckets per query and exists for ad-hoc frames).
+
+    ``meta_cols`` bakes filterable attribute columns (lang, source,
+    timestamps, ...) into the index rows — the standard filtered-ANN
+    layout (attrs travel WITH the vectors so a probe's ``predicate``
+    evaluates on the pruned scan, no join back to the corpus at query
+    time). One equi-join on the id at build time; query cost unchanged
+    when unused.
 
     The frame is repartitioned ON the partition key before the write:
     without it every input partition opens a writer per bucket
@@ -177,7 +195,12 @@ def build_ann_index(
     O(buckets) regardless of input parallelism. At 100 TB this is the
     difference between a usable index layout and a small-files
     incident."""
-    lsh_buckets(emb, num_planes, dims, id_col, vec_col).withColumnRenamed(
+    rows = lsh_buckets(emb, num_planes, dims, id_col, vec_col)
+    if meta_cols:
+        rows = rows.join(
+            emb.select(F.col(id_col).alias("id"), *meta_cols), "id"
+        )
+    rows.withColumnRenamed(
         "id", id_col
     ).withColumnRenamed("v", vec_col).repartition(F.col("bucket")).write.mode(
         "overwrite"
@@ -195,21 +218,27 @@ def ann_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_buckets: int = 1,
+    predicate=None,
 ) -> DataFrame:
     """Probe a persisted ANN index: partition-pruned bucket scan +
     exact cosine over the candidates. ``n_probe_buckets > 1`` probes
     the multi-probe sequence (exact bucket + cheapest-flip neighbors,
     see ``multiprobe_buckets``) — still pure partition pruning via
     ``bucket IN (...)``, scanning n/2^planes of the table. Default 1
-    keeps the original single-bucket semantics (and the gate oracle)."""
+    keeps the original single-bucket semantics (and the gate oracle).
+
+    ``predicate`` filters on columns baked into the index
+    (``build_ann_index(meta_cols=...)``) BEFORE scoring — exact top-k
+    of the admitted candidates within the probed buckets, evaluated on
+    the pruned scan (parquet pushdown, no corpus join)."""
     probe = multiprobe_buckets(list(qvec), n_probe_buckets, num_planes)
     qn = sum(float(x) * float(x) for x in qvec) ** 0.5
-    cand = (
-        spark.read.parquet(index_path)
-        .where(F.col("bucket").isin(probe))
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("q", _qvec_lit(qvec))
-    )
+    cand = spark.read.parquet(index_path).where(F.col("bucket").isin(probe))
+    if predicate is not None:
+        cand = cand.where(predicate)
+    cand = cand.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("q", _qvec_lit(qvec))
     cos = (
         F.expr(D.dot_product(D.SPARK, "v", "q"))
         / (F.expr(D.l2_norm(D.SPARK, "v")) * F.lit(qn))
@@ -355,6 +384,7 @@ def build_ivf_index(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: Sequence[str] | None = None,
 ) -> None:
     """Persist the IVF index: row→cell assignment written
     ``partitionBy("cell")`` (one directory per inverted list, so a
@@ -362,7 +392,10 @@ def build_ivf_index(
     scan reads n_probe/C of the table) + the centroid matrix as JSON.
     The write-time mirror of ``build_ann_index`` for the quantized
     path; fixes the anti-pattern of re-assigning the full table per
-    query (``ivf_topk`` is now test/ad-hoc only)."""
+    query (``ivf_topk`` is now test/ad-hoc only). ``meta_cols`` bakes
+    filterable attribute columns into the cell rows (the filtered-ANN
+    layout — see ``build_ann_index``); ``ivf_add`` carries them
+    automatically on append."""
     import json
     import os
 
@@ -370,6 +403,10 @@ def build_ivf_index(
 
     cents = np.asarray(centroids, dtype=np.float64)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
+    if meta_cols:
+        assigned = assigned.join(
+            emb.select(F.col(id_col).alias("id"), *meta_cols), "id"
+        )
     # Repartition on the partition key: one task per cell group, file
     # count O(cells) instead of O(tasks x cells) (see build_ann_index).
     assigned.withColumnRenamed("id", id_col).withColumnRenamed(
@@ -421,6 +458,19 @@ def ivf_add(
             f"but quantized={quantized} was passed — the appended rows "
             "would be unreadable by its probes"
         )
+    # meta-bearing index (build_ivf_index(meta_cols=...)): the appended
+    # rows must carry the SAME attribute columns or probes with a
+    # predicate would silently null-filter every appended vector —
+    # derive the meta set from the existing schema and join it from the
+    # incoming frame (raise loudly if the caller's frame lacks one)
+    base_cols = {id_col, "cell", "qvec", "qnorm", vec_col}
+    meta = [c for c in existing.columns if c not in base_cols]
+    missing = [c for c in meta if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_add: index at {index_path} carries filterable meta "
+            f"columns {meta} but the incoming frame lacks {missing}"
+        )
     assigned = ivf_assign(new_emb, cents, id_col, vec_col)
     if quantized:
         out = quantize_embeddings(
@@ -430,6 +480,8 @@ def ivf_add(
         out = assigned.withColumnRenamed("id", id_col).withColumnRenamed(
             "v", vec_col
         )
+    if meta:
+        out = out.join(new_emb.select(id_col, *meta), id_col)
     out.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_path, "cells")
     )
@@ -482,10 +534,14 @@ def ivf_search(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Probe a persisted IVF index: partition-pruned scan of the
     ``n_probe`` nearest cells + exact cosine over the candidates
-    (recall→1 as n_probe→C). No full-table work at query time."""
+    (recall→1 as n_probe→C). No full-table work at query time.
+    ``predicate`` filters on columns baked into the index
+    (``build_ivf_index(meta_cols=...)``) before scoring — exact top-k
+    of the admitted candidates within the probed cells."""
     import json
     import os
 
@@ -493,10 +549,13 @@ def ivf_search(
         centroids = json.load(fh)
     probe = probe_cells(centroids, qvec, n_probe)
     qn = sum(float(x) * float(x) for x in qvec) ** 0.5
-    cand = (
-        spark.read.parquet(os.path.join(index_path, "cells"))
-        .where(F.col("cell").isin(probe))
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = spark.read.parquet(os.path.join(index_path, "cells")).where(
+        F.col("cell").isin(probe)
+    )
+    if predicate is not None:
+        cand = cand.where(predicate)
+    cand = cand.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
     tomb = _ivf_tombstones(spark, index_path)
     if tomb is not None:
@@ -555,11 +614,16 @@ def lsh_topk(
     dims: int = DIMS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's LSH bucket.
     The bucket predicate folds to a literal comparison, so it pushes
     into the scan (partition pruning when the table is bucket-
-    partitioned)."""
+    partitioned). ``predicate`` (over the embedding table's columns)
+    is pre-filter semantics applied before bucketing — exact top-k of
+    the admitted set within the probed bucket."""
+    if predicate is not None:
+        emb = emb.where(predicate)
     qb = bucket_of(list(qvec), num_planes)
     qn = sum(float(x) * float(x) for x in qvec) ** 0.5
     cand = lsh_buckets(emb, num_planes, dims, id_col, vec_col).where(
@@ -676,6 +740,7 @@ def build_ivf_index_quantized(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: Sequence[str] | None = None,
 ) -> None:
     """IVF × int8: cell assignment runs on the FULL-PRECISION vectors
     (centroid geometry shouldn't inherit quantization error), but the
@@ -683,7 +748,9 @@ def build_ivf_index_quantized(
     index is ~4x smaller than ``build_ivf_index``'s, and a probe scans
     n_probe/C of an already-4x-smaller table. Composition of the two
     proven pieces: same cell directories / partition pruning, same
-    integer-exact scoring as ``quantized_cosine_topk``."""
+    integer-exact scoring as ``quantized_cosine_topk``. ``meta_cols``
+    bakes filterable attribute columns into the cell rows (see
+    ``build_ann_index``)."""
     import json
     import os
 
@@ -694,9 +761,15 @@ def build_ivf_index_quantized(
     # threads the cell through) — the earlier self-join form executed the
     # full-table mapInPandas assignment twice per build.
     assigned = ivf_assign(emb, cents, id_col, vec_col)
+    rows = quantize_embeddings(
+        assigned, id_col="id", vec_col="v", keep=["cell"]
+    )
+    if meta_cols:
+        rows = rows.join(
+            emb.select(F.col(id_col).alias("id"), *meta_cols), "id"
+        )
     (
-        quantize_embeddings(assigned, id_col="id", vec_col="v", keep=["cell"])
-        .withColumnRenamed("id", id_col)
+        rows.withColumnRenamed("id", id_col)
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -713,10 +786,15 @@ def ivf_search_quantized(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    predicate=None,
 ) -> DataFrame:
     """Probe the quantized IVF index: partition-pruned scan of n_probe
     cells, integer-dot cosine over the stored codes. The query vector
-    quantizes driver-side via the same formula (``quantize_query``)."""
+    quantizes driver-side via the same formula (``quantize_query``).
+    ``predicate`` filters on meta columns baked at build time
+    (``build_ivf_index_quantized(meta_cols=...)``) before scoring; the
+    meta-bearing read infers the schema (the fixed-schema read would
+    drop the attribute columns the predicate needs)."""
     import json
     import os
 
@@ -724,15 +802,100 @@ def ivf_search_quantized(
         centroids = json.load(fh)
     probe = probe_cells(centroids, qvec, n_probe)
     q8, qn = quantize_query(qvec)
-    cand = (
-        spark.read.schema(
+    if predicate is None:
+        cand = spark.read.schema(
             f"{id_col} long, qvec array<int>, qnorm double, cell int"
+        ).parquet(os.path.join(index_path, "cells"))
+    else:
+        cand = spark.read.parquet(os.path.join(index_path, "cells")).where(
+            predicate
         )
-        .parquet(os.path.join(index_path, "cells"))
-        .where(F.col("cell").isin(probe))
-        .select(F.col(id_col).alias("id"), "qvec", "qnorm")
+    cand = cand.where(F.col("cell").isin(probe)).select(
+        F.col(id_col).alias("id"), "qvec", "qnorm"
     )
     tomb = _ivf_tombstones(spark, index_path)
     if tomb is not None:
         cand = cand.join(F.broadcast(tomb), "id", "left_anti")
     return quantized_cosine_topk(cand, q8, qn, k)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    candidate_k: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    predicate=None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily select k results maximizing
+    ``lam * cos(q, d) - (1 - lam) * max_{s in selected} cos(d, s)`` —
+    relevance traded against redundancy, the serving-time complement of
+    the corpus-level ``curation.diversity_cap``. ``lam = 1.0`` reduces
+    exactly to the cosine top-k order.
+
+    Scale shape: candidate generation is distributed (exact
+    ``brute_force_topk`` by default; pass ``candidates`` — any
+    (id, cos) frame, e.g. an ANN probe — to swap it). The greedy
+    selection is inherently sequential over k picks, so it runs
+    driver-side in numpy over the ``candidate_k`` collected vectors —
+    a serving-sized O(candidate_k) collect (the same bounded-driver
+    discipline as top-k / block-metadata collects), NEVER the corpus.
+    Ties break deterministically: higher MMR score, then lower id; the
+    first pick is the (cos desc, id asc) top-1. Returns
+    (id, cos, mmr, rank) with rank = 1-based selection order.
+    Extension beyond the reference (no diversification surface)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    out_schema = "id long, cos double, mmr double, rank int"
+    if candidates is None:
+        candidates = brute_force_topk(
+            emb, qvec, candidate_k, id_col, vec_col, predicate
+        )
+    rows = (
+        candidates.select("id", "cos")
+        .join(
+            emb.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).alias("_v"),
+            ),
+            "id",
+        )
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    # deterministic candidate order regardless of collect order
+    rows.sort(key=lambda r: (-r["cos"], r["id"]))
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    rel = np.array([r["cos"] for r in rows], dtype=np.float64)
+    vecs = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((vecs**2).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vectors: similarity 0 to everything
+    unit = vecs / norms[:, None]
+    n = len(ids)
+    selected: list[tuple[int, float]] = []  # (candidate idx, mmr score)
+    max_sim = np.full(n, -np.inf)  # max cos to any selected doc
+    taken = np.zeros(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if not selected:
+            mmr = rel.copy()  # first pick: pure relevance
+        else:
+            mmr = lam * rel - (1.0 - lam) * max_sim
+        mmr[taken] = -np.inf
+        # argmax with (mmr desc, id asc) tie-break
+        best = np.lexsort((ids, -mmr))[0]
+        selected.append((int(best), float(mmr[best])))
+        taken[best] = True
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return spark.createDataFrame(
+        [
+            (int(ids[i]), float(rel[i]), score, rank + 1)
+            for rank, (i, score) in enumerate(selected)
+        ],
+        out_schema,
+    )

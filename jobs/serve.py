@@ -14,6 +14,7 @@ Commands at the prompt (any other line is a query):
     filter:<sql-predicate> | filter:off          metadata filter (needs --corpus)
     facet:<column> | facet:off                   facet counts per query (needs --corpus)
     stats:<column> | stats:off                   numeric stats agg per query (needs --corpus)
+    mmr:<lambda> | mmr:off                       MMR diversification (semantic mode)
     next                                         next page of the last query
     count:<query>                                match count, no ranking
     explain:<doc_id> <query>                     per-term score breakdown
@@ -90,6 +91,7 @@ def main() -> None:
     facet: str | None = None
     stats_col: str | None = None
     last_query: str | None = None
+    mmr_lam: float | None = None
     cursor = None
     while True:
         try:
@@ -159,6 +161,24 @@ def main() -> None:
                 filt = pred
                 cursor = None
                 print(f"- filter: {filt}")
+            continue
+        if low.startswith("mmr:"):
+            arg = low.split(":", 1)[1].strip()
+            if arg == "off":
+                mmr_lam = None
+                print("- mmr off")
+                continue
+            try:
+                lam = float(arg)
+            except ValueError:
+                print("- mmr wants a lambda in [0,1] or off, e.g. mmr:0.7")
+                continue
+            if not 0.0 <= lam <= 1.0:
+                print("- mmr lambda must be in [0,1]")
+                continue
+            mmr_lam = lam
+            print(f"- mmr diversification on (lambda={lam}; "
+                  "applies in semantic mode)")
             continue
         if low.startswith("facet:"):
             col = line.split(":", 1)[1].strip()
@@ -342,7 +362,7 @@ def main() -> None:
         try:
             rows, paged, cursor = _run_query(
                 eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
-                corpus, args,
+                corpus, args, mmr_lam=mmr_lam,
             )
         except KeyboardInterrupt:
             raise
@@ -416,7 +436,7 @@ def main() -> None:
 
 
 def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
-               corpus, args):
+               corpus, args, mmr_lam=None):
     """One query execution — returns (rows, paged, cursor)."""
     from cs_search_engine_architecture_spark.operators.text_analysis import (
         hash_embed_text as _embed,
@@ -454,7 +474,13 @@ def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
         if paged and rows:
             cursor = (rows[-1]["score"], rows[-1]["doc_id"])
     elif mode == "semantic":
-        rows = eng.semantic_search(emb, _embed(query), top_k).collect()
+        if mmr_lam is not None:
+            rows = eng.semantic_search_mmr(
+                emb, _embed(query), top_k,
+                candidate_k=max(50, 5 * top_k), lam=mmr_lam,
+            ).collect()
+        else:
+            rows = eng.semantic_search(emb, _embed(query), top_k).collect()
     else:
         rows = eng.combined_search(
             query, emb, _embed(query), top_k,

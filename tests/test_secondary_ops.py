@@ -473,12 +473,23 @@ def test_serve_repl_smoke(spark, tmp_path):
         # filtered_search, the MLP re-ranks them — the filter must not
         # be silently dropped (only en/even docs may surface)
         "filter:lang = 'en'\nenable:ltr\nalpha\ndisable:ltr\nfilter:off\n"
+        # semantic mode + MMR diversification toggle (and its edges)
+        "mode:semantic\nalpha beta\nmmr:0.5\nalpha beta\n"
+        "mmr:2.0\nmmr:notanumber\nmmr:off\nmode:exact\n"
         "exit\n"
     )
+    from cs_search_engine_architecture_spark.operators.text_analysis import (
+        hash_embeddings,
+    )
+
+    epath = str(tmp_path / "emb.parquet")
+    hash_embeddings(corpus).selectExpr(
+        "doc_id as vec_id", "embedding"
+    ).write.parquet(epath)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "jobs", "serve.py"),
          "--index", out, "--corpus", src, "--cores", "2",
-         "--ltr-weights", wpath],
+         "--ltr-weights", wpath, "--embeddings", epath],
         input=script, capture_output=True, text=True, timeout=480, cwd=repo,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -502,6 +513,11 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert all(
         i % 2 == 0 for i in ltr_ids
     ), f"ltr re-rank leaked past the active lang='en' filter: {ltr_ids}"
+    assert "- mmr diversification on (lambda=0.5" in proc.stdout
+    assert "mmr=" in proc.stdout  # the diversified page rendered
+    assert "- mmr lambda must be in [0,1]" in proc.stdout
+    assert "- mmr wants a lambda in [0,1] or off" in proc.stdout
+    assert "- mmr off" in proc.stdout
 
 
 def test_filtered_cursor_pagination_and_filtered_facets(spark, tmp_path):
