@@ -2140,6 +2140,34 @@ class SearchEngine:
             "rank",
         )
 
+    def _filtered_arms(
+        self, query: str, embeddings: DataFrame, qvec,
+        pre_select_k: int, sem_k: int, id_col: str,
+        corpus: DataFrame, predicate, doc_id_col: str = "doc_id",
+    ) -> tuple[DataFrame, DataFrame]:
+        """Both hybrid arms restricted to the corpus rows satisfying
+        ``predicate`` — ONE filter-context definition across the union
+        (the admitted-doc set comes from the corpus predicate; scores
+        on both arms are the unfiltered scores, so any doc the filter
+        admits ranks exactly as it does unfiltered). The lexical arm is
+        ``filtered_search``; the semantic arm semi-joins the embeddings
+        to the admitted ids BEFORE its top-k (filtering after the limit
+        would starve the page — the post-filter ANN failure mode)."""
+        allowed = corpus.where(predicate).select(
+            F.col(doc_id_col).cast("long").alias("doc_id")
+        )
+        exact = self.filtered_search(
+            query, corpus, predicate, top_k=pre_select_k,
+            doc_id_col=doc_id_col,
+        )
+        emb_f = embeddings.join(
+            allowed.select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        sem = self.semantic_search(emb_f, qvec, sem_k, id_col)
+        return exact, sem
+
     def _hybrid_union(
         self, query: str, embeddings: DataFrame, qvec,
         pre_select_k: int, sem_k: int, id_col: str,
@@ -2241,6 +2269,8 @@ class SearchEngine:
         top_k: int = 10, pre_select_k: int = 50,
         sem_k: int | None = None, ltr_weights: str | None = None,
         ann_kind: str = "lsh", n_probe: int = 4,
+        corpus: DataFrame | None = None, predicate=None,
+        ann_predicate=None, doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Hybrid search with the semantic side served from a PERSISTED
         ANN index (partition-pruned LSH bucket or IVF cells) instead of
@@ -2249,18 +2279,28 @@ class SearchEngine:
         ``sea/engine.pyx:555-565``; exact stays available via
         ``combined_search``). Semantics after candidate generation are
         identical: cosine scores, (cos desc, id asc) top-k, union +
-        provenance + optional ListNet rerank."""
+        provenance + optional ListNet rerank.
+
+        Filter context: ``predicate`` (+ ``corpus``) restricts the
+        LEXICAL arm via ``filtered_search``; ``ann_predicate``
+        restricts the ANN arm on columns baked into the index
+        (``build_*_index(meta_cols=...)``) BEFORE its top-k. Pass the
+        same logical condition in both forms for a consistent admitted
+        set — the two arms read different tables (corpus vs persisted
+        index), so the predicate must be expressed against each."""
         from cs_search_engine_architecture_spark.operators import similarity
 
         sem_k = sem_k if sem_k is not None else pre_select_k
         fetch_k = sem_k + self._num_tombstones()  # mask can't shrink top-k
         if ann_kind == "lsh":
             sem = similarity.ann_search(
-                self.spark, ann_index_path, qvec, fetch_k
+                self.spark, ann_index_path, qvec, fetch_k,
+                predicate=ann_predicate,
             )
         elif ann_kind == "ivf":
             sem = similarity.ivf_search(
-                self.spark, ann_index_path, qvec, fetch_k, n_probe=n_probe
+                self.spark, ann_index_path, qvec, fetch_k, n_probe=n_probe,
+                predicate=ann_predicate,
             )
         else:
             raise ValueError(f"unknown ann_kind {ann_kind!r}")
@@ -2274,14 +2314,25 @@ class SearchEngine:
                 .orderBy(F.desc("similarity"), F.asc("doc_id"))
                 .limit(sem_k)
             )
-        return self._hybrid_rank(
-            query, self.search(query, pre_select_k), sem, top_k, ltr_weights
-        )
+        if predicate is not None:
+            if corpus is None:
+                raise ValueError(
+                    "combined_search_ann(predicate=...) needs corpus="
+                )
+            exact = self.filtered_search(
+                query, corpus, predicate, top_k=pre_select_k,
+                doc_id_col=doc_id_col,
+            )
+        else:
+            exact = self.search(query, pre_select_k)
+        return self._hybrid_rank(query, exact, sem, top_k, ltr_weights)
 
     def combined_search(
         self, query: str, embeddings: DataFrame, qvec,
         top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
         sem_k: int | None = None, ltr_weights: str | None = None,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """R4 hybrid (``sea/engine.pyx:612-658``).
 
@@ -2295,15 +2346,27 @@ class SearchEngine:
 
         Without weights (legacy fallback, kept for ad-hoc use): order by
         bm25 + similarity. Returns (doc_id, bm25, similarity,
-        provenance, score)."""
+        provenance, score).
+
+        ``predicate`` (+ ``corpus``) restricts BOTH arms to the
+        admitted corpus rows with filter-context semantics
+        (``_filtered_arms``): per-doc scores/features are identical to
+        the unfiltered path, so the filtered hybrid page is exactly the
+        unfiltered ranking restricted to the admitted candidates."""
         sem_k = sem_k if sem_k is not None else pre_select_k
-        return self._hybrid_rank(
-            query,
-            self.search(query, pre_select_k),
-            self.semantic_search(embeddings, qvec, sem_k, id_col),
-            top_k,
-            ltr_weights,
-        )
+        if predicate is not None:
+            if corpus is None:
+                raise ValueError(
+                    "combined_search(predicate=...) needs corpus="
+                )
+            exact, sem = self._filtered_arms(
+                query, embeddings, qvec, pre_select_k, sem_k, id_col,
+                corpus, predicate, doc_id_col,
+            )
+        else:
+            exact = self.search(query, pre_select_k)
+            sem = self.semantic_search(embeddings, qvec, sem_k, id_col)
+        return self._hybrid_rank(query, exact, sem, top_k, ltr_weights)
 
     def _hybrid_rank(
         self, query: str, exact: DataFrame, sem: DataFrame,
@@ -2334,6 +2397,8 @@ class SearchEngine:
         self, query: str, embeddings: DataFrame, qvec,
         top_k: int = 10, pre_select_k: int = 50, id_col: str = "vec_id",
         sem_k: int | None = None, rrf_k: int = 60,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Hybrid fusion by Reciprocal Rank Fusion (Cormack et al.,
         SIGIR'09 — the standard score-free alternative to the
@@ -2346,11 +2411,27 @@ class SearchEngine:
         exact-then-semantic order, so the oracle mirrors it bit-for-bit.
         The windows run over the ≤ pre_select_k + sem_k union rows
         (serving-sized, never corpus-sized). Returns
-        (doc_id, score, provenance). Extension beyond the reference."""
+        (doc_id, score, provenance). Extension beyond the reference.
+
+        ``predicate`` (+ ``corpus``) restricts both arms to the
+        admitted corpus rows BEFORE the per-arm ranks are assigned
+        (``_filtered_arms``) — ranks are dense over the admitted
+        candidates, the standard filtered-RRF semantics."""
         sem_k = sem_k if sem_k is not None else pre_select_k
-        union = self._hybrid_union(
-            query, embeddings, qvec, pre_select_k, sem_k, id_col
-        )
+        if predicate is not None:
+            if corpus is None:
+                raise ValueError(
+                    "combined_search_rrf(predicate=...) needs corpus="
+                )
+            exact, sem = self._filtered_arms(
+                query, embeddings, qvec, pre_select_k, sem_k, id_col,
+                corpus, predicate, doc_id_col,
+            )
+            union = self._union_frames(exact, sem)
+        else:
+            union = self._hybrid_union(
+                query, embeddings, qvec, pre_select_k, sem_k, id_col
+            )
         we = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
         ws = Window.orderBy(F.desc("similarity"), F.asc("doc_id"))
         exact_r = (

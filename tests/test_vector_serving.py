@@ -257,3 +257,128 @@ def test_engine_semantic_search_predicate(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+# ----------------------------------------------- filtered hybrid search
+
+def _hybrid_fixture(spark, tmp_path, n=40):
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"spark data doc {i}" + (" extra spark" if i % 3 == 0 else ""),
+             ["en", "de"][i % 2])
+            for i in range(n)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    idx = str(tmp_path / "hidx")
+    build_index(spark, docs, idx, fields=["text"], analyzer="simple",
+                num_buckets=4)
+    rows, emb = _emb(spark, n=n, seed=41)
+    return SearchEngine(spark, idx), docs, rows, emb
+
+
+def test_filtered_hybrid_is_restriction_of_unfiltered(spark, tmp_path):
+    """Filter-context contract: with arms wide enough to avoid
+    truncation, the filtered hybrid page == the unfiltered hybrid
+    ranking restricted to the admitted docs (scores NEVER change under
+    a filter)."""
+    eng, docs, rows, emb = _hybrid_fixture(spark, tmp_path)
+    qvec = rows[2][1]
+    big = 100  # > corpus size: no truncation on either arm
+    unfiltered = eng.combined_search(
+        "spark or data", emb, qvec, top_k=big, pre_select_k=big,
+    ).collect()
+    want = [
+        (r["doc_id"], r["bm25"], r["similarity"], r["score"])
+        for r in unfiltered if r["doc_id"] % 2 == 0  # en docs
+    ][:5]
+    got = eng.combined_search(
+        "spark or data", emb, qvec, top_k=5, pre_select_k=big,
+        corpus=docs, predicate="lang = 'en'",
+    ).collect()
+    assert [
+        (r["doc_id"], r["bm25"], r["similarity"], r["score"]) for r in got
+    ] == want
+    # predicate without corpus fails loudly
+    with pytest.raises(ValueError, match="corpus"):
+        eng.combined_search(
+            "spark", emb, qvec, predicate="lang = 'en'"
+        ).collect()
+
+
+def test_filtered_hybrid_rrf_dense_ranks(spark, tmp_path):
+    """Filtered RRF assigns DENSE per-arm ranks over the admitted
+    candidates (standard filtered-RRF semantics) — reproduced here
+    independently from the two filtered arms."""
+    eng, docs, rows, emb = _hybrid_fixture(spark, tmp_path)
+    qvec = rows[4][1]
+    big = 100
+    got = eng.combined_search_rrf(
+        "spark or data", emb, qvec, top_k=6, pre_select_k=big,
+        corpus=docs, predicate="lang = 'de'",
+    ).collect()
+    assert all(r["doc_id"] % 2 == 1 for r in got)
+    # independent expectation: collect both arms, rank them densely
+    # over admitted docs, fuse with 1/(60+rank)
+    exact = sorted(
+        (
+            (r["doc_id"], r["score"])
+            for r in eng.search_df("spark or data").collect()
+            if r["doc_id"] % 2 == 1
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    from cs_search_engine_architecture_spark.operators import (
+        similarity as SIM_,
+    )
+
+    sem = [
+        (r["id"], r["cos"])
+        for r in SIM_.brute_force_topk(
+            emb.where("lang = 'de'"), qvec, k=big
+        ).collect()
+    ]
+    r_exact = {d: i + 1 for i, (d, _) in enumerate(exact)}
+    r_sem = {d: i + 1 for i, (d, _) in enumerate(sem)}
+    fused = {}
+    for d in set(r_exact) | set(r_sem):
+        s = 0.0
+        if d in r_exact:
+            s = 1.0 / (60.0 + r_exact[d])
+        if d in r_sem:
+            s = s + 1.0 / (60.0 + r_sem[d])
+        fused[d] = s
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:6]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+
+
+def test_filtered_hybrid_ann_matches_exact_filtered(spark, tmp_path):
+    """ANN-served filtered hybrid (meta-cols index + ann_predicate)
+    with a full probe == the exact filtered hybrid."""
+    from cs_search_engine_architecture_spark.operators import (
+        similarity as SIM_,
+    )
+
+    eng, docs, rows, emb = _hybrid_fixture(spark, tmp_path)
+    qvec = rows[1][1]
+    emb_doc = emb.selectExpr("vec_id", "embedding", "lang")
+    cents = SIM_.kmeans_centroids(emb_doc, num_centroids=4, sample=40)
+    path = str(tmp_path / "hivf")
+    SIM_.build_ivf_index(emb_doc, path, cents, meta_cols=["lang"])
+    got = eng.combined_search_ann(
+        "spark or data", path, qvec, top_k=5, pre_select_k=100,
+        ann_kind="ivf", n_probe=len(cents),
+        corpus=docs, predicate="lang = 'en'", ann_predicate="lang = 'en'",
+    ).collect()
+    want = eng.combined_search(
+        "spark or data", emb, qvec, top_k=5, pre_select_k=100,
+        corpus=docs, predicate="lang = 'en'",
+    ).collect()
+    assert [(r["doc_id"], r["bm25"], r["similarity"]) for r in got] == [
+        (r["doc_id"], r["bm25"], r["similarity"]) for r in want
+    ]
