@@ -513,7 +513,9 @@ class SearchEngine:
         )
 
     def msearch(
-        self, queries: dict[str, str], top_k: int = 10
+        self, queries: dict[str, str], top_k: int = 10,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Batched multi-query search: every query in ``queries``
         (query_id -> query string) answered in ONE Spark job.
@@ -526,9 +528,24 @@ class SearchEngine:
         with the standard (score desc, doc_id asc) per-query order. Scores
         are identical to per-query ``search`` — only the execution is
         batched (the reference has no batch API; this is the cluster-scale
-        serving shape for LTR training sweeps and offline eval)."""
+        serving shape for LTR training sweeps and offline eval).
+
+        ``predicate`` (+ ``corpus``) applies filter context to the WHOLE
+        batch (the filtered-eval sweep: "run these 1000 queries over
+        lang='en' docs only"): the admitted-id frame semi-joins every
+        arm — the shared-scan batchers before their per-query window
+        cut, compiled fallback plans before their limit — so each
+        query's page is the exact top-k of the admitted set, scores
+        untouched (== per-query ``filtered_search``)."""
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
+        allowed = None
+        if predicate is not None:
+            if corpus is None:
+                raise ValueError("msearch(predicate=...) needs corpus=")
+            allowed = corpus.where(predicate).select(
+                F.col(doc_id_col).cast("long").alias("doc_id")
+            )
         analyzer = self.meta.get("analyzer", "reference")
         batchable: list[tuple] = []
         phrases: list[tuple[str, list[str]]] = []
@@ -543,8 +560,11 @@ class SearchEngine:
                 # the whole plan through to the shared-scan batcher
                 batchable.append((qid, *plan))
             else:
+                scored = self._scored(ast)
+                if allowed is not None:
+                    scored = scored.join(allowed, "doc_id", "left_semi")
                 fallback.append(
-                    self._scored(ast)
+                    scored
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(top_k)
                     .select(
@@ -564,7 +584,7 @@ class SearchEngine:
         def _batch(blocks: DataFrame, fn, plans, exclude) -> DataFrame:
             return fn(
                 self.spark, blocks, self.num_buckets, plans, top_k,
-                exclude=exclude,
+                exclude=exclude, allowed=allowed,
             )
 
         def _serve(fn, plans) -> DataFrame:

@@ -201,10 +201,16 @@ def phrase_batched_topk(
     plans: list[tuple[str, list[str]]],
     top_k: int,
     exclude: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Answer every pure-phrase ``(query_id, values)`` plan from one
     shared positional scan — phrases no longer force per-query compiled
     fallback plans in ``engine.msearch``.
+
+    ``allowed`` (a 1-column doc_id frame — filter context) semi-joins
+    the hits BEFORE the per-query window cut, so each query's page is
+    the exact top-k of the admitted set (post-limit filtering would
+    starve pages). Equi semi-join; AQE broadcasts a selective side.
 
     Per (query_id, doc_id) the slot-tagged postings collect into a
     slot-sorted array; a doc matches when every slot is present AND
@@ -257,6 +263,8 @@ def phrase_batched_topk(
     )
     if exclude is not None:
         hits = hits.join(F.broadcast(exclude), "doc_id", "left_anti")
+    if allowed is not None:
+        hits = hits.join(allowed, "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         hits.withColumn("rank", F.row_number().over(w))
@@ -351,6 +359,7 @@ def batched_topk(
     plans: list[tuple],
     top_k: int,
     exclude: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Answer every ``(query_id, mode, terms[, neg_terms])`` plan from
     one shared scan.
@@ -365,7 +374,9 @@ def batched_topk(
     Returns ``(query_id, doc_id, score)`` with at most ``top_k`` rows per
     query, ordered within each query by (score desc, doc_id asc).
     ``exclude`` (a 1-column doc_id frame, e.g. the index's tombstones) is
-    anti-joined before per-query ranking.
+    anti-joined before per-query ranking; ``allowed`` (filter context)
+    is semi-joined at the same point, so each query's page is the exact
+    top-k of the admitted set.
     """
     rows = []
     for plan in plans:
@@ -412,6 +423,8 @@ def batched_topk(
     )
     if exclude is not None:
         hits = hits.join(F.broadcast(exclude), "doc_id", "left_anti")
+    if allowed is not None:
+        hits = hits.join(allowed, "doc_id", "left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         hits.withColumn("rank", F.row_number().over(w))

@@ -823,3 +823,100 @@ def test_export_matches_full_set(spark, engine, tmp_path):
     p4 = str(tmp_path / "export4")
     assert engine.export_matches("and or", p4) == 0
     assert spark.read.parquet(p4).count() == 0
+
+
+def test_filtered_msearch_matches_filtered_search(spark, tmp_path):
+    """msearch(predicate=...) = filter context for the WHOLE batch:
+    every routing arm (shared-scan or/and_not, batched phrase, compiled
+    mixed fallback) must return exactly the per-query filtered_search
+    page — admitted-set top-k, scores untouched."""
+    import shutil
+
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    docs = [
+        (i,
+         "alpha beta" + (" gamma" if i % 3 == 0 else "")
+         + (" delta" if i % 7 == 0 else "") + f" filler{i % 5}",
+         ["en", "fr"][i % 2])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    )
+    out = str(tmp_path / "idx")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    qs = {
+        "q_or": "alpha or gamma",
+        "q_andnot": "alpha and not gamma",
+        "q_phrase": '"alpha beta"',
+        "q_mixed": 'alpha and (gamma or "alpha beta") not delta',
+    }
+    pred = "lang = 'en'"
+
+    def check(engine):
+        got = {}
+        for r in engine.msearch(
+            qs, top_k=5, corpus=corpus, predicate=pred
+        ).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        for qid, qstr in qs.items():
+            want = [
+                (r["doc_id"], r["score"])
+                for r in engine.filtered_search(
+                    qstr, corpus, pred, top_k=5
+                ).collect()
+            ]
+            assert sorted(
+                got.get(qid, []), key=lambda t: (-t[1], t[0])
+            ) == want, qid
+            assert all(d % 2 == 0 for d, _ in got.get(qid, [])), qid
+
+    check(eng)
+    # predicate without corpus fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="corpus"):
+        eng.msearch(qs, top_k=5, predicate=pred)
+
+    # same contract with a pending in-place update (masked main arm +
+    # delta resurrection arm both ride the allowed semi-join)
+    upd = str(tmp_path / "idx_upd")
+    shutil.copytree(out, upd)
+    indexer.update_docs(
+        spark, upd,
+        spark.createDataFrame(
+            [(0, "alpha beta gamma updated", "en")],
+            "doc_id long, text string, lang string",
+        ),
+    )
+    corpus_upd = corpus.where("doc_id != 0").unionByName(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma updated", "en")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    eng2 = SearchEngine(spark, upd, cache=False)
+
+    got = {}
+    for r in eng2.msearch(
+        qs, top_k=5, corpus=corpus_upd, predicate=pred
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qstr in qs.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in eng2.filtered_search(
+                qstr, corpus_upd, pred, top_k=5
+            ).collect()
+        ]
+        assert sorted(
+            got.get(qid, []), key=lambda t: (-t[1], t[0])
+        ) == want, f"updated index: {qid}"
