@@ -620,13 +620,16 @@ class SearchEngine:
         return out
 
     def percolate(
-        self, queries: dict[str, str], docs: DataFrame
+        self, queries: dict[str, str], docs: DataFrame,
+        filters: dict[str, str] | None = None,
     ) -> DataFrame:
         """Reverse search: (query_id, doc_id) for every registered
         query matching each incoming doc — parsed with THIS index's
         analyzer/field config, but evaluated from one on-the-fly
         tokenize pass over ``docs`` (the index itself is never read:
-        match-only filter context, no BM25 stats). See
+        match-only filter context, no BM25 stats). ``filters`` =
+        optional per-query metadata predicates over the incoming
+        batch's columns (the saved-search alerting shape). See
         ``operators/percolate.py`` for semantics and scale shape."""
         from cs_search_engine_architecture_spark.operators import (
             percolate as pc,
@@ -639,6 +642,7 @@ class SearchEngine:
             fields=self.meta.get("fields", ["text"]),
             doc_id_col=self.meta.get("doc_id_col", "doc_id"),
             analyzer=self.meta.get("analyzer", "reference"),
+            filters=filters,
         )
 
     def plan_info(self, query: str, top_k: int = 10) -> dict:

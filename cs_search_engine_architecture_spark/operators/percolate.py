@@ -189,9 +189,19 @@ def percolate(
     fields: Sequence[str] = ("text",),
     doc_id_col: str = "doc_id",
     analyzer: str = "reference",
+    filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id) for every registered query that matches each
-    incoming doc. Match-only — no scores (filter context)."""
+    incoming doc. Match-only — no scores (filter context).
+
+    ``filters`` attaches per-query metadata conditions (the saved-search
+    shape: "alert on 'spark AND crash' but only for lang='en' docs"):
+    a SQL predicate over the INCOMING batch's columns per query_id. A
+    filtered query fires only on docs its predicate admits; queries
+    absent from ``filters`` are unaffected. Each DISTINCT predicate
+    text evaluates the batch ONCE (row-local ``where``, pushdown-
+    eligible, no shuffle) and admits (query_id, doc_id) pairs that
+    semi-join the match set — still no doc × query work."""
     term_plans, phrase_plans, mixed_plans = compile_percolator(
         queries, analyzer
     )
@@ -280,4 +290,30 @@ def percolate(
 
     if out is None:
         return spark.createDataFrame([], "query_id string, doc_id long")
+    if filters:
+        unknown = sorted(set(filters) - set(queries))
+        if unknown:
+            raise ValueError(
+                f"percolate: filters for unregistered query ids {unknown}"
+            )
+        # group query ids by identical predicate text: each distinct
+        # predicate scans the batch once (row-local), tagging its ids
+        by_pred: dict[str, list[str]] = {}
+        for qid, p in filters.items():
+            by_pred.setdefault(p, []).append(qid)
+        adm: DataFrame | None = None
+        for p, qids in sorted(by_pred.items()):
+            a = docs.where(p).select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.explode(
+                    F.array(*[F.lit(q) for q in sorted(qids)])
+                ).alias("query_id"),
+            )
+            adm = a if adm is None else adm.unionByName(a)
+        f_ids = sorted(filters)
+        out = out.where(~F.col("query_id").isin(f_ids)).unionByName(
+            out.where(F.col("query_id").isin(f_ids)).join(
+                adm, ["query_id", "doc_id"], "left_semi"
+            )
+        )
     return out

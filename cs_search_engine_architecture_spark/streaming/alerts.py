@@ -41,14 +41,22 @@ class PercolateStream:
         fields=("text",),
         doc_id_col: str = "doc_id",
         analyzer: str = "reference",
+        filters: dict[str, str] | None = None,
     ):
         compile_percolator(queries, analyzer)  # fail fast
+        if filters:
+            unknown = sorted(set(filters) - set(queries))
+            if unknown:  # same fail-fast discipline as the queries
+                raise ValueError(
+                    f"filters for unregistered query ids {unknown}"
+                )
         self.spark = spark
         self.queries = dict(queries)
         self.alerts_path = alerts_path
         self.fields = list(fields)
         self.doc_id_col = doc_id_col
         self.analyzer = analyzer
+        self.filters = dict(filters) if filters else None
         self.checkpoint_dir = os.path.join(alerts_path, "_checkpoint")
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -61,6 +69,7 @@ class PercolateStream:
             fields=self.fields,
             doc_id_col=self.doc_id_col,
             analyzer=self.analyzer,
+            filters=self.filters,
         )
         # the batch id rides the hive-style dir name (partition
         # discovery restores it on read); writing it into the files too

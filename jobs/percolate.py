@@ -33,18 +33,27 @@ def main() -> None:
                     help="JSON file: {query_id: query text, ...}")
     ap.add_argument("--out", default=None,
                     help="write matches to this parquet instead of printing")
+    ap.add_argument("--filters", default=None,
+                    help="JSON file: {query_id: SQL predicate over the "
+                         "batch columns} — per-query metadata conditions")
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
 
     with open(args.queries) as fh:
         queries = json.load(fh)
+    filters = None
+    if args.filters:
+        with open(args.filters) as fh:
+            filters = json.load(fh)
     spark = get_spark(
         app_name="spark-sea-percolate",
         master=f"local[{args.cores}]" if args.cores else None,
     )
     spark.sparkContext.setLogLevel("WARN")
     eng = SearchEngine(spark, args.index, cache=False)
-    matches = eng.percolate(queries, spark.read.parquet(args.docs))
+    matches = eng.percolate(
+        queries, spark.read.parquet(args.docs), filters=filters
+    )
     if args.out:
         matches.write.mode("overwrite").parquet(args.out)
         # count the just-written parquet — re-counting `matches` would

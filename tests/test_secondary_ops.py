@@ -920,3 +920,68 @@ def test_filtered_msearch_matches_filtered_search(spark, tmp_path):
         assert sorted(
             got.get(qid, []), key=lambda t: (-t[1], t[0])
         ) == want, f"updated index: {qid}"
+
+
+def test_percolate_per_query_filters(spark):
+    """filters={query_id: predicate}: a filtered query fires only on
+    docs its metadata predicate admits; unfiltered queries are
+    untouched; every arm (batchable, phrase, mixed tree) respects it;
+    unknown query ids fail fast."""
+    from cs_search_engine_architecture_spark.operators.percolate import (
+        percolate,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (0, "spark joins data fast", "en", "prod"),
+            (1, "slow data scan", "fr", "prod"),
+            (2, "spark window order by", "en", "stage"),
+            (3, "the window order by clause", "fr", "prod"),
+        ],
+        "doc_id long, text string, lang string, env string",
+    )
+    qs = {
+        "any_spark": "spark",                      # unfiltered
+        "en_spark": "spark",                       # lang = en only
+        "prod_or": "spark or data",                # env = prod only
+        "en_phrase": '"window order"',             # phrase + lang filter
+        "en_mixed": 'spark and (data or "x") not slow',  # mixed tree
+    }
+    filters = {
+        "en_spark": "lang = 'en'",
+        "prod_or": "env = 'prod'",
+        "en_phrase": "lang = 'en'",
+        "en_mixed": "lang = 'en'",
+    }
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            spark, qs, batch, analyzer="simple", filters=filters
+        ).collect()
+    }
+    assert got == {
+        ("any_spark", 0), ("any_spark", 2),   # unfiltered: both sparks
+        ("en_spark", 0), ("en_spark", 2),     # both happen to be en
+        ("prod_or", 0), ("prod_or", 1),       # doc 2 is stage: dropped
+        ("en_phrase", 2),                     # doc 3 matches but is fr
+        ("en_mixed", 0),                      # mixed tree + en filter
+    }
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unregistered"):
+        percolate(
+            spark, qs, batch, analyzer="simple",
+            filters={"nosuch": "lang = 'en'"},
+        ).collect()
+
+    # two queries sharing one predicate text: grouped evaluation, same
+    # results as separate predicates
+    both = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            spark, {"a": "spark", "b": "data"}, batch, analyzer="simple",
+            filters={"a": "lang = 'en'", "b": "lang = 'en'"},
+        ).collect()
+    }
+    assert both == {("a", 0), ("a", 2), ("b", 0)}
