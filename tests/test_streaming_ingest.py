@@ -448,3 +448,51 @@ def test_streaming_compact_excludes_orphan_batches(spark):
     eng = SearchEngine(spark, idx, cache=False)
     assert eng.search("orphanword", 5).collect() == []
     assert len(eng.search("alpha", 5).collect()) == 2
+
+
+def test_percolate_stream_with_filters(spark):
+    """Per-query metadata filters ride the streaming alerter: a
+    filtered query fires only on admitted docs in every micro-batch;
+    an unknown filter id fails at construction."""
+    from cs_search_engine_architecture_spark.streaming.alerts import (
+        PercolateStream,
+    )
+
+    base = "/tmp/spark_sea_test_alerts_filt"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    tmp = os.path.join(base, "stage")
+    spark.createDataFrame(
+        [
+            (1, "spark shuffles data", "en", "s", 19),
+            (2, "spark scan", "fr", "s", 10),
+            (3, "spark merge", "en", "s", 11),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    for part in os.listdir(tmp):
+        if part.endswith(".parquet"):
+            os.rename(os.path.join(tmp, part), os.path.join(src, part))
+    shutil.rmtree(tmp)
+
+    ps = PercolateStream(
+        spark,
+        {"all": "spark", "en_only": "spark"},
+        os.path.join(base, "alerts"),
+        analyzer="simple",
+        filters={"en_only": "lang = 'en'"},
+    )
+    ps.ingest_available(stream_corpus(spark, src, SCHEMA))
+    got = {(r["query_id"], r["doc_id"]) for r in ps.alerts().collect()}
+    assert got == {
+        ("all", 1), ("all", 2), ("all", 3),
+        ("en_only", 1), ("en_only", 3),
+    }
+
+    with pytest.raises(ValueError, match="unregistered"):
+        PercolateStream(
+            spark, {"q": "spark"}, os.path.join(base, "x"),
+            analyzer="simple", filters={"other": "lang = 'en'"},
+        )
+    shutil.rmtree(base, ignore_errors=True)
