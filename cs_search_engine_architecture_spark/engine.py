@@ -787,7 +787,9 @@ class SearchEngine:
         return terms
 
     def prefix_search(
-        self, prefix: str, top_k: int = 10, max_expansion: int = 128
+        self, prefix: str, top_k: int = 10, max_expansion: int = 128,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Wildcard-style ``prefix*`` search by dictionary expansion:
         matching terms come from the term dictionary (a metadata-only
@@ -816,7 +818,24 @@ class SearchEngine:
             .limit(max_expansion)
             .collect()
         )
-        return self._expansion_topk([r["term"] for r in matched], top_k)
+        return self._expansion_topk(
+            [r["term"] for r in matched], top_k,
+            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+        )
+
+    def _allowed_ids(
+        self, corpus: DataFrame | None, predicate, doc_id_col: str = "doc_id"
+    ) -> DataFrame | None:
+        """The admitted-doc-id frame of a filter-context predicate over
+        the corpus (None when no predicate) — the shared entry point of
+        every ``corpus=``/``predicate=`` serving surface."""
+        if predicate is None:
+            return None
+        if corpus is None:
+            raise ValueError("filter context (predicate=) needs corpus=")
+        return corpus.where(predicate).select(
+            F.col(doc_id_col).cast("long").alias("doc_id")
+        )
 
     def _expansion_topk(
         self,
@@ -824,6 +843,7 @@ class SearchEngine:
         top_k: int,
         exclude_doc_id: int | None = None,
         min_match: int = 0,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Serve a dictionary-expanded OR disjunction (score = sum of the
         matched terms' BM25) through the batch operator's ONE shared
@@ -832,7 +852,9 @@ class SearchEngine:
         (more-like-this never returns its seed); the fetch over-allocates
         by 1 so the exclusion cannot shrink the top-k. ``min_match`` is
         Lucene's minimum_should_match: a doc must match at least that
-        many DISTINCT terms (0 = any)."""
+        many DISTINCT terms (0 = any). ``allowed`` applies filter
+        context (the admitted-id semi-join rides the batcher's
+        pre-window hook, so the page is the exact admitted top-k)."""
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
         if not terms:
@@ -846,6 +868,7 @@ class SearchEngine:
             [plan],
             fetch,
             exclude=self.tombstones,
+            allowed=allowed,
         ).select("doc_id", "score")
         if self.updated_ids is not None:
             # resurrection arm for in-place-updated docs (see _scored).
@@ -861,6 +884,7 @@ class SearchEngine:
                 [plan],
                 fetch,
                 exclude=self._dead_ids(),
+                allowed=allowed,
             ).select("doc_id", "score").join(
                 F.broadcast(self.updated_ids), "doc_id", "left_semi"
             )
@@ -870,7 +894,9 @@ class SearchEngine:
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
     def wildcard_search(
-        self, pattern: str, top_k: int = 10, max_expansion: int = 128
+        self, pattern: str, top_k: int = 10, max_expansion: int = 128,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """General wildcard search (Lucene ``WildcardQuery`` shape):
         ``*`` matches any run, ``?`` exactly one character, anywhere in
@@ -896,10 +922,15 @@ class SearchEngine:
             .limit(max_expansion)
             .collect()
         )
-        return self._expansion_topk([r["term"] for r in matched], top_k)
+        return self._expansion_topk(
+            [r["term"] for r in matched], top_k,
+            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+        )
 
     def regexp_search(
-        self, regex: str, top_k: int = 10, max_expansion: int = 128
+        self, regex: str, top_k: int = 10, max_expansion: int = 128,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Lucene ``RegexpQuery`` shape: the pattern is a full regular
         expression matched against WHOLE dictionary terms (anchored on
@@ -916,10 +947,15 @@ class SearchEngine:
             .limit(max_expansion)
             .collect()
         )
-        return self._expansion_topk([r["term"] for r in matched], top_k)
+        return self._expansion_topk(
+            [r["term"] for r in matched], top_k,
+            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+        )
 
     def boosted_search(
-        self, boosts: dict[str, float], top_k: int = 10, min_match: int = 0
+        self, boosts: dict[str, float], top_k: int = 10, min_match: int = 0,
+        corpus: DataFrame | None = None, predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Per-term boosted disjunction (Lucene ``term^boost`` shape):
         score(d) = Σ_t boost_t · BM25_t(d) over the matched terms,
@@ -936,6 +972,7 @@ class SearchEngine:
         return self._expansion_topk(
             {t: float(w) for t, w in boosts.items()}, top_k,
             min_match=min_match,
+            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
         )
 
     def collapse_search(
@@ -1300,6 +1337,9 @@ class SearchEngine:
         min_similarity: float = 0.3,
         max_expansion: int = 8,
         exclude_threshold: int | None = None,
+        corpus: DataFrame | None = None,
+        predicate=None,
+        doc_id_col: str = "doc_id",
     ) -> DataFrame:
         """Typo-tolerant single-token search (Lucene fuzzy-query shape):
         the k-gram spelling index expands ``token`` to its
@@ -1341,6 +1381,9 @@ class SearchEngine:
         dead = self._dead_ids()
         if dead is not None:
             agg = agg.join(F.broadcast(dead), "doc_id", "left_anti")
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
+        if allowed is not None:  # filter context, pre-limit (exact page)
+            agg = agg.join(allowed, "doc_id", "left_semi")
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
     def search_after(

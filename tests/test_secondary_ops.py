@@ -985,3 +985,55 @@ def test_percolate_per_query_filters(spark):
         ).collect()
     }
     assert both == {("a", 0), ("a", 2), ("b", 0)}
+
+
+def test_expansion_surfaces_filter_context(spark, tmp_path):
+    """prefix/wildcard/regexp/boosted/fuzzy accept corpus=/predicate=:
+    each filtered page equals the unfiltered ranking restricted to the
+    admitted docs (filter context — scores untouched)."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    corpus = spark.createDataFrame(
+        [
+            (i,
+             ("sparkly sparse sparing" if i % 4 == 0 else "sparse plain")
+             + f" word{i % 6}",
+             ["en", "fr"][i % 2])
+            for i in range(24)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "idx")
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    pred = "lang = 'en'"
+
+    surfaces = [
+        lambda e, **kw: e.prefix_search("spar", top_k=30, **kw),
+        lambda e, **kw: e.wildcard_search("spa*e", top_k=30, **kw),
+        lambda e, **kw: e.regexp_search("spar.*", top_k=30, **kw),
+        lambda e, **kw: e.boosted_search(
+            {"sparse": 2.0, "sparing": 0.5}, top_k=30, **kw
+        ),
+        lambda e, **kw: e.fuzzy_search(
+            "sparsee", top_k=30, exclude_threshold=1, **kw
+        ),
+    ]
+    for i, fn in enumerate(surfaces):
+        base = [(r["doc_id"], r["score"]) for r in fn(eng).collect()]
+        assert base, i  # the fixture must exercise each surface
+        want = [(d, s) for d, s in base if d % 2 == 0]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in fn(eng, corpus=corpus, predicate=pred).collect()
+        ]
+        assert got == want, i
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="corpus"):
+        eng.prefix_search("spar", predicate=pred)
