@@ -1915,13 +1915,15 @@ class SearchEngine:
 
     def search_with_snippets(
         self, query: str, corpus: DataFrame, top_k: int = 10,
-        text_cols: list[str] | None = None,
+        text_cols: list[str] | None = None, predicate=None,
     ) -> DataFrame:
         """Top-k joined back to the corpus with a ±100-char snippet
         around the first matched-term position (reference Q10).
         Snippet position comes from the INDEX (first position of the
         earliest query leaf present in the doc), like the reference's
-        ``snippet_position``; the expression runs on top-k rows only."""
+        ``snippet_position``; the expression runs on top-k rows only.
+        ``predicate`` applies filter context over ``corpus`` (the page
+        becomes ``filtered_search``'s; snippet logic unchanged)."""
         from cs_search_engine_architecture_spark.operators.decode import (
             term_postings,
         )
@@ -1930,7 +1932,11 @@ class SearchEngine:
         )
 
         text_cols = text_cols or self.meta["fields"]
-        top = self.search(query, top_k)
+        top = (
+            self.filtered_search(query, corpus, predicate, top_k)
+            if predicate is not None
+            else self.search(query, top_k)
+        )
         leaves = self._leaf_terms(query)[:8]  # bound plan size
         pos_frames = [
             self._term_frame(

@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--query", required=True)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--corpus", default=None, help="materialize hits against this parquet")
+    ap.add_argument("--filter", default=None,
+                    help="SQL predicate over --corpus columns (filter "
+                    "context: selects docs, never rescores; composes "
+                    "with --embeddings hybrid too)")
     ap.add_argument("--snippets", action="store_true",
                     help="with --corpus: ±100-char snippets around first match")
     ap.add_argument("--suggest", action="store_true",
@@ -52,6 +56,8 @@ def main() -> None:
     ap.add_argument("--rescore-slop", type=int, default=10)
     ap.add_argument("--cores", default=None)
     args = ap.parse_args()
+    if args.filter and not args.corpus:
+        ap.error("--filter needs --corpus (the predicate runs on it)")
 
     spark = get_spark(
         app_name="spark-sea-search",
@@ -106,18 +112,27 @@ def main() -> None:
             np.mean([list(r["embedding"]) for r in seed], axis=0).tolist()
             if seed else [0.0] * 64
         )
+        corpus = spark.read.parquet(args.corpus) if args.corpus else None
         eng.combined_search(
             args.query, emb, qvec, top_k=args.top_k,
             pre_select_k=args.pre_select_k, ltr_weights=args.ltr_weights,
+            corpus=corpus, predicate=args.filter,
         ).show(args.top_k, truncate=False)
     elif args.corpus and args.snippets:
         corpus = spark.read.parquet(args.corpus)
-        eng.search_with_snippets(args.query, corpus, args.top_k).select(
+        eng.search_with_snippets(
+            args.query, corpus, args.top_k, predicate=args.filter
+        ).select(
             "doc_id", "score", "snippet"
         ).show(args.top_k, truncate=80)
     elif args.corpus:
         corpus = spark.read.parquet(args.corpus)
-        out = eng.materialize(eng.search(args.query, args.top_k), corpus)
+        top = (
+            eng.filtered_search(args.query, corpus, args.filter, args.top_k)
+            if args.filter
+            else eng.search(args.query, args.top_k)
+        )
+        out = eng.materialize(top, corpus)
         SearchEngine.assert_sha_ok(out)
         out.show(args.top_k, truncate=80)
     elif args.ltr_weights:

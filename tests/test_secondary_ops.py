@@ -1037,3 +1037,31 @@ def test_expansion_surfaces_filter_context(spark, tmp_path):
 
     with _pt.raises(ValueError, match="corpus"):
         eng.prefix_search("spar", predicate=pred)
+
+
+def test_search_with_snippets_filter_context(spark, engine, docs):
+    """--filter composes with snippets: the page is filtered_search's,
+    the snippet contract is unchanged."""
+    pred = "lang = 'en'"
+    rows = engine.search_with_snippets(
+        "spark and window", docs, top_k=5, predicate=pred
+    ).collect()
+    assert rows
+    en_ids = {
+        r["doc_id"] for r in docs.where(pred).select("doc_id").collect()
+    }
+    want = [
+        (r["doc_id"], r["score"])
+        for r in engine.filtered_search(
+            "spark and window", docs, pred, top_k=5
+        ).collect()
+    ]
+    assert sorted(
+        ((r["doc_id"], r["score"]) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    ) == want
+    for r in rows:
+        assert r["doc_id"] in en_ids
+        assert r["snippet"] and (
+            r["snippet"] in r["text"] or r["snippet"] == r["text"]
+        )
