@@ -83,6 +83,25 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         eng.stats_agg("alpha or beta", corpus, F.length("text")),
         eng.current_corpus(),
         wand_or,  # base-kernel ∪ delta-arm union under pending updates
+        # round-5 filter-context frames: admitted-id semi-joins must
+        # stay equi-joins at every hook point (msearch batchers,
+        # expansion tail, fuzzy pre-limit, percolate per-query filters)
+        eng.msearch(
+            {"a": "alpha", "b": "beta and not gamma", "c": '"alpha beta"'},
+            top_k=5, corpus=corpus, predicate="doc_id % 2 = 0",
+        ),
+        eng.filtered_search("alpha", corpus, "doc_id % 2 = 0", 5),
+        eng.boosted_search(
+            {"alpha": 2.0}, top_k=5, corpus=corpus,
+            predicate="doc_id % 2 = 0",
+        ),
+        eng.fuzzy_search(
+            "alpah", top_k=5, exclude_threshold=1, corpus=corpus,
+            predicate="doc_id % 2 = 0",
+        ),
+        eng.percolate(
+            {"p": "alpha"}, corpus, filters={"p": "doc_id % 2 = 0"}
+        ),
     ]
     for df in frames:
         plan = df._jdf.queryExecution().executedPlan().toString()
