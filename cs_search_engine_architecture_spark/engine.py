@@ -983,6 +983,7 @@ class SearchEngine:
         top_k: int = 10,
         per_group: int = 1,
         doc_id_col: str = "doc_id",
+        predicate=None,
     ) -> DataFrame:
         """Field collapsing (Lucene/ES ``collapse`` shape): the top
         ``top_k`` of ``query`` keeping at most ``per_group`` docs per
@@ -994,8 +995,13 @@ class SearchEngine:
         top-k. Scores are the unmodified BM25 (collapsing selects,
         never scores — filter-context discipline), so a doc ranks
         identically whether or not its group-mates are collapsed away.
-        Update/delete-aware via the same masked+arm frame."""
+        Update/delete-aware via the same masked+arm frame.
+        ``predicate`` applies filter context over ``corpus`` before the
+        per-group cut (admitted docs only; scores untouched)."""
         scored = self.search_df(query)
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
+        if allowed is not None:
+            scored = scored.join(allowed, "doc_id", "left_semi")
         groups = corpus.select(
             F.col(doc_id_col).cast("long").alias("doc_id"),
             F.col(collapse_col).alias("_grp"),
@@ -1020,6 +1026,7 @@ class SearchEngine:
         hits_per_group: int = 3,
         top_groups: int | None = None,
         doc_id_col: str = "doc_id",
+        predicate=None,
     ) -> DataFrame:
         """ES ``top_hits``-under-``terms`` aggregation: for every value
         of ``group_col``, the best ``hits_per_group`` docs of the FULL
@@ -1037,8 +1044,13 @@ class SearchEngine:
         count. Scores are the unmodified BM25 (the grouping selects,
         never scores). Update/delete-aware via the same masked+arm
         frame. Extension beyond the reference; ``collapse_search`` is
-        the globally-limited single-list variant of the same window."""
+        the globally-limited single-list variant of the same window.
+        ``predicate`` applies filter context over ``corpus`` before the
+        per-group cut (admitted docs only; scores untouched)."""
         scored = self.search_df(query)
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
+        if allowed is not None:
+            scored = scored.join(allowed, "doc_id", "left_semi")
         groups = corpus.select(
             F.col(doc_id_col).cast("long").alias("doc_id"),
             F.col(group_col).alias("group"),
@@ -1282,6 +1294,7 @@ class SearchEngine:
         top_k: int = 10,
         max_terms: int = 25,
         corpus: DataFrame | None = None,
+        predicate=None,
     ) -> DataFrame:
         """Lucene ``MoreLikeThis`` shape: fetch the seed doc's text (one
         indexed-corpus row — ``current_corpus`` is update-aware, so an
@@ -1292,7 +1305,10 @@ class SearchEngine:
         one row fetch + one vocabulary-pruned dictionary probe —
         independent of corpus size; the query side is the same batched
         scan every expansion surface uses. Extension beyond the
-        reference (no equivalent API)."""
+        reference (no equivalent API). ``predicate`` applies filter
+        context to the RESULTS over the same corpus the seed came from
+        (``corpus`` or, by default, the update-aware indexed corpus);
+        the seed fetch itself is unaffected."""
         from cs_search_engine_architecture_spark.functions.tokenizer import (
             tokenize,
         )
@@ -1328,7 +1344,10 @@ class SearchEngine:
             key=lambda kv: (-kv[1], kv[0]),
         )
         terms = [t for t, _ in ranked[:max_terms]]
-        return self._expansion_topk(terms, top_k, exclude_doc_id=doc_id)
+        return self._expansion_topk(
+            terms, top_k, exclude_doc_id=doc_id,
+            allowed=self._allowed_ids(src, predicate, id_col),
+        )
 
     def fuzzy_search(
         self,
@@ -1766,6 +1785,7 @@ class SearchEngine:
         top_n: int = 10,
         min_doc_count: int = 2,
         doc_id_col: str = "doc_id",
+        predicate=None,
     ) -> DataFrame:
         """Significant-terms aggregation (Elasticsearch shape): terms
         over-represented in the query's match set vs the whole corpus,
@@ -1782,9 +1802,17 @@ class SearchEngine:
         Every arithmetic step is a single IEEE double op on integer
         operands in a fixed order, so the DuckDB oracle is bit-exact.
         Update/delete-aware via the masked match set and the
-        update-aware ``current_corpus``."""
+        update-aware ``current_corpus``.
+
+        ``predicate`` restricts the FOREGROUND to query ∩ filter (the
+        ES significant-terms-under-a-filtered-search shape); the
+        background stays the whole index, so scores measure
+        over-representation of the filtered slice against the corpus
+        at large."""
         matched = self.search_df(query).select("doc_id")
         src = corpus if corpus is not None else self.current_corpus()
+        if predicate is not None:
+            src = src.where(predicate)
         sub = (
             src.select(
                 F.col(doc_id_col).cast("long").alias("doc_id"),

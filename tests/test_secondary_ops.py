@@ -1065,3 +1065,71 @@ def test_search_with_snippets_filter_context(spark, engine, docs):
         assert r["snippet"] and (
             r["snippet"] in r["text"] or r["snippet"] == r["text"]
         )
+
+
+def test_matchset_surfaces_filter_context(spark, tmp_path):
+    """collapse_search / top_hits_by_group / significant_terms /
+    more_like_this accept predicate=: collapse/top-hits/mlt pages are
+    the unfiltered ranking restricted to admitted docs; sigterms'
+    foreground becomes query ∩ filter while the background stays the
+    whole index."""
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    from cs_search_engine_architecture_spark.operators import indexer
+
+    corpus = spark.createDataFrame(
+        [
+            (i,
+             "alpha beta" + (" zeta zeta" if i % 2 == 0 else " omega"),
+             ["en", "fr"][i % 2], f"s{i % 3}")
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "idx")
+    src = str(tmp_path / "c.parquet")
+    corpus.write.parquet(src)
+    indexer.build_index(
+        spark, corpus, out, fields=["text"], analyzer="simple",
+        num_buckets=4, corpus_path=src,
+    )
+    eng = SearchEngine(spark, out, cache=False)
+    pred = "lang = 'en'"
+
+    col_f = eng.collapse_search(
+        "alpha", corpus, "source", top_k=30, per_group=1, predicate=pred
+    ).collect()
+    assert col_f and all(r["doc_id"] % 2 == 0 for r in col_f)
+    # per-group winner among ADMITTED docs: the best en doc per source
+    base = {
+        r["doc_id"]: r["score"] for r in eng.search_df("alpha").collect()
+    }
+    for grp in {r["group"] for r in col_f}:
+        winner = min(
+            d for d in base if d % 2 == 0 and f"s{d % 3}" == grp
+        )  # uniform scores -> lowest admitted doc_id wins
+        assert any(r["doc_id"] == winner for r in col_f), grp
+
+    th_f = eng.top_hits_by_group(
+        "alpha", corpus, "source", hits_per_group=2, predicate=pred
+    ).collect()
+    assert th_f and all(r["doc_id"] % 2 == 0 for r in th_f)
+
+    # sigterms: zeta only appears in en docs; with the en filter its
+    # foreground = all admitted matches, score > 0; omega (fr-only)
+    # must not appear at all
+    st = eng.significant_terms(
+        "alpha", corpus, top_n=5, predicate=pred
+    ).collect()
+    terms = {r["term"]: r["score"] for r in st}
+    assert "zeta" in terms and terms["zeta"] > 0
+    assert "omega" not in terms
+
+    mlt = eng.more_like_this(0, top_k=8, corpus=corpus, predicate=pred)
+    got = [(r["doc_id"], r["score"]) for r in mlt.collect()]
+    assert got and all(d % 2 == 0 for d, _ in got)
+    unfiltered = [
+        (r["doc_id"], r["score"])
+        for r in eng.more_like_this(0, top_k=60, corpus=corpus).collect()
+    ]
+    want = [(d, s) for d, s in unfiltered if d % 2 == 0][:8]
+    assert got == want
