@@ -235,8 +235,12 @@ def main() -> None:
             try:
                 # corpus=None -> update-aware current_corpus() fetches
                 # the seed's CURRENT text (the static --corpus parquet
-                # would serve a stale row after in-place updates)
-                rows = eng.more_like_this(seed, top_k=top_k).collect()
+                # would serve a stale row after in-place updates);
+                # the active filter restricts the RESULTS (predicate
+                # evaluates on current_corpus = the source columns)
+                rows = eng.more_like_this(
+                    seed, top_k=top_k, predicate=filt
+                ).collect()
             except Exception as exc:
                 print(f"- more_like_this failed: {type(exc).__name__}: "
                       f"{str(exc).splitlines()[0][:200]}")
@@ -249,8 +253,10 @@ def main() -> None:
                 print("- usage: sig:<query>")
                 continue
             try:
+                # foreground = query ∩ active filter; background
+                # stays the whole index (ES filtered-sigterms shape)
                 rows = eng.significant_terms(
-                    q, corpus, top_n=10
+                    q, corpus, top_n=10, predicate=filt
                 ).collect()
             except Exception as exc:
                 print(f"- significant_terms failed: "
