@@ -539,13 +539,7 @@ class SearchEngine:
         untouched (== per-query ``filtered_search``)."""
         from cs_search_engine_architecture_spark.operators import msearch as ms
 
-        allowed = None
-        if predicate is not None:
-            if corpus is None:
-                raise ValueError("msearch(predicate=...) needs corpus=")
-            allowed = corpus.where(predicate).select(
-                F.col(doc_id_col).cast("long").alias("doc_id")
-            )
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
         analyzer = self.meta.get("analyzer", "reference")
         batchable: list[tuple] = []
         phrases: list[tuple[str, list[str]]] = []
@@ -809,6 +803,9 @@ class SearchEngine:
         as soon as the engine sees the segment (refresh/reload) — no
         compaction needed; its postings serve from the delta blocks
         through the same shared scan."""
+        # validate filter-context args BEFORE the dictionary probe so a
+        # predicate-without-corpus misuse is free, not a cluster job
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
         pref = prefix.rstrip("*")
         matched = (
             self.term_stats()
@@ -819,8 +816,7 @@ class SearchEngine:
             .collect()
         )
         return self._expansion_topk(
-            [r["term"] for r in matched], top_k,
-            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+            [r["term"] for r in matched], top_k, allowed=allowed,
         )
 
     def _allowed_ids(
@@ -910,6 +906,7 @@ class SearchEngine:
         parser has no wildcard syntax)."""
         import re as _re
 
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
         regex = "".join(
             ".*" if c == "*" else "." if c == "?" else _re.escape(c)
             for c in pattern
@@ -923,8 +920,7 @@ class SearchEngine:
             .collect()
         )
         return self._expansion_topk(
-            [r["term"] for r in matched], top_k,
-            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+            [r["term"] for r in matched], top_k, allowed=allowed,
         )
 
     def regexp_search(
@@ -939,6 +935,7 @@ class SearchEngine:
         (delta-aware ``term_stats``), never the postings; the expansion
         is capped rarest-first and served as ONE shared-scan
         disjunction. Extension beyond the reference."""
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
         matched = (
             self.term_stats()
             .where(F.col("term").rlike(f"^(?:{regex})$"))
@@ -948,8 +945,7 @@ class SearchEngine:
             .collect()
         )
         return self._expansion_topk(
-            [r["term"] for r in matched], top_k,
-            allowed=self._allowed_ids(corpus, predicate, doc_id_col),
+            [r["term"] for r in matched], top_k, allowed=allowed,
         )
 
     def boosted_search(
@@ -2254,9 +2250,7 @@ class SearchEngine:
         ``filtered_search``; the semantic arm semi-joins the embeddings
         to the admitted ids BEFORE its top-k (filtering after the limit
         would starve the page — the post-filter ANN failure mode)."""
-        allowed = corpus.where(predicate).select(
-            F.col(doc_id_col).cast("long").alias("doc_id")
-        )
+        allowed = self._allowed_ids(corpus, predicate, doc_id_col)
         exact = self.filtered_search(
             query, corpus, predicate, top_k=pre_select_k,
             doc_id_col=doc_id_col,

@@ -288,14 +288,18 @@ def percolate(
         )
         out = m if out is None else out.unionByName(m)
 
-    if out is None:
-        return spark.createDataFrame([], "query_id string, doc_id long")
     if filters:
+        # validate BEFORE the empty-registry early return: a filters
+        # dict naming unregistered query ids is a misconfiguration
+        # whether or not any queries matched (or were registered)
         unknown = sorted(set(filters) - set(queries))
         if unknown:
             raise ValueError(
                 f"percolate: filters for unregistered query ids {unknown}"
             )
+    if out is None:
+        return spark.createDataFrame([], "query_id string, doc_id long")
+    if filters:
         # group query ids by identical predicate text: each distinct
         # predicate scans the batch once (row-local), tagging its ids
         by_pred: dict[str, list[str]] = {}
@@ -311,9 +315,20 @@ def percolate(
             )
             adm = a if adm is None else adm.unionByName(a)
         f_ids = sorted(filters)
-        out = out.where(~F.col("query_id").isin(f_ids)).unionByName(
-            out.where(F.col("query_id").isin(f_ids)).join(
-                adm, ["query_id", "doc_id"], "left_semi"
+        # ONE pass over the match pipeline: a flagged left join (adm is
+        # unique per (query_id, doc_id) — qids partition across
+        # predicate groups and the operator already assumes unique batch
+        # doc_ids, like the negation-reach left join above). The earlier
+        # where(¬filtered) ∪ where(filtered).semi-join shape evaluated
+        # the whole match DAG twice per micro-batch — the per-phrase
+        # join chains and per-mixed-query aggregations get no
+        # ReusedExchange, so match work doubled on the ingest hot path.
+        adm = adm.withColumn("_adm", F.lit(True))
+        out = (
+            out.join(adm, ["query_id", "doc_id"], "left")
+            .where(
+                (~F.col("query_id").isin(f_ids)) | F.col("_adm").isNotNull()
             )
+            .drop("_adm")
         )
     return out

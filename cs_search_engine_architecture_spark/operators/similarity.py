@@ -856,6 +856,14 @@ def mmr_rerank(
         candidates = brute_force_topk(
             emb, qvec, candidate_k, id_col, vec_col, predicate
         )
+    elif predicate is not None:
+        # predicate= parameterizes the DEFAULT candidate generator only;
+        # silently ignoring it with a caller-supplied frame would serve
+        # unfiltered picks — fail loudly instead
+        raise ValueError(
+            "mmr_rerank: predicate= applies to the default candidate "
+            "generation only; pre-filter the supplied candidates frame"
+        )
     rows = (
         candidates.select("id", "cos")
         .join(

@@ -480,17 +480,37 @@ def _run_query(eng, emb, mode, query, low, top_k, filt, cursor, ltr_on,
         if paged and rows:
             cursor = (rows[-1]["score"], rows[-1]["doc_id"])
     elif mode == "semantic":
+        emb_q = emb
+        if filt is not None:
+            # the active filter is a CORPUS predicate; restrict the
+            # embeddings to the admitted ids BEFORE the top-k (the
+            # filter-context convention — semantic_search's own
+            # predicate= evaluates over embedding-table columns, which
+            # don't carry the corpus metadata)
+            from pyspark.sql import functions as F
+
+            emb_q = emb.join(
+                eng._allowed_ids(corpus, filt).select(
+                    F.col("doc_id").alias("vec_id")
+                ),
+                "vec_id",
+                "left_semi",
+            )
         if mmr_lam is not None:
             rows = eng.semantic_search_mmr(
-                emb, _embed(query), top_k,
+                emb_q, _embed(query), top_k,
                 candidate_k=max(50, 5 * top_k), lam=mmr_lam,
             ).collect()
         else:
-            rows = eng.semantic_search(emb, _embed(query), top_k).collect()
+            rows = eng.semantic_search(emb_q, _embed(query), top_k).collect()
     else:
+        # corpus=/predicate= restrict BOTH hybrid arms (filter context);
+        # no-ops when no filter is active
         rows = eng.combined_search(
             query, emb, _embed(query), top_k,
             ltr_weights=args.ltr_weights if ltr_on else None,
+            corpus=corpus if filt is not None else None,
+            predicate=filt,
         ).collect()
     return rows, paged, cursor
 

@@ -476,6 +476,11 @@ def test_serve_repl_smoke(spark, tmp_path):
         # semantic mode + MMR diversification toggle (and its edges)
         "mode:semantic\nalpha beta\nmmr:0.5\nalpha beta\n"
         "mmr:2.0\nmmr:notanumber\nmmr:off\nmode:exact\n"
+        # filter active across SEMANTIC / MMR / COMBINED modes: every
+        # row in this tail section must be the single admitted doc
+        "filter:doc_id = 5\nmode:semantic\nalpha beta\nmmr:0.5\n"
+        "alpha beta\nmmr:off\nmode:combined\nalpha beta\n"
+        "mode:exact\nfilter:off\n"
         "exit\n"
     )
     from cs_search_engine_architecture_spark.operators.text_analysis import (
@@ -498,6 +503,17 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert '"tombstones": 0' in proc.stdout
     assert "- refreshed" in proc.stdout
     assert 'usage: syn:{"term": ["alt", ...]} <query>' in proc.stdout
+    # the filtered tail: semantic, MMR, and combined pages under
+    # 'filter:doc_id = 5' may only surface doc 5 (the REPL must pass
+    # the active filter to EVERY mode, not just exact). Hit lines print
+    # as '  #<id>  ...' but the piped prompt glues to the first row, so
+    # match the '#<id>' marker anywhere in the tail.
+    import re
+
+    tail = proc.stdout.split("- filter: doc_id = 5", 1)[1]
+    hits = re.findall(r"#(\d+)\b", tail)
+    assert hits and all(h == "5" for h in hits), hits
+    assert tail.count("- 1 rows in") >= 3  # semantic, mmr, combined
     assert "usage: rescore:<proximity phrase> :: <query>" in proc.stdout
     assert "stats[doc_id]: count=" in proc.stdout
     assert "- stats off" in proc.stdout
@@ -505,9 +521,12 @@ def test_serve_repl_smoke(spark, tmp_path):
     assert "#3" in proc.stdout  # mlt:1 surfaces another odd-gamma doc
     import re
 
+    # only the lang='en' ltr section — the doc_id=5 tail's combined
+    # mode also prints ltr_score rows (for odd doc 5, correctly)
     ltr_ids = [
         int(re.search(r"#(\d+)", ln).group(1))
-        for ln in proc.stdout.splitlines() if "ltr_score=" in ln
+        for ln in proc.stdout.split("- filter: doc_id = 5", 1)[0]
+        .splitlines() if "ltr_score=" in ln
     ]
     assert ltr_ids, "ltr+filter query produced no re-ranked rows"
     assert all(
