@@ -994,6 +994,25 @@ def test_percolate_per_query_filters(spark):
             filters={"nosuch": "lang = 'en'"},
         ).collect()
 
+    # misconfiguration fails fast even when the registry is empty (the
+    # empty-result early return must not skip validation)
+    with _pt.raises(ValueError, match="unregistered"):
+        percolate(
+            spark, {}, batch, analyzer="simple",
+            filters={"nosuch": "lang = 'en'"},
+        )
+
+    # negation-reach (query true on the EMPTY term set — candidates
+    # come from the whole-batch left join) composed with a filter
+    neg = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            spark, {"neg": "data or not spark"}, batch,
+            analyzer="simple", filters={"neg": "lang = 'fr'"},
+        ).collect()
+    }
+    assert neg == {("neg", 1), ("neg", 3)}
+
     # two queries sharing one predicate text: grouped evaluation, same
     # results as separate predicates
     both = {
