@@ -164,14 +164,10 @@ def fsck_index(
     num_buckets = int(meta.get("num_buckets", 1) or 1)
     span = meta.get("wand_shard_span")
 
-    # ---- per-tier block metadata scan ----
-    for name, d in tiers:
-        if not os.path.isdir(os.path.join(d, "blocks")):
-            # a delta tier already failed segment_dirs above; a BASE
-            # tier with no blocks dir is total postings loss
-            if name == "base":
-                add("segment_dirs", "base", "fail", "blocks dir missing")
-            continue
+    def _scan_tier(name: str, d: str) -> None:
+        """One tier's block-metadata (and optional deep) scan;
+        raises on torn/corrupt parquet — the caller turns that
+        into a failed ``tier_readable`` check."""
         blocks = _tier_blocks(spark, d)
         flags = blocks.select(
             "term",
@@ -282,6 +278,24 @@ def fsck_index(
                 gate(f"deep_{c}", name, not res[f"sum({c})"],
                      f"{res[f'sum({c})']} of {total} blocks")
 
+    # ---- per-tier block metadata scan ----
+    for name, d in tiers:
+        if not os.path.isdir(os.path.join(d, "blocks")):
+            # a delta tier already failed segment_dirs above; a BASE
+            # tier with no blocks dir is total postings loss
+            if name == "base":
+                add("segment_dirs", "base", "fail", "blocks dir missing")
+            continue
+        try:
+            _scan_tier(name, d)
+        except Exception as exc:
+            # a torn parquet file / unreadable shard is exactly the
+            # broken state fsck exists to DIAGNOSE — report it as a
+            # failed check and keep scanning the other tiers
+            add("tier_readable", name, "fail",
+                f"{type(exc).__name__}: "
+                f"{str(exc).splitlines()[0][:160]}")
+
     # ---- doc_lens (base) ----
     try:
         dl = spark.read.parquet(os.path.join(index_path, "doc_lens"))
@@ -310,19 +324,34 @@ def fsck_index(
                  f"{n_orphan} updated ids without a tombstone "
                  "(fail-closed broken: doc double-serves)")
         staged = None
+        unreadable = []
         for d in deltas:
-            part = spark.read.parquet(os.path.join(d, "corpus")).select(
-                F.col(meta.get("doc_id_col", "doc_id")).alias("doc_id")
-            )
+            try:
+                part = spark.read.parquet(
+                    os.path.join(d, "corpus")
+                ).select(
+                    F.col(meta.get("doc_id_col", "doc_id")).alias("doc_id")
+                )
+            except Exception as exc:
+                # a missing/torn delta corpus is a reportable broken
+                # state, not a crash; segment_dirs above already failed
+                # for a missing dir — record and scan the rest
+                unreadable.append(
+                    f"{os.path.basename(d)}: {type(exc).__name__}"
+                )
+                continue
             staged = part if staged is None else staged.unionByName(part)
+        if unreadable:
+            add("delta_corpus_readable", "base", "fail",
+                "; ".join(unreadable)[:200])
         if staged is None:
             gate("updated_staged_in_delta", "base", False,
-                 "updated_ids present but no delta segments")
+                 "updated_ids present but no readable delta segments")
         else:
-            n_lost = upd.join(staged, "doc_id", "left_semi").count()
+            n_staged = upd.join(staged, "doc_id", "left_semi").count()
             n_upd = upd.count()
-            gate("updated_staged_in_delta", "base", n_lost == n_upd,
-                 f"{n_upd - n_lost} updated ids have no staged delta "
+            gate("updated_staged_in_delta", "base", n_staged == n_upd,
+                 f"{n_upd - n_staged} updated ids have no staged delta "
                  "rows (lost update)")
 
     work = os.path.join(index_path, "work")

@@ -186,3 +186,35 @@ def test_fsck_holds_under_random_maintenance(spark, tmp_path):
     deep = fsck.fsck_index(spark, out, deep=True)
     assert deep["ok"], [c for c in deep["checks"]
                         if c["status"] != "ok"]
+
+
+def test_fsck_reports_torn_tiers_instead_of_crashing(spark, tmp_path):
+    """A torn/corrupt tier must become a FAILED CHECK, never an
+    exception: (a) garbage bytes in a base blocks parquet file fail
+    tier_readable; (b) a delta segment whose corpus dir was lost in a
+    partial copy fails segment_dirs + delta_corpus_readable while the
+    updated-ids invariants still evaluate over the readable segments."""
+    out = _build(spark, tmp_path)
+    indexer.update_docs(spark, out, _df(spark, [(0, "updated text zero")]))
+
+    # (b) lose one delta segment's corpus dir (keep blocks/doc_lens)
+    delta = sorted(glob.glob(os.path.join(out, "delta_*")))[0]
+    shutil.rmtree(os.path.join(delta, "corpus"))
+    report = fsck.fsck_index(spark, out)
+    assert not report["ok"]
+    tier = os.path.basename(delta)
+    assert _status(report, "segment_dirs", tier) == "fail"
+    assert _status(report, "delta_corpus_readable") == "fail"
+    # the staged-update gate still ran (no readable segment stages doc 0)
+    assert _status(report, "updated_staged_in_delta") == "fail"
+
+    # (a) torn base parquet: overwrite one blocks file with garbage
+    out2 = _build(spark, tmp_path, name="idx2")
+    victim = sorted(glob.glob(
+        os.path.join(out2, "blocks", "**", "*.parquet"), recursive=True
+    ))[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"not a parquet file")
+    report2 = fsck.fsck_index(spark, out2, deep=True)
+    assert not report2["ok"]
+    assert _status(report2, "tier_readable") == "fail"
