@@ -5,11 +5,17 @@ follow its parser/algebra (``plans/query_parser.py:38-199``). Coverage:
 the batchable subset (single term, flat OR with minimum_should_match,
 flat AND, flat AND-NOT, pure phrase — ``msearch.classify_query``'s
 classes) rides ONE shared broadcast-join aggregation; mixed-precedence
-TERM-ONLY boolean trees fall back to per-query presence evaluation of
-the AST over each doc's matched-term set (one bounded aggregation per
-query; pure-negation reach handled by a left join over the batch).
-Only a phrase nested inside a mixed tree raises, with guidance to
-register the flattened/rewritten form.
+TERM-ONLY boolean trees fall back to per-query evaluation of the
+compiler's lazy-NOT De Morgan algebra (``plans/compiler.py:160-215``)
+over each doc's matched-term set (one bounded aggregation per query),
+INCLUDING the top-level complement-flag discard quirk
+(``sea/engine.pyx:531-553``) — so a registered query fires on exactly
+the docs the engine's search would return. A corollary of the lazy
+algebra is that every match is a subset of the query's leaf-term
+posting union: a doc containing NONE of a query's terms can never
+match, so term-join candidates are complete. Only a phrase nested
+inside a mixed tree raises, with guidance to register the
+flattened/rewritten form.
 
 No index is consulted: matching is term presence (plus the phrase
 char-window over positions) computed from ONE on-the-fly tokenize pass
@@ -67,50 +73,89 @@ def _ast_leaf_terms(ast) -> tuple[set[str], bool]:
     return terms, has_phrase
 
 
-def _eval_presence_py(ast, present: frozenset) -> bool:
-    """Driver-side evaluation of the presence semantics for a given
-    term set — used to decide whether a mixed tree can match a doc
-    containing NONE of its leaf terms (pure-negation reach)."""
+def _lazy_eval_py(ast, present: frozenset) -> tuple[bool, bool]:
+    """Driver-side twin of ``_lazy_expr``: (matches, is_complement)
+    for one doc's matched-term set under the compiler's lazy-NOT
+    algebra (``plans/compiler.py:160-215``). Kept for registration-time
+    reasoning and tests — semantics MUST stay identical to the Column
+    form."""
     t = ast["type"]
     if t == "token":
-        return ast["value"] in present
+        return ast["value"] in present, False
     op = ast["operator"]
     if op == "not":
-        left = ast.get("left") or {}
-        if not left:
-            return not _eval_presence_py(ast["right"], present)
-        return _eval_presence_py(left, present) and not _eval_presence_py(
-            ast["right"], present
-        )
-    a = _eval_presence_py(ast["left"], present)
-    b = _eval_presence_py(ast["right"], present)
-    return (a and b) if op == "and" else (a or b)
+        # the parser's NOT is unary (left == {}, query_parser.py:124-130)
+        m, neg = _lazy_eval_py(ast["right"], present)
+        return m, not neg
+    l_, ln = _lazy_eval_py(ast["left"], present)
+    r_, rn = _lazy_eval_py(ast["right"], present)
+    if op == "and":
+        if not ln and not rn:
+            return l_ and r_, False
+        if ln and not rn:
+            return r_ and not l_, False
+        if not ln and rn:
+            return l_ and not r_, False
+        return l_ or r_, True
+    # op == "or"
+    if not ln and not rn:
+        return l_ or r_, False
+    if ln and not rn:
+        return l_ and not r_, True
+    if not ln and rn:
+        return r_ and not l_, True
+    return l_ and r_, True
 
 
-def _ast_presence_expr(ast):
-    """The AST as a boolean Column over a ``mt`` (matched-terms array)
-    column — presence evaluation of an arbitrary term-only boolean
-    tree. Valid because the parser's NOT algebra is subtraction
-    (plans/compiler.py's 8-case rewrite): set membership composes with
-    &, |, ~ exactly like the compiled join/anti-join plans."""
+def _eval_presence_py(ast, present: frozenset) -> bool:
+    """Whether the query matches a doc with this matched-term set —
+    top-level complement flag discarded exactly like
+    ``QueryCompiler.compile`` (the reference quirk)."""
+    return _lazy_eval_py(ast, present)[0]
+
+
+def _lazy_expr(ast) -> tuple["F.Column", bool]:
+    """The AST as (boolean Column over a ``mt`` matched-terms array,
+    is_complement flag) — the compiler's 8-case lazy-NOT De Morgan
+    algebra re-expressed over set membership instead of posting
+    frames: AND(+,-) -> l & ~r (left-anti), AND(-,-) -> l | r
+    flagged (De Morgan), OR(+,-) -> r & ~l flagged, OR(-,-) -> l & r
+    flagged. True negation (plain ``~``) never reaches the result:
+    complements stay lazy and the top level discards the flag, so a
+    surviving NOT yields its operand's matches — identical doc sets
+    to the compiled join/anti-join plans, quirk included."""
     t = ast["type"]
     if t == "token":
-        return F.array_contains("mt", ast["value"])
+        return F.array_contains("mt", ast["value"]), False
     if t == "operator":
         op = ast["operator"]
         if op == "not":
-            left = ast.get("left") or {}
-            if not left:
-                # unary NOT leaf inside the algebra: pure negation
-                return ~_ast_presence_expr(ast["right"])
-            return _ast_presence_expr(left) & ~_ast_presence_expr(
-                ast["right"]
-            )
-        l_, r_ = _ast_presence_expr(ast["left"]), _ast_presence_expr(
-            ast["right"]
-        )
-        return (l_ & r_) if op == "and" else (l_ | r_)
+            e, neg = _lazy_expr(ast["right"])
+            return e, not neg
+        l_, ln = _lazy_expr(ast["left"])
+        r_, rn = _lazy_expr(ast["right"])
+        if op == "and":
+            if not ln and not rn:
+                return l_ & r_, False
+            if ln and not rn:
+                return r_ & ~l_, False
+            if not ln and rn:
+                return l_ & ~r_, False
+            return l_ | r_, True
+        # op == "or"
+        if not ln and not rn:
+            return l_ | r_, False
+        if ln and not rn:
+            return l_ & ~r_, True
+        if not ln and rn:
+            return r_ & ~l_, True
+        return l_ & r_, True
     raise ValueError(f"unsupported AST node for presence eval: {t}")
+
+
+def _ast_presence_expr(ast) -> "F.Column":
+    """Match Column for a mixed tree, top-level flag discarded."""
+    return _lazy_expr(ast)[0]
 
 
 def compile_percolator(
@@ -254,11 +299,13 @@ def percolate(
         )
         out = m if out is None else out.unionByName(m)
 
-    # mixed-precedence term-only trees: per-query presence evaluation
-    # over the SAME tokenized frame — the matched-term set per doc is
-    # bounded by the query's leaf count, and the boolean Column is the
-    # AST verbatim (subtraction NOT algebra composes with set
-    # membership exactly like the compiled join/anti-join plans)
+    # mixed-precedence term-only trees: per-query evaluation of the
+    # lazy-NOT algebra over the SAME tokenized frame — the matched-term
+    # set per doc is bounded by the query's leaf count, and every match
+    # is a subset of the leaf-term posting union (the algebra only
+    # intersects/unions/subtracts positive sets and the top-level
+    # complement is discarded), so term-join candidates are complete:
+    # a doc containing none of the query's terms can never match
     for qid, ast, terms in mixed_plans:
         agg = (
             toks.where(F.col("term").isin(list(terms)))
@@ -266,23 +313,7 @@ def percolate(
             .groupBy("doc_id")
             .agg(F.collect_set("term").alias("mt"))
         )
-        if _eval_presence_py(ast, frozenset()):
-            # the query matches docs containing NONE of its terms
-            # (e.g. "a or not b") — every batch doc is a candidate
-            base = (
-                docs.select(F.col(doc_id_col).alias("doc_id"))
-                .join(agg, "doc_id", "left")
-                .withColumn(
-                    "mt",
-                    F.coalesce(
-                        F.col("mt"),
-                        F.expr("CAST(array() AS ARRAY<STRING>)"),
-                    ),
-                )
-            )
-        else:
-            base = agg
-        m = base.where(_ast_presence_expr(ast)).select(
+        m = agg.where(_ast_presence_expr(ast)).select(
             F.lit(qid).alias("query_id"),
             "doc_id",
         )
@@ -318,7 +349,7 @@ def percolate(
         # ONE pass over the match pipeline: a flagged left join (adm is
         # unique per (query_id, doc_id) — qids partition across
         # predicate groups and the operator already assumes unique batch
-        # doc_ids, like the negation-reach left join above). The earlier
+        # doc_ids). The earlier
         # where(¬filtered) ∪ where(filtered).semi-join shape evaluated
         # the whole match DAG twice per micro-batch — the per-phrase
         # join chains and per-mixed-query aggregations get no

@@ -53,9 +53,8 @@ def test_search_on_custom_id_index(custom_engine):
 def test_percolate_custom_id(spark, custom_engine):
     """Every percolate arm keys on tokenize_postings' literal doc_id
     output column, whatever the index's source id column is called —
-    term plans, the phrase window, and the mixed-tree presence arm
-    (including the empty-term-set negation reach that joins back to
-    the RAW batch frame, where the custom name must be aliased)."""
+    term plans, the phrase window, and the mixed-tree lazy-algebra
+    arm (including a NOT that survives to the top level)."""
     batch = spark.createDataFrame(
         [
             (7, "spark joins data"),
@@ -71,7 +70,7 @@ def test_percolate_custom_id(spark, custom_engine):
                 "t1": "spark",
                 "t2": "data and not slow",
                 "ph": '"window order"',
-                "mix": "spark or not scan",  # matches empty term sets
+                "mix": "spark or not scan",  # OR(+,-): scan \ spark
             },
             batch,
         ).collect()
@@ -80,8 +79,7 @@ def test_percolate_custom_id(spark, custom_engine):
         ("t1", 7),
         ("t2", 7),
         ("ph", 9),
-        ("mix", 7),  # has spark
-        ("mix", 9),  # has neither spark nor scan -> negation reach
+        ("mix", 8),  # scan without spark (lazy algebra, flag discarded)
     }
 
 

@@ -184,3 +184,57 @@ def test_msearch_property_random_batches(eng_oracle):
                 assert float(np.float32(gs)) == pytest.approx(ws, abs=1e-5), (
                     qid, qstr, gd,
                 )
+
+
+def test_percolate_property_random_trees(eng_oracle, spark):
+    """Randomized THREE-WAY differential for percolation: generated
+    nested boolean trees (depth ≤3, parenthesized mixed precedence,
+    unary NOT wrappers, AND NOT, repeated terms, unknown terms) plus
+    standalone phrases. For every query, (a) the Spark engine's scored
+    search and the pure-Python oracle must select the same doc set,
+    and (b) percolating the whole corpus must select exactly that set
+    — covering percolate's batchable arm, phrase arm, and mixed-tree
+    lazy-algebra arm (including NOTs that survive to the top level,
+    where the complement flag is discarded) with shapes the
+    fixed-query tests don't reach."""
+    import random
+
+    engine, oracle = eng_oracle
+    docs_df = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in DOCS],
+        "doc_id long, title string, body string",
+    )
+    rng = random.Random(20260817)
+    vocab = ["spark", "join", "merge", "hash", "shuffle", "planner",
+             "delta", "varint", "tokenizer", "sorted", "zzzmissing"]
+
+    def gen_expr(depth: int) -> str:
+        if depth == 0 or rng.random() < 0.3:
+            return rng.choice(vocab)
+        op = rng.choice([" and ", " or ", " and not "])
+        e = f"({gen_expr(depth - 1)}{op}{gen_expr(depth - 1)})"
+        if rng.random() < 0.15:
+            e = f"not {e}"
+        return e
+
+    def gen_query() -> str:
+        if rng.random() < 0.2:
+            n = rng.randint(2, 3)
+            return '"' + " ".join(
+                rng.choice(vocab[:-1]) for _ in range(n)
+            ) + '"'
+        return gen_expr(rng.randint(1, 3))
+
+    for _round in range(2):
+        batch = {f"q{i}": gen_query() for i in range(10)}
+        by_q: dict[str, set] = {}
+        for r in engine.percolate(batch, docs_df).collect():
+            by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+        for qid, qstr in batch.items():
+            eng_set = {
+                r["doc_id"]
+                for r in engine.search_df(qstr).select("doc_id").collect()
+            }
+            ora_set = {d for d, _ in oracle.search_all(qstr)}
+            assert eng_set == ora_set, (qid, qstr)
+            assert by_q.get(qid, set()) == eng_set, (qid, qstr)

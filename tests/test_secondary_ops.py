@@ -676,10 +676,11 @@ def test_percolate_plan_shapes(spark):
 
 
 def test_percolate_mixed_trees_and_phrase_rejection(spark):
-    """Mixed-precedence term-only trees percolate via presence
-    evaluation — including pure-negation reach (a query matching docs
-    with NONE of its terms); a phrase nested inside a mixed tree is
-    the one unsupported shape."""
+    """Mixed-precedence term-only trees percolate via the compiler's
+    lazy-NOT algebra — a NOT surviving to the top level yields its
+    operand's matches (the engine quirk: "spark or not data" fires on
+    data-docs minus spark-docs), never true negation; a phrase nested
+    inside a mixed tree is the one unsupported shape."""
     from cs_search_engine_architecture_spark.operators.percolate import (
         percolate,
     )
@@ -699,13 +700,13 @@ def test_percolate_mixed_trees_and_phrase_rejection(spark):
             {
                 "m1": "spark and (data or slow)",
                 "m2": "data and (slow or fast) not scan",
-                "m3": "spark or not data",  # matches term-free docs too
+                "m3": "spark or not data",  # OR(+,-): data \ spark
             },
             batch,
             analyzer="simple",
         ).collect()
     }
-    assert got == {("m1", 0), ("m2", 0), ("m3", 0), ("m3", 2)}
+    assert got == {("m1", 0), ("m2", 0), ("m3", 1)}
 
     with pytest.raises(ValueError, match="not percolatable"):
         percolate(
@@ -1002,16 +1003,17 @@ def test_percolate_per_query_filters(spark):
             filters={"nosuch": "lang = 'en'"},
         )
 
-    # negation-reach (query true on the EMPTY term set — candidates
-    # come from the whole-batch left join) composed with a filter
+    # a NOT surviving to the top level (lazy algebra: "data or not
+    # spark" = spark-docs minus data-docs, flag discarded — the
+    # engine quirk) composed with a filter
     neg = {
         (r["query_id"], r["doc_id"])
         for r in percolate(
             spark, {"neg": "data or not spark"}, batch,
-            analyzer="simple", filters={"neg": "lang = 'fr'"},
+            analyzer="simple", filters={"neg": "lang = 'en'"},
         ).collect()
     }
-    assert neg == {("neg", 1), ("neg", 3)}
+    assert neg == {("neg", 2)}
 
     # two queries sharing one predicate text: grouped evaluation, same
     # results as separate predicates

@@ -377,7 +377,7 @@ def test_percolate_stream_alerts(spark):
 
     # bad registration fails at construction, not in a batch (a phrase
     # nested inside a mixed tree is the one unsupported shape; plain
-    # mixed trees percolate via presence evaluation)
+    # mixed trees percolate via the compiler's lazy-NOT algebra)
     with pytest.raises(ValueError, match="not percolatable"):
         PercolateStream(
             spark, {"bad": '"a b" and c'}, os.path.join(base, "x"),
