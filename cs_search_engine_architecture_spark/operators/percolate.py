@@ -73,47 +73,6 @@ def _ast_leaf_terms(ast) -> tuple[set[str], bool]:
     return terms, has_phrase
 
 
-def _lazy_eval_py(ast, present: frozenset) -> tuple[bool, bool]:
-    """Driver-side twin of ``_lazy_expr``: (matches, is_complement)
-    for one doc's matched-term set under the compiler's lazy-NOT
-    algebra (``plans/compiler.py:160-215``). Kept for registration-time
-    reasoning and tests — semantics MUST stay identical to the Column
-    form."""
-    t = ast["type"]
-    if t == "token":
-        return ast["value"] in present, False
-    op = ast["operator"]
-    if op == "not":
-        # the parser's NOT is unary (left == {}, query_parser.py:124-130)
-        m, neg = _lazy_eval_py(ast["right"], present)
-        return m, not neg
-    l_, ln = _lazy_eval_py(ast["left"], present)
-    r_, rn = _lazy_eval_py(ast["right"], present)
-    if op == "and":
-        if not ln and not rn:
-            return l_ and r_, False
-        if ln and not rn:
-            return r_ and not l_, False
-        if not ln and rn:
-            return l_ and not r_, False
-        return l_ or r_, True
-    # op == "or"
-    if not ln and not rn:
-        return l_ or r_, False
-    if ln and not rn:
-        return l_ and not r_, True
-    if not ln and rn:
-        return r_ and not l_, True
-    return l_ and r_, True
-
-
-def _eval_presence_py(ast, present: frozenset) -> bool:
-    """Whether the query matches a doc with this matched-term set —
-    top-level complement flag discarded exactly like
-    ``QueryCompiler.compile`` (the reference quirk)."""
-    return _lazy_eval_py(ast, present)[0]
-
-
 def _lazy_expr(ast) -> tuple["F.Column", bool]:
     """The AST as (boolean Column over a ``mt`` matched-terms array,
     is_complement flag) — the compiler's 8-case lazy-NOT De Morgan
