@@ -18,7 +18,10 @@ from pyspark.sql.window import Window
 
 from cs_search_engine_architecture_spark.operators import indexer
 from cs_search_engine_architecture_spark.plans.compiler import QueryCompiler
-from cs_search_engine_architecture_spark.plans.query_parser import parse_query
+from cs_search_engine_architecture_spark.plans.query_parser import (
+    parse_query,
+    strip_top_not,
+)
 
 
 class SearchEngine:
@@ -209,7 +212,12 @@ class SearchEngine:
     ) -> DataFrame:
         if ltr_enabled:
             return self.search_ltr(query, top_k, pre_select_k, ltr_weights)
-        ast = parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        # top-level NOT is identity (the compiler discards the root
+        # complement flag) — strip it so routing sees the real shape
+        # and "not spark" rides the same fast path as "spark"
+        ast = strip_top_not(
+            parse_query(query, analyzer=self.meta.get("analyzer", "reference"))
+        )
         upd = self.updated_ids is not None
         # Tombstones + fast paths: deleting T docs can promote at most T
         # docs into the top-k, so the top-(k+T) of the UNMASKED ranking

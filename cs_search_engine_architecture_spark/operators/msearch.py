@@ -54,6 +54,9 @@ from cs_search_engine_architecture_spark.operators.compression import (
     decode_scores,
     varint_decode,
 )
+from cs_search_engine_architecture_spark.plans.query_parser import (
+    strip_top_not,
+)
 
 _DECODE_SCHEMA = "term string, doc_id long, score double"
 
@@ -335,7 +338,11 @@ def classify_query(ast) -> tuple | None:
     """(mode, terms) when the query is batchable: "or"/"and" for the
     join form, "phrase" for a pure phrase (``phrase_batched_topk``),
     ("and_not", pos_terms, neg_terms) for flat AND-NOT trees; None for
-    mixed precedence (compiled-plan fallback)."""
+    mixed precedence (compiled-plan fallback). Top-level unary-NOT
+    wrappers are stripped first — the compiler discards the root
+    complement flag, so ``not X`` classifies (and scores) exactly as
+    ``X``."""
+    ast = strip_top_not(ast)
     if ast is None:
         return None
     if ast["type"] == "token":

@@ -203,3 +203,19 @@ def parse_query(query: str, analyzer: str = "reference") -> Optional[dict]:
     """Tokenize (query mode: ``sea/engine.pyx:519-524``) then parse."""
     tokens, _ = tokenize(query, is_query=True, analyzer=analyzer)
     return parse_tokens(tokens)
+
+
+def strip_top_not(ast: Optional[dict]) -> Optional[dict]:
+    """Drop top-level unary-NOT wrappers — an exact identity: the
+    compiler evaluates the operand and DISCARDS the root complement
+    flag (``sea/engine.pyx:531-553``), so ``not X`` matches and scores
+    exactly like ``X`` at the root. Routers/classifiers strip first so
+    ``not spark`` rides the single-term/WAND/batched fast paths
+    instead of falling back to the join plan."""
+    while (
+        ast is not None
+        and ast.get("type") == "operator"
+        and ast.get("operator") == "not"
+    ):
+        ast = ast["right"]
+    return ast

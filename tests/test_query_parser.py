@@ -88,3 +88,48 @@ def test_stopwords_stay_operators_in_query_mode():
     # 'the' is a stopword even in query mode -> dropped before parsing
     assert parse_tokens(["the"]) == {"type": "token", "value": "the"}
     assert parse_query("the apple") == APPL
+
+
+def test_strip_top_not_identity():
+    """Top-level unary-NOT chains are identity at the root (the
+    compiler discards the final complement flag): strip_top_not
+    unwraps them — and ONLY them — so routers/classifiers see the
+    operand's real shape."""
+    from cs_search_engine_architecture_spark.plans.query_parser import (
+        parse_query,
+        strip_top_not,
+    )
+
+    assert strip_top_not(None) is None
+    assert strip_top_not(parse_query("not spark")) == parse_query("spark")
+    assert strip_top_not(parse_query("not not spark")) == parse_query(
+        "spark"
+    )
+    assert strip_top_not(parse_query("not (spark or data)")) == parse_query(
+        "spark or data"
+    )
+    # inner NOTs are load-bearing (subtraction positions): untouched
+    inner = parse_query("spark and not data")
+    assert strip_top_not(inner) == inner
+
+
+def test_classify_query_strips_top_not():
+    """"not X" must classify (and so batch/percolate) exactly as X."""
+    from cs_search_engine_architecture_spark.operators.msearch import (
+        classify_query,
+    )
+    from cs_search_engine_architecture_spark.plans.query_parser import (
+        parse_query,
+    )
+
+    assert classify_query(parse_query("not spark")) == ("or", ["spark"])
+    assert classify_query(parse_query("not (spark or data)")) == (
+        "or",
+        ["spark", "data"],
+    )
+    assert classify_query(parse_query('not "spark data"')) == (
+        "phrase",
+        ["spark", "data"],
+    )
+    # a NOT below the root still disqualifies flat classification
+    assert classify_query(parse_query("spark or not data")) is None

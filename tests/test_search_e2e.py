@@ -238,3 +238,24 @@ def test_percolate_property_random_trees(eng_oracle, spark):
             ora_set = {d for d, _ in oracle.search_all(qstr)}
             assert eng_set == ora_set, (qid, qstr)
             assert by_q.get(qid, set()) == eng_set, (qid, qstr)
+
+
+def test_top_level_not_rides_fast_paths(eng_oracle):
+    """"not X" is identity at the root (complement flag discarded):
+    it must return X's exact rows AND take X's fast routing path
+    instead of the join fallback."""
+    engine, oracle = eng_oracle
+
+    plain = engine.search_collect("spark", top_k=5)
+    assert engine.last_strategy == "single_term_blockmax"
+    wrapped = engine.search_collect("not spark", top_k=5)
+    assert engine.last_strategy == "single_term_blockmax"
+    assert wrapped == plain
+    assert [d for d, _ in plain] == [
+        d for d, _ in oracle.search("not spark", top_k=5)
+    ]
+
+    a = engine.search_collect("not (spark or shuffle)", top_k=5)
+    s1 = engine.last_strategy
+    b = engine.search_collect("spark or shuffle", top_k=5)
+    assert (a, s1) == (b, engine.last_strategy)

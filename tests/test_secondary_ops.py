@@ -701,12 +701,14 @@ def test_percolate_mixed_trees_and_phrase_rejection(spark):
                 "m1": "spark and (data or slow)",
                 "m2": "data and (slow or fast) not scan",
                 "m3": "spark or not data",  # OR(+,-): data \ spark
+                # top-level NOT strips to a pure phrase: batched arm
+                "m4": 'not "slow data"',
             },
             batch,
             analyzer="simple",
         ).collect()
     }
-    assert got == {("m1", 0), ("m2", 0), ("m3", 1)}
+    assert got == {("m1", 0), ("m2", 0), ("m3", 1), ("m4", 1)}
 
     with pytest.raises(ValueError, match="not percolatable"):
         percolate(
