@@ -3,14 +3,17 @@ queries — the alerting/routing primitive (saved searches firing on new
 documents). The reference engine has no percolator; query semantics
 follow its parser/algebra (``plans/query_parser.py:38-199``). Coverage:
 the batchable subset (single term, flat OR with minimum_should_match,
-flat AND, flat AND-NOT, pure phrase — ``msearch.classify_query``'s
-classes) rides ONE shared broadcast-join aggregation; mixed-precedence
-TERM-ONLY boolean trees fall back to per-query evaluation of the
-compiler's lazy-NOT De Morgan algebra (``plans/compiler.py:160-215``)
-over each doc's matched-term set (one bounded aggregation per query),
-INCLUDING the top-level complement-flag discard quirk
-(``sea/engine.pyx:531-553``) — so a registered query fires on exactly
-the docs the engine's search would return. A corollary of the lazy
+flat AND, flat AND-NOT — ``msearch.classify_query``'s classes) rides
+ONE shared broadcast-join aggregation; ALL pure phrases share ONE
+slot-tagged positional aggregation (the ``msearch.phrase_batched_topk``
+kernel shape); ALL mixed-precedence TERM-ONLY boolean trees share ONE
+matched-term-set aggregation, each query's compiled lazy-NOT De Morgan
+algebra (``plans/compiler.py:160-215``) evaluated as a boolean Column
+over the doc's term set, INCLUDING the top-level complement-flag
+discard quirk (``sea/engine.pyx:531-553``) — so a registered query
+fires on exactly the docs the engine's search would return, and the
+whole registry costs at most THREE aggregations per batch however
+many queries are registered. A corollary of the lazy
 algebra is that every match is a subset of the query's leaf-term
 posting union: a doc containing NONE of a query's terms can never
 match, so term-join candidates are complete. Only a phrase nested
@@ -122,11 +125,10 @@ def compile_percolator(
 ) -> tuple[list[tuple], list[tuple[str, list[str]]], list[tuple]]:
     """Parse + classify every registered query once (driver-side; the
     compiled form is what a long-lived alerting service would cache).
-    Returns (term_plans, phrase_plans, mixed_plans): batchable plans
-    ride the shared broadcast-join aggregation; mixed-precedence
-    TERM-ONLY trees fall back to per-query presence evaluation
-    (one bounded aggregation each); a phrase nested inside a mixed
-    tree raises (register the flattened form)."""
+    Returns (term_plans, phrase_plans, mixed_plans) — each class rides
+    its own SHARED aggregation (term presence / slot-tagged positional /
+    matched-term-set presence); a phrase nested inside a mixed tree
+    raises (register the flattened form)."""
     term_plans: list[tuple] = []
     phrase_plans: list[tuple[str, list[str]]] = []
     mixed_plans: list[tuple] = []  # (qid, ast, leaf_terms)
@@ -162,7 +164,12 @@ def phrase_match(
     phrase plan (``plans/compiler.py:48-72``), evaluated over on-the-fly
     token positions instead of decoded index postings. Single-parameter
     HOF lambdas only (a 2-parameter lambda is pyspark's
-    (element, index) form)."""
+    (element, index) form).
+
+    Differential target for ``percolate``'s batched phrase arm (the
+    scalar per-phrase join chain vs the shared slot-tagged
+    aggregation) — kept uncalled in production, pinned by
+    ``test_percolate_batched_phrases_match_scalar_chain``."""
     cur = toks.where(F.col("term") == values[0]).select(
         doc_id_col, "positions"
     )
@@ -251,31 +258,86 @@ def percolate(
             & (F.col("neg_hit") == 0)
         ).select("query_id", "doc_id")
 
-    for qid, values in phrase_plans:
-        m = phrase_match(toks, values).select(
-            F.lit(qid).alias("query_id"),
-            "doc_id",
+    if phrase_plans:
+        # ALL phrases from ONE slot-tagged aggregation (the
+        # msearch.phrase_batched_topk kernel shape, positions from the
+        # on-the-fly tokenize instead of decoded postings): per
+        # (query_id, doc_id) the slot-sorted position lists must cover
+        # every slot AND every consecutive slot pair must satisfy the
+        # reference char window ∃(p,q): 0 ≤ q−p ≤ PHRASE_K — exactly
+        # the compiled chain (each step checks the next term's FULL
+        # position list against the previous term's FULL list), so the
+        # chain is precisely this conjunction of pairwise tests,
+        # same-occurrence quirk for repeated phrase terms included
+        # (q−p = 0 passes). N registered phrases cost one shuffle, not
+        # N join chains per micro-batch.
+        rows = [
+            (qid, slot, term)
+            for qid, values in phrase_plans
+            for slot, term in enumerate(values)
+        ]
+        pmap = spark.createDataFrame(
+            rows, "query_id string, slot int, term string"
         )
+        nmap = spark.createDataFrame(
+            [(qid, len(values)) for qid, values in phrase_plans],
+            "query_id string, k int",
+        )
+        agg = (
+            toks.select("doc_id", "term", "positions")
+            .join(F.broadcast(pmap), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("slot", "positions"))
+                ).alias("sl")
+            )
+            .join(F.broadcast(nmap), "query_id")
+            .where(F.size("sl") == F.col("k"))
+        )
+        chain_ok = F.expr(
+            "CASE WHEN size(sl) < 2 THEN true ELSE "
+            "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc "
+            "AND exists(element_at(sl, CAST(i + 1 AS INT)).positions, "
+            "q -> exists(element_at(sl, CAST(i AS INT)).positions, p -> "
+            f"q - p >= 0 AND q - p <= {PHRASE_K}))) END"
+        )
+        m = agg.where(chain_ok).select("query_id", "doc_id")
         out = m if out is None else out.unionByName(m)
 
-    # mixed-precedence term-only trees: per-query evaluation of the
-    # lazy-NOT algebra over the SAME tokenized frame — the matched-term
-    # set per doc is bounded by the query's leaf count, and every match
-    # is a subset of the leaf-term posting union (the algebra only
-    # intersects/unions/subtracts positive sets and the top-level
-    # complement is discarded), so term-join candidates are complete:
-    # a doc containing none of the query's terms can never match
-    for qid, ast, terms in mixed_plans:
+    # mixed-precedence term-only trees: ALL queries evaluated over ONE
+    # matched-term-set aggregation — the lazy-NOT algebra becomes a
+    # per-query boolean Column over the doc's `mt` set, and a doc fires
+    # the exploded array of query ids whose expression holds. Exact on
+    # the shared (union-of-all-leaf-terms) candidate set: every
+    # expression depends only on its OWN terms' membership and, with
+    # the top-level flag discarded, evaluates false when none of them
+    # are present (the subset-of-leaf-union corollary), so docs
+    # admitted only by ANOTHER query's terms can never spuriously
+    # match. The matched-term set per doc is bounded by the combined
+    # leaf count; N registered trees cost one shuffle, not N
+    # aggregations per micro-batch. (A very large registry widens the
+    # projection, which may drop out of whole-stage codegen — still
+    # one pass, and correctness is unaffected.)
+    if mixed_plans:
+        all_terms = sorted({t for _, _, ts in mixed_plans for t in ts})
         agg = (
-            toks.where(F.col("term").isin(list(terms)))
+            toks.where(F.col("term").isin(all_terms))
             .select("doc_id", "term")
             .groupBy("doc_id")
             .agg(F.collect_set("term").alias("mt"))
         )
-        m = agg.where(_ast_presence_expr(ast)).select(
-            F.lit(qid).alias("query_id"),
-            "doc_id",
+        fired = F.array_compact(
+            F.array(
+                *[
+                    F.when(_ast_presence_expr(ast), F.lit(qid))
+                    for qid, ast, _ in mixed_plans
+                ]
+            )
         )
+        m = agg.select(
+            F.explode(fired).alias("query_id"), "doc_id"
+        ).select("query_id", "doc_id")
         out = m if out is None else out.unionByName(m)
 
     if filters:

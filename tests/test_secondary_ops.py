@@ -740,6 +740,59 @@ def test_engine_percolate_matches_full_search(spark, engine, docs):
         assert by_q.get(qid, set()) == want, qid
 
 
+def test_percolate_batched_phrases_match_scalar_chain(spark):
+    """The shared slot-tagged phrase aggregation == the scalar
+    per-phrase join chain (``phrase_match``, the compiled plan's
+    shape) for every registered phrase at once — repeated-term
+    phrases (same-occurrence quirk, q−p=0 passes) and 3-term chains
+    included."""
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        tokenize_postings,
+    )
+    from cs_search_engine_architecture_spark.operators.percolate import (
+        percolate,
+        phrase_match,
+    )
+    from cs_search_engine_architecture_spark.plans.query_parser import (
+        parse_query,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (0, "window order by key"),
+            (1, "order window data data"),
+            (2, "window groups then order appears far too late to fit"),
+            (3, "data data everywhere"),
+            (4, "window order window order"),
+            (5, "no relevant trigrams here"),
+            (6, "just one data token"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = {
+        "f1": '"window order"',
+        "f2": '"data data"',  # repeated term: same-occurrence quirk
+        "f3": '"window order by"',  # 3-term chain
+        "f4": '"order by key"',
+    }
+    got: dict[str, set] = {}
+    for r in percolate(spark, phrases, batch, analyzer="simple").collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+
+    toks = tokenize_postings(batch, ["text"], "doc_id", "simple")
+    for qid, qstr in phrases.items():
+        ast = parse_query(qstr, analyzer="simple")
+        assert ast["type"] == "phrase"
+        want = {
+            r["doc_id"]
+            for r in phrase_match(toks, list(ast["values"])).collect()
+        }
+        assert got.get(qid, set()) == want, (qid, qstr)
+    # the quirk is load-bearing in this fixture: "data data" fires on
+    # doc 6's SINGLE 'data' occurrence too (q-p=0 passes)
+    assert 6 in got["f2"] and 3 in got["f2"]
+
+
 def test_percentiles_agg_exact_rank(spark, engine, docs):
     """quantile_disc semantics pinned against a driver-side sort of the
     same match set: value = sorted(matched)[floor((n-1)*q)]."""
