@@ -307,6 +307,22 @@ def main() -> None:
     _pc.percolate(spark, perc_qs, docs, analyzer="simple").count()
     timings["percolate_200q"] = round(time.time() - t0, 3)
 
+    # 40 mixed-precedence boolean trees (the lazy-NOT presence arm) —
+    # ALL evaluated from ONE shared matched-term-set aggregation: cost
+    # is the tokenize pass + one shuffle, not 40 aggregations
+    mixed_qs = {}
+    for i in range(40):
+        a, b, c, d = (terms_pc[(i + j) % 16] for j in (0, 3, 7, 11))
+        mixed_qs[f"x{i}"] = [
+            f"{a} and ({b} or {c})",
+            f"{a} or not {b}",
+            f"{a} and ({b} or {c}) not {d}",
+            f"({a} or {b}) and ({c} or not {d})",
+        ][i % 4]
+    t0 = time.time()
+    _pc.percolate(spark, mixed_qs, docs, analyzer="simple").count()
+    timings["percolate_mixed40"] = round(time.time() - t0, 3)
+
     # span-level substring dedup (Lee et al. duplicate W-gram spans):
     # detection + keep-first removal over the whole fixture, one number
     # (the two stages share the ranked-occurrence frame's lineage)
