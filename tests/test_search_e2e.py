@@ -230,14 +230,32 @@ def test_percolate_property_random_trees(eng_oracle, spark):
         by_q: dict[str, set] = {}
         for r in engine.percolate(batch, docs_df).collect():
             by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+        # fourth leg: the same random batch through engine.msearch
+        # (batched arms + compiled fallbacks for mixed trees) — with
+        # top_k covering the whole corpus its per-query rows must be
+        # the full scored match set. Scores compare with an ulp
+        # tolerance: wide batched ORs sum in aggregation order, the
+        # compiled chain in tree order (CLAUDE.md: exact equality is
+        # only pinned for <=2-term batches).
+        ms_sets: dict[str, set] = {}
+        ms_scores: dict[tuple, float] = {}
+        for r in engine.msearch(batch, top_k=20).collect():
+            ms_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+            ms_scores[(r["query_id"], r["doc_id"])] = r["score"]
         for qid, qstr in batch.items():
-            eng_set = {
-                r["doc_id"]
-                for r in engine.search_df(qstr).select("doc_id").collect()
+            eng_rows = {
+                r["doc_id"]: r["score"]
+                for r in engine.search_df(qstr).collect()
             }
+            eng_set = set(eng_rows)
             ora_set = {d for d, _ in oracle.search_all(qstr)}
             assert eng_set == ora_set, (qid, qstr)
             assert by_q.get(qid, set()) == eng_set, (qid, qstr)
+            assert ms_sets.get(qid, set()) == eng_set, (qid, qstr)
+            for d in eng_set:
+                assert abs(ms_scores[(qid, d)] - eng_rows[d]) < 1e-9, (
+                    qid, qstr, d,
+                )
 
 
 def test_top_level_not_rides_fast_paths(eng_oracle):
