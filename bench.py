@@ -190,6 +190,25 @@ def main() -> None:
     eng.msearch(phrases8, top_k=10).collect()
     timings["q_msearch_phrase8"] = round(time.time() - t0, 3)
 
+    # batched mixed-precedence serving: 16 term-only boolean trees from
+    # ONE shared term->score map aggregation with the lazy-NOT algebra
+    # evaluated column-side (was: 16 per-query compiled join plans;
+    # interleaved A/B measured 7.7x — BENCH/BASELINE.md session-9)
+    mwords = ["data", "slow", "fast", "hash", "join", "index", "query",
+              "merge", "sort", "key", "value", "table", "row", "column"]
+    mixed16 = {}
+    for i in range(16):
+        a, b, c, d = (mwords[(i + j) % 14] for j in (0, 3, 7, 11))
+        mixed16[f"x{i}"] = [
+            f"{a} and ({b} or {c})",
+            f"{a} or not {b}",
+            f"{a} and ({b} or {c}) not {d}",
+            f"({a} or {b}) and ({c} or not {d})",
+        ][i % 4]
+    t0 = time.time()
+    eng.msearch(mixed16, top_k=10).collect()
+    timings["q_msearch_mixed16"] = round(time.time() - t0, 3)
+
     # serving under PENDING in-place updates: fast paths + batching stay
     # on (masked over-fetch ∪ delta resurrection arm) — compare
     # q_single_updated / q_msearch_batch16_updated against their

@@ -528,10 +528,14 @@ class SearchEngine:
         """Batched multi-query search: every query in ``queries``
         (query_id -> query string) answered in ONE Spark job.
 
-        Join-batchable queries (single token / flat OR / flat AND — see
-        ``operators/msearch.py``) share a single partition-pruned postings
-        scan; phrases, NOT, and mixed-precedence queries fall back to
-        their individual compiled plans, tagged and unioned in. Returns
+        Join-batchable queries (single token / flat OR / flat AND /
+        flat AND-NOT — see ``operators/msearch.py``) share a single
+        partition-pruned postings scan; ALL pure phrases share one
+        slot-tagged positional scan; ALL mixed-precedence TERM-ONLY
+        boolean trees share one term->score map aggregation evaluating
+        the compiler's lazy-NOT algebra column-side (bit-identical
+        scores); only phrase-bearing mixed trees fall back to their
+        individual compiled plans, tagged and unioned in. Returns
         ``(query_id, doc_id, score)``, at most ``top_k`` rows per query,
         with the standard (score desc, doc_id asc) per-query order. Scores
         are identical to per-query ``search`` — only the execution is
@@ -551,6 +555,7 @@ class SearchEngine:
         analyzer = self.meta.get("analyzer", "reference")
         batchable: list[tuple] = []
         phrases: list[tuple[str, list[str]]] = []
+        mixed: list[tuple] = []
         fallback: list[DataFrame] = []
         for qid, qstr in queries.items():
             ast = parse_query(qstr, analyzer=analyzer)
@@ -561,6 +566,12 @@ class SearchEngine:
                 # ("or"/"and", terms) or ("and_not", pos, neg) — pass
                 # the whole plan through to the shared-scan batcher
                 batchable.append((qid, *plan))
+            elif ast is not None and ms.term_only_tree(ast):
+                # mixed-precedence term-only tree: the 8-case lazy-NOT
+                # algebra evaluates per doc over a shared term->score
+                # map — bit-identical scores to the compiled plan,
+                # one scan for all such queries
+                mixed.append((qid, ast))
             else:
                 scored = self._scored(ast)
                 if allowed is not None:
@@ -611,6 +622,8 @@ class SearchEngine:
             parts.append(_serve(ms.batched_topk, batchable))
         if phrases:
             parts.append(_serve(ms.phrase_batched_topk, phrases))
+        if mixed:
+            parts.append(_serve(ms.mixed_batched_topk, mixed))
         parts.extend(fallback)
         if not parts:
             return self.spark.createDataFrame(

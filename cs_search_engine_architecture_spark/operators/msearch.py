@@ -276,6 +276,151 @@ def phrase_batched_topk(
     )
 
 
+def term_only_tree(ast) -> bool:
+    """True when every leaf is a plain token and every operator is
+    and/or/not — the mixed-precedence shape ``mixed_batched_topk``
+    serves from one shared scan (phrase/proximity leaves keep the
+    per-query compiled fallback)."""
+    if not ast:
+        return False
+    if ast["type"] == "token":
+        return True
+    if ast["type"] == "operator":
+        if ast["operator"] == "not":
+            return term_only_tree(ast["right"])
+        return term_only_tree(ast.get("left")) and term_only_tree(
+            ast.get("right")
+        )
+    return False
+
+
+def _tree_tokens(ast) -> set[str]:
+    """All token leaves of a term-only tree (unary-NOT nodes carry a
+    falsy ``left: {}`` placeholder — skipped)."""
+    if ast["type"] == "token":
+        return {ast["value"]}
+    out = set()
+    if ast.get("left"):
+        out |= _tree_tokens(ast["left"])
+    out |= _tree_tokens(ast["right"])
+    return out
+
+
+def _mixed_scored_exprs(ast) -> tuple:
+    """(present Column, score Column, is_complement) over a per-doc
+    ``m`` map column (term -> that doc's BM25 term score) — the
+    compiler's 8-case lazy-NOT algebra (``plans/compiler.py:160-215``)
+    with the JOIN SCORE ARITHMETIC mirrored bit-for-bit: inner join ->
+    l + r in that order; full-outer union -> (l present ? l : 0.0) +
+    (r present ? r : 0.0) (identical IEEE ops to the compiled
+    coalesce(l,0)+coalesce(r,0)); anti-join -> the surviving side's
+    score untouched. ``present`` implies ``score`` is non-null, by
+    induction. Because the whole algebra is doc-POINTWISE (every
+    compiled join keys on doc_id alone), evaluating it per doc over
+    the term->score map is exact."""
+    if ast["type"] == "token":
+        t = F.lit(ast["value"])
+        return (
+            F.map_contains_key(F.col("m"), t),
+            F.element_at(F.col("m"), t),
+            False,
+        )
+    op = ast["operator"]
+    if op == "not":
+        p, s, n = _mixed_scored_exprs(ast["right"])
+        return p, s, not n
+    lp, ls, ln = _mixed_scored_exprs(ast["left"])
+    rp, rs, rn = _mixed_scored_exprs(ast["right"])
+
+    def union_score():
+        return F.when(lp, ls).otherwise(F.lit(0.0)) + F.when(
+            rp, rs
+        ).otherwise(F.lit(0.0))
+
+    if op == "and":
+        if not ln and not rn:
+            return lp & rp, ls + rs, False
+        if ln and not rn:
+            return rp & ~lp, rs, False
+        if not ln and rn:
+            return lp & ~rp, ls, False
+        return lp | rp, union_score(), True
+    # op == "or"
+    if not ln and not rn:
+        return lp | rp, union_score(), False
+    if ln and not rn:
+        return lp & ~rp, ls, True
+    if not ln and rn:
+        return rp & ~lp, rs, True
+    return lp & rp, ls + rs, True
+
+
+def mixed_batched_topk(
+    spark: SparkSession,
+    blocks: DataFrame,
+    num_buckets: int,
+    plans: list[tuple[str, dict]],
+    top_k: int,
+    exclude: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Answer every mixed-precedence TERM-ONLY ``(query_id, ast)`` plan
+    from ONE shared pruned scan — the last per-query fallback class in
+    ``engine.msearch`` batched (phrase-bearing trees still compile
+    individually). Per doc, one aggregation builds the term->score map
+    over the union of all plans' leaf terms; each plan's 8-case
+    lazy-NOT algebra evaluates as a (present, score) Column pair with
+    the compiled join arithmetic mirrored exactly (top-level complement
+    flag discarded), so scores are BIT-IDENTICAL to the per-query
+    compiled plans — pinned by ``test_msearch_mixed_matches_compiled``.
+
+    ``exclude`` anti-joins the postings BEFORE the map aggregation
+    (doc-pointwise algebra: exclusion commutes) — this also guarantees
+    no duplicate map keys when ``blocks`` is the unified base+delta
+    frame under pending updates (every updated id is in the full
+    tombstone mask). ``allowed`` (filter context) semi-joins hits
+    BEFORE the per-query window cut. N plans cost one scan + one
+    shuffle + one window, never N compiled join trees."""
+    all_terms = sorted(
+        {t for _, ast in plans for t in _tree_tokens(ast)}
+    )
+    postings = multi_term_postings(blocks, all_terms, num_buckets)
+    if exclude is not None:
+        postings = postings.join(
+            F.broadcast(exclude), "doc_id", "left_anti"
+        )
+    agg = postings.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "score"))
+        ).alias("m")
+    )
+    structs = []
+    for qid, ast in plans:
+        present, score, _ = _mixed_scored_exprs(ast)
+        structs.append(
+            F.when(
+                present,
+                F.struct(
+                    F.lit(qid).alias("query_id"), score.alias("score")
+                ),
+            )
+        )
+    hits = agg.select(
+        "doc_id",
+        F.explode(F.array_compact(F.array(*structs))).alias("x"),
+    ).select("x.query_id", "doc_id", "x.score")
+    if allowed is not None:
+        hits = hits.join(allowed, "doc_id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
 def _flat_terms(ast, op: str) -> list[str] | None:
     """Leaf terms if ``ast`` is a pure tree of ``op`` over tokens
     (mirrors ``SearchEngine._flat_op_terms``); None otherwise."""

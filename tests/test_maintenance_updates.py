@@ -225,8 +225,14 @@ def test_random_update_sequences_match_rebuild(spark, tmp_path):
         ]
         assert fast == joined, f"term {term}: fast {fast} != join {joined}"
 
-    # msearch batching stays on under updates and matches per-query
+    # msearch batching stays on under updates and matches per-query —
+    # including the batched MIXED-TREE arm (shared term->score map over
+    # the unified frame, full-mask exclusion pre-aggregation, delta arm
+    # unioned by _serve), which must equal the compiled plans exactly
     queries = {f"q{i}": t for i, t in enumerate(vocab[:4])}
+    queries["mx1"] = f"{vocab[0]} and ({vocab[1]} or {vocab[2]})"
+    queries["mx2"] = f"{vocab[0]} or not {vocab[3]}"
+    queries["mx3"] = f"not {vocab[1]} and not {vocab[2]}"
     batched = {
         (r["query_id"], r["doc_id"], round(r["score"], 9))
         for r in eng.msearch(queries, top_k=20).collect()

@@ -71,7 +71,8 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
     frames = [
         eng.search("alpha", 5),
         eng.search("alpha and beta", 5),
-        eng.msearch({"a": "alpha", "b": "beta and not gamma"}, top_k=5),
+        eng.msearch({"a": "alpha", "b": "beta and not gamma",
+                     "d": "alpha and (beta or not gamma)"}, top_k=5),
         eng.prefix_search("alp*", top_k=5),
         eng.regexp_search("al.*", top_k=5),
         eng.boosted_search({"alpha": 2.0, "beta": 0.5}, top_k=5),
@@ -87,7 +88,8 @@ def test_no_quadratic_shapes_under_pending_updates(spark, tmp_path):
         # stay equi-joins at every hook point (msearch batchers,
         # expansion tail, fuzzy pre-limit, percolate per-query filters)
         eng.msearch(
-            {"a": "alpha", "b": "beta and not gamma", "c": '"alpha beta"'},
+            {"a": "alpha", "b": "beta and not gamma", "c": '"alpha beta"',
+             "d": "alpha and (beta or not gamma)"},
             top_k=5, corpus=corpus, predicate="doc_id % 2 = 0",
         ),
         eng.filtered_search("alpha", corpus, "doc_id % 2 = 0", 5),

@@ -258,6 +258,32 @@ def test_percolate_property_random_trees(eng_oracle, spark):
                 )
 
 
+def test_msearch_mixed_matches_compiled(eng_oracle):
+    """Mixed-precedence term-only trees in msearch ride ONE shared
+    term->score map aggregation whose 8-case lazy-NOT score arithmetic
+    mirrors the compiled joins bit-for-bit — scores must be EXACTLY
+    equal (==, no tolerance), unlike wide batched ORs where only the
+    addition order differs."""
+    engine, _ = eng_oracle
+    queries = {
+        "m1": "spark and (join or shuffle)",
+        "m2": "spark or not join",  # OR(+,-): join-docs minus spark
+        "m3": "(spark or join) and not (merge or hash)",
+        "m4": "not spark and not join",  # AND(-,-): De Morgan union
+        "m5": "spark and (spark or join)",  # duplicate leaf: summed twice
+        "m6": "not (spark and (join or not merge))",  # top-level NOT
+    }
+    got = {}
+    for r in engine.msearch(queries, top_k=20).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for qid, qstr in queries.items():
+        want = {
+            r["doc_id"]: r["score"]
+            for r in engine.search_df(qstr).collect()
+        }
+        assert got.get(qid, {}) == want, (qid, qstr)  # exact, floats too
+
+
 def test_top_level_not_rides_fast_paths(eng_oracle):
     """"not X" is identity at the root (complement flag discarded):
     it must return X's exact rows AND take X's fast routing path

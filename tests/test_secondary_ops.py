@@ -930,7 +930,10 @@ def test_filtered_msearch_matches_filtered_search(spark, tmp_path):
         "q_or": "alpha or gamma",
         "q_andnot": "alpha and not gamma",
         "q_phrase": '"alpha beta"',
+        # phrase inside a mixed tree: compiled per-query fallback
         "q_mixed": 'alpha and (gamma or "alpha beta") not delta',
+        # term-only mixed tree: the shared map-aggregation arm
+        "q_mixed_terms": "alpha and (gamma or delta) not filler0",
     }
     pred = "lang = 'en'"
 
