@@ -61,6 +61,23 @@ from cs_search_engine_architecture_spark.plans.query_parser import (
 _DECODE_SCHEMA = "term string, doc_id long, score double"
 
 
+def slot_chain_window_ok(k: int) -> "F.Column":
+    """Predicate over a slot-sorted struct array ``sl`` (elements
+    carrying ``.positions``): every CONSECUTIVE slot pair satisfies the
+    reference char window ∃(p,q): 0 ≤ q−p ≤ k — exactly the compiled
+    phrase chain's semantics (each join step checks the next term's
+    FULL position list against the previous term's FULL list). Shared
+    by ``phrase_batched_topk`` and ``percolate``'s batched phrase arm
+    so the window rule lives in ONE place."""
+    return F.expr(
+        "CASE WHEN size(sl) < 2 THEN true ELSE "
+        "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc AND "
+        "exists(element_at(sl, CAST(i + 1 AS INT)).positions, q -> "
+        "exists(element_at(sl, CAST(i AS INT)).positions, p -> "
+        f"q - p >= 0 AND q - p <= {int(k)}))) END"
+    )
+
+
 def _decode_keep_term(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         terms: list[np.ndarray] = []
@@ -250,13 +267,7 @@ def phrase_batched_topk(
         .join(F.broadcast(nmap), "query_id")
         .where(F.size("sl") == F.col("k"))
     )
-    chain_ok = F.expr(
-        "CASE WHEN size(sl) < 2 THEN true ELSE "
-        "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc AND "
-        "exists(element_at(sl, CAST(i + 1 AS INT)).positions, q -> "
-        "exists(element_at(sl, CAST(i AS INT)).positions, p -> "
-        f"q - p >= 0 AND q - p <= {PHRASE_K}))) END"
-    )
+    chain_ok = slot_chain_window_ok(PHRASE_K)
     score = F.expr(
         "aggregate(transform(sl, x -> x.score), CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)"
@@ -380,7 +391,17 @@ def mixed_batched_topk(
     frame under pending updates (every updated id is in the full
     tombstone mask). ``allowed`` (filter context) semi-joins hits
     BEFORE the per-query window cut. N plans cost one scan + one
-    shuffle + one window, never N compiled join trees."""
+    shuffle + one window, never N compiled join trees.
+
+    Caveats: (a) a duplicate (doc_id, term) posting pair that survives
+    exclusion — only possible by MISUSE (add_docs of an id that already
+    exists in base, instead of update_docs) — makes map_from_entries
+    raise DUPLICATED_MAP_KEY and fail the batch loudly, where the
+    other arms would silently double-score that doc; failing loud on a
+    corrupt tier is deliberate. (b) a very large mixed batch widens the
+    single (present, score) projection past whole-stage codegen's JIT
+    limit and falls back to interpreted — still one pass, correctness
+    unaffected (same caveat as percolate's mixed arm)."""
     all_terms = sorted(
         {t for _, ast in plans for t in _tree_tokens(ast)}
     )

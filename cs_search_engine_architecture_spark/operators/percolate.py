@@ -21,10 +21,11 @@ inside a mixed tree raises, with guidance to register the
 flattened/rewritten form.
 
 No index is consulted: matching is term presence (plus the phrase
-char-window over positions) computed from ONE on-the-fly tokenize pass
-over the batch, so percolation runs at ingest time, before or without
-indexing — and BM25 stats never enter (filter-context discipline:
-matches are selected, never scored).
+char-window over positions) computed from an on-the-fly tokenize of
+the batch (re-run per consuming arm — row-local, measured cheaper
+than caching; see the note in ``percolate``), so percolation runs at
+ingest time, before or without indexing — and BM25 stats never enter
+(filter-context discipline: matches are selected, never scored).
 
 100 TB shape: the registered-query term map broadcasts (queries are
 small relative to data); the tokenized batch is the only distributed
@@ -220,6 +221,14 @@ def percolate(
     # tokenize_postings reads `doc_id_col` from the source but always
     # emits the id as a literal `doc_id` column — everything below keys
     # on that name, whatever the caller's id column was called.
+    # NB: the arms are independent aggregations over `toks` with no
+    # common exchange, so each re-runs the row-local tokenize (the
+    # no-ReusedExchange lineage behavior CLAUDE.md documents for
+    # remove_duplicate_spans). Measured: caching toks is worth only
+    # 1.02x at 120k docs x 3 arms (interleaved in-JVM A/B — the arm
+    # shuffles dominate and the pass is row-local), while persisting
+    # an unbounded ingest batch's token frame risks spill at scale —
+    # so no cache, deliberately.
     out: DataFrame | None = None
 
     if term_plans:
@@ -295,14 +304,13 @@ def percolate(
             .join(F.broadcast(nmap), "query_id")
             .where(F.size("sl") == F.col("k"))
         )
-        chain_ok = F.expr(
-            "CASE WHEN size(sl) < 2 THEN true ELSE "
-            "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc "
-            "AND exists(element_at(sl, CAST(i + 1 AS INT)).positions, "
-            "q -> exists(element_at(sl, CAST(i AS INT)).positions, p -> "
-            f"q - p >= 0 AND q - p <= {PHRASE_K}))) END"
+        from cs_search_engine_architecture_spark.operators.msearch import (
+            slot_chain_window_ok,
         )
-        m = agg.where(chain_ok).select("query_id", "doc_id")
+
+        m = agg.where(slot_chain_window_ok(PHRASE_K)).select(
+            "query_id", "doc_id"
+        )
         out = m if out is None else out.unionByName(m)
 
     # mixed-precedence term-only trees: ALL queries evaluated over ONE
