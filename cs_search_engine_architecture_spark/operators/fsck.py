@@ -39,6 +39,11 @@ Maintenance state:
   * crash residue: uncommitted work/merge_tmp_segment, a pending
     merge_commit marker, or .compact_tmp/.compact_trash siblings are
     reported as WARN (recovery handles them; fsck names them).
+  * cross-tier doc residency: a postings-bearing doc_id in base AND a
+    delta tier must be in updated_ids (else: double-serve, or a lost
+    re-add if tombstoned — plain add_docs of an existing id is the
+    misuse class); no doc_id may be staged in TWO delta segments
+    (re-update retires the stale version first).
 
 Deep (``--deep`` — decodes every block's bytes, the expensive pass):
   * varint/delta doc_ids decode to exactly `count` strictly-increasing
@@ -353,6 +358,64 @@ def fsck_index(
             gate("updated_staged_in_delta", "base", n_staged == n_upd,
                  f"{n_upd - n_staged} updated ids have no staged delta "
                  "rows (lost update)")
+
+    # ---- cross-tier doc residency ----
+    # A postings-bearing doc_id may live in at most ONE tier, except a
+    # pending in-place update (base + exactly one delta version, id in
+    # updated_ids). Anything else either double-serves (plain add_docs
+    # of an id that already exists — the misuse class that also fails
+    # the batched term->score map arms loudly) or, if tombstoned, is a
+    # silently lost re-add (the standing tombstone masks the new delta
+    # rows too; resurrect via update_docs instead). Residency is read
+    # from each tier's doc_lens (zero-posting docs have no row and no
+    # double-serve risk).
+    if deltas:
+        try:
+            seg_ids = None
+            for d in deltas:
+                part = (
+                    spark.read.parquet(os.path.join(d, "doc_lens"))
+                    .select("doc_id")
+                    .withColumn("seg", F.lit(os.path.basename(d)))
+                )
+                seg_ids = (
+                    part if seg_ids is None else seg_ids.unionByName(part)
+                )
+            n_multi = (
+                seg_ids.groupBy("doc_id")
+                .agg(F.countDistinct("seg").alias("n"))
+                .where("n > 1")
+                .count()
+            )
+            gate(
+                "delta_dup_residency", "base", n_multi == 0,
+                f"{n_multi} doc ids staged in more than one delta "
+                "segment (stale version not retired; if merge residue "
+                "is present, run maintenance recovery first)",
+            )
+            try:
+                base_ids = spark.read.parquet(
+                    os.path.join(index_path, "doc_lens")
+                ).select("doc_id")
+                both = base_ids.join(
+                    seg_ids.select("doc_id").distinct(),
+                    "doc_id", "left_semi",
+                )
+                if upd is not None:
+                    both = both.join(upd, "doc_id", "left_anti")
+                n_both = both.count()
+                gate(
+                    "cross_tier_residency", "base", n_both == 0,
+                    f"{n_both} doc ids resident in base AND a delta "
+                    "tier outside updated_ids (double-serve, or a "
+                    "lost re-add if tombstoned)",
+                )
+            except Exception as exc:
+                add("cross_tier_residency", "base", "fail",
+                    f"unreadable base doc_lens: {type(exc).__name__}")
+        except Exception as exc:
+            add("delta_dup_residency", "base", "fail",
+                f"unreadable delta doc_lens: {type(exc).__name__}")
 
     work = os.path.join(index_path, "work")
     if os.path.isdir(os.path.join(work, "merge_tmp_segment")):

@@ -74,6 +74,55 @@ def test_fsck_clean_under_maintenance_state(spark, tmp_path):
     assert any(t.startswith("delta_") for t in tiers)
 
 
+def test_fsck_detects_cross_tier_residency(spark, tmp_path):
+    """A doc_id resident in two tiers outside the update protocol is
+    a double-serve; one id staged in two delta segments is a
+    stale-version leak. add_docs validates against both at the API, so
+    the states only arise from on-disk corruption — seeded here by
+    rewriting/cloning tier files directly, which is exactly what fsck
+    exists to diagnose."""
+    from pyspark.sql import functions as F
+
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "a fresh added doc")]))
+    delta = indexer._delta_dirs(out)[0]
+
+    # corruption 1: the delta doc_lens claims base-resident id 3
+    dl_dir = os.path.join(delta, "doc_lens")
+    dl = spark.read.parquet(dl_dir).collect()
+    fixed = spark.createDataFrame(
+        [tuple(3 if f == "doc_id" else r[f] for f in r.asDict())
+         for r in dl],
+        spark.read.parquet(dl_dir).schema,
+    )
+    shutil.rmtree(dl_dir)
+    fixed.write.parquet(dl_dir)
+    report = fsck.fsck_index(spark, out)
+    assert not report["ok"]
+    assert _status(report, "cross_tier_residency") == "fail"
+    assert _status(report, "delta_dup_residency") == "ok"
+
+    # corruption 2: a delta segment cloned into a second slot (the
+    # same ids staged twice)
+    out2 = _build(spark, tmp_path, name="idx2")
+    indexer.add_docs(spark, out2, _df(spark, [(200, "first add")]))
+    d0 = indexer._delta_dirs(out2)[0]
+    shutil.copytree(d0, os.path.join(out2, "delta_90009"))
+    report2 = fsck.fsck_index(spark, out2)
+    assert not report2["ok"]
+    assert _status(report2, "delta_dup_residency") == "fail"
+    assert _status(report2, "cross_tier_residency") == "ok"
+
+    # the LEGAL overlap (update_docs) stays green end to end
+    out3 = _build(spark, tmp_path, name="idx3")
+    indexer.update_docs(spark, out3, _df(spark, [(3, "proper update")]))
+    report3 = fsck.fsck_index(spark, out3)
+    assert report3["ok"], [c for c in report3["checks"]
+                           if c["status"] != "ok"]
+    assert _status(report3, "cross_tier_residency") == "ok"
+    assert _status(report3, "delta_dup_residency") == "ok"
+
+
 def test_fsck_detects_meta_postings_drift(spark, tmp_path):
     out = _build(spark, tmp_path)
     mp = os.path.join(out, "meta.json")
