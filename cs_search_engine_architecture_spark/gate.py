@@ -1866,13 +1866,17 @@ SELECT doc_id, score, substr(text, st2 + 1, en2 - st2) AS snippet FROM g6
 
 
 def q_msearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched multi-query search: four queries (single token, flat OR,
-    flat AND, and a NOT fallback) answered in ONE Spark job via the
-    shared-scan batch operator (``operators/msearch.py``). Scores are
-    per-query identical to ``search`` — the oracle replays the same BM25
-    algebra per query_id and ranks with the same tie-break. Batched gate
-    queries keep ≤2 distinct terms so the double-precision sum is
-    order-insensitive (a+b exact-rounded) on both sides."""
+    """Batched multi-query search: four join-batchable queries (single
+    token, flat OR, flat AND, flat AND-NOT) plus three MIXED-precedence
+    term-only trees (the shared term->score map arm, r5 s9: OR(+,-) ->
+    right minus left with the right side's score; AND(-,-) -> De Morgan
+    union with the coalesce sum; OR(-,+) -> left minus right) answered
+    in ONE Spark job via the shared-scan batch operators
+    (``operators/msearch.py``). Scores are per-query identical to
+    ``search`` — the oracle replays the same BM25 algebra per query_id
+    and ranks with the same tie-break. Batched gate queries keep ≤2
+    distinct terms so the double-precision sum is order-insensitive
+    (a+b exact-rounded) on both sides."""
     eng = gate_engine(spark, sf_dir)
     res = eng.msearch(
         {
@@ -1880,6 +1884,9 @@ def q_msearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m2": "spark or data",
             "m3": "data and slow",
             "m4": "data and not slow",
+            "mx1": "spark or not data",
+            "mx2": "not spark and not data",
+            "mx3": "not spark or data",
         },
         top_k=10,
     )
@@ -1921,7 +1928,20 @@ flt AS (SELECT query_id, doc_id, score_d FROM batched
 m4 AS (SELECT 'm4' AS query_id, s.doc_id, CAST(s.score AS DOUBLE) AS score_d
        FROM sc s WHERE s.term = 'data'
          AND s.doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'slow')),
-allq AS (SELECT * FROM flt UNION ALL SELECT * FROM m4),
+mx1 AS (SELECT 'mx1' AS query_id, s.doc_id,
+               CAST(s.score AS DOUBLE) AS score_d
+        FROM sc s WHERE s.term = 'data'
+          AND s.doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'spark')),
+mx2 AS (SELECT 'mx2' AS query_id, doc_id,
+               SUM(CAST(score AS DOUBLE)) AS score_d
+        FROM sc WHERE term IN ('spark', 'data') GROUP BY doc_id),
+mx3 AS (SELECT 'mx3' AS query_id, s.doc_id,
+               CAST(s.score AS DOUBLE) AS score_d
+        FROM sc s WHERE s.term = 'spark'
+          AND s.doc_id NOT IN (SELECT doc_id FROM sc WHERE term = 'data')),
+allq AS (SELECT * FROM flt UNION ALL SELECT * FROM m4
+         UNION ALL SELECT * FROM mx1 UNION ALL SELECT * FROM mx2
+         UNION ALL SELECT * FROM mx3),
 rk AS (SELECT query_id, doc_id, score_d,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY score_d DESC, doc_id ASC) AS rn
@@ -1939,7 +1959,9 @@ PERC_QUERIES = {
     "pc5": '"window order"',
     # mixed-precedence trees: the presence-evaluation fallback path
     "pc6": "spark and (data or slow)",
-    "pc7": "spark or not data",  # pure-negation reach: term-free docs match
+    # lazy-NOT algebra (top-level complement discarded): fires on
+    # data-docs minus spark-docs — same shape as msearch's mx1 arm
+    "pc7": "spark or not data",
 }
 
 
@@ -1987,12 +2009,9 @@ SELECT 'pc6', doc_id, 0.0 FROM bt GROUP BY doc_id
   HAVING bool_or(term = 'spark')
      AND (bool_or(term = 'data') OR bool_or(term = 'slow'))
 UNION ALL
-SELECT 'pc7', d.doc_id, 0.0
-  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0) d
-  WHERE EXISTS (SELECT 1 FROM bt
-                WHERE bt.doc_id = d.doc_id AND term = 'spark')
-     OR NOT EXISTS (SELECT 1 FROM bt
-                    WHERE bt.doc_id = d.doc_id AND term = 'data')
+SELECT 'pc7', doc_id, 0.0 FROM bt WHERE term = 'data'
+  AND doc_id NOT IN (SELECT doc_id FROM bt WHERE term = 'spark')
+  GROUP BY doc_id
 """
 
 
@@ -2000,9 +2019,9 @@ def q_msearch_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite batched-serving gate: the join-batchable msearch
     queries (single token / OR / AND / NOT-fallback), the batched
     pure-phrase queries, AND the percolate (reverse-search) arm in one
-    frame — three serving paths covered by one registry row
-    (50-row-snapshot consolidation; query ids are disjoint, m1-m4 vs
-    pa/pb vs pc1-pc7)."""
+    frame — four serving paths covered by one registry row
+    (50-row-snapshot consolidation; query ids are disjoint, m1-m4 +
+    mx1-mx3 (the batched mixed-tree arm) vs pa/pb vs pc1-pc7)."""
     return (
         q_msearch_topk(spark, sf_dir)
         .unionByName(q_msearch_phrase(spark, sf_dir))
