@@ -410,3 +410,51 @@ def md5_prefix60(dialect: str, col: str) -> str:
     (see its docstring); this inline form is for oracle SQL where the
     15× md5 doesn't matter."""
     return hex_prefix60(dialect, f"md5({col})")
+
+
+def ref_scan_window(xs: str, ys: str, k: int) -> str:
+    """The reference phrase constraint as ONE boolean SQL expression:
+    a single forward scan with two cursors over the AS-STORED position
+    lists (``sea/posting_list.pyx:23-44``), NOT an any-pair ∃ test.
+
+    Positions are stored field-concatenated with each field's offsets
+    relative to its OWN start (``sea/corpus.pyx:117-197``), so a term
+    occurring in more than one field has a NON-monotonic list — and the
+    reference's merge-style scan then has blind spots an exhaustive
+    ∃(p,q) search doesn't: it advances past pairs it never examines.
+    Parity requires replicating the scan verbatim (found by the
+    round-5 soak differential: title "sorted query salt" + body
+    "query ..." — ``"query sorted"`` must NOT match, the scan skips
+    the (body query@0, title sorted@0) pair). On monotonic lists the
+    scan is exhaustive, so single-field behavior — including every
+    DuckDB gate oracle's any-pair join — is unchanged.
+
+    Scan semantics mirrored exactly: d = ys[j] - xs[i]; match iff
+    0 ≤ d ≤ k (the reference's uint32 wrap of a negative d can never
+    land ≤ k for char offsets, so signed d ≥ 0 is equivalent);
+    otherwise advance i when xs[i] + k < ys[j], else j. Spark-side
+    only — no DuckDB twin, by the single-field argument above.
+
+    NB: lambda variable names are prefixed ``_rw`` so the fragment can
+    nest inside other higher-order functions (Spark forbids shadowed
+    lambda names)."""
+    step = (
+        "CASE "
+        f"WHEN _rwa.f OR _rwa.i > size({xs}) OR _rwa.j > size({ys}) "
+        "THEN _rwa "
+        f"WHEN element_at({ys}, _rwa.j) - element_at({xs}, _rwa.i) >= 0 "
+        f"AND element_at({ys}, _rwa.j) - element_at({xs}, _rwa.i) "
+        f"<= {int(k)} "
+        "THEN named_struct('i', _rwa.i, 'j', _rwa.j, 'f', true) "
+        f"WHEN element_at({xs}, _rwa.i) + {int(k)} "
+        f"< element_at({ys}, _rwa.j) "
+        "THEN named_struct('i', _rwa.i + 1, 'j', _rwa.j, 'f', false) "
+        "ELSE named_struct('i', _rwa.i, 'j', _rwa.j + 1, 'f', false) "
+        "END"
+    )
+    return (
+        f"CASE WHEN size({xs}) = 0 OR size({ys}) = 0 THEN false ELSE "
+        f"aggregate(sequence(1, size({xs}) + size({ys})), "
+        "named_struct('i', 1, 'j', 1, 'f', false), "
+        f"(_rwa, _rws) -> {step}, _rwa -> _rwa.f) END"
+    )

@@ -64,17 +64,26 @@ _DECODE_SCHEMA = "term string, doc_id long, score double"
 def slot_chain_window_ok(k: int) -> "F.Column":
     """Predicate over a slot-sorted struct array ``sl`` (elements
     carrying ``.positions``): every CONSECUTIVE slot pair satisfies the
-    reference char window ∃(p,q): 0 ≤ q−p ≤ k — exactly the compiled
-    phrase chain's semantics (each join step checks the next term's
-    FULL position list against the previous term's FULL list). Shared
-    by ``phrase_batched_topk`` and ``percolate``'s batched phrase arm
-    so the window rule lives in ONE place."""
+    reference char-window scan (``dialect.ref_scan_window`` — the
+    two-cursor forward pass of ``sea/posting_list.pyx:23-44``, with its
+    blind spots on multi-field non-monotonic lists) — exactly the
+    compiled phrase chain's semantics (each join step checks the next
+    term's FULL position list against the previous term's FULL list).
+    Shared by ``phrase_batched_topk`` and ``percolate``'s batched
+    phrase arm so the window rule lives in ONE place."""
+    from cs_search_engine_architecture_spark.functions.dialect import (
+        ref_scan_window,
+    )
+
+    pair_ok = ref_scan_window(
+        "element_at(sl, CAST(i AS INT)).positions",
+        "element_at(sl, CAST(i + 1 AS INT)).positions",
+        k,
+    )
     return F.expr(
         "CASE WHEN size(sl) < 2 THEN true ELSE "
-        "aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc AND "
-        "exists(element_at(sl, CAST(i + 1 AS INT)).positions, q -> "
-        "exists(element_at(sl, CAST(i AS INT)).positions, p -> "
-        f"q - p >= 0 AND q - p <= {int(k)}))) END"
+        f"aggregate(sequence(1, size(sl) - 1), true, (acc, i) -> acc AND "
+        f"({pair_ok})) END"
     )
 
 

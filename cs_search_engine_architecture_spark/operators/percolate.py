@@ -161,16 +161,21 @@ def phrase_match(
     toks: DataFrame, values: list[str], doc_id_col: str = "doc_id"
 ) -> DataFrame:
     """Docs where the phrase terms occur in order within the reference
-    char window — the SAME chained-pair predicate as the compiled
-    phrase plan (``plans/compiler.py:48-72``), evaluated over on-the-fly
-    token positions instead of decoded index postings. Single-parameter
-    HOF lambdas only (a 2-parameter lambda is pyspark's
-    (element, index) form).
+    char-window SCAN — the SAME chained-pair predicate as the compiled
+    phrase plan (``plans/compiler.py:48-72``; ``dialect.ref_scan_window``
+    mirrors ``sea/posting_list.pyx:23-44`` including its blind spots on
+    multi-field non-monotonic position lists), evaluated over on-the-fly
+    token positions instead of decoded index postings
+    (``tokenize_postings`` emits the same field-concatenated layout).
 
     Differential target for ``percolate``'s batched phrase arm (the
     scalar per-phrase join chain vs the shared slot-tagged
     aggregation) — kept uncalled in production, pinned by
     ``test_percolate_batched_phrases_match_scalar_chain``."""
+    from cs_search_engine_architecture_spark.functions.dialect import (
+        ref_scan_window,
+    )
+
     cur = toks.where(F.col("term") == values[0]).select(
         doc_id_col, "positions"
     )
@@ -178,13 +183,7 @@ def phrase_match(
         nxt = toks.where(F.col("term") == term).select(
             doc_id_col, F.col("positions").alias("_p2")
         )
-        window_ok = F.exists(
-            "_p2",
-            lambda q: F.exists(
-                "positions",
-                lambda p: (q - p >= 0) & (q - p <= PHRASE_K),
-            ),
-        )
+        window_ok = F.expr(ref_scan_window("positions", "_p2", PHRASE_K))
         cur = (
             cur.join(nxt, doc_id_col)
             .where(window_ok)

@@ -15,9 +15,12 @@ the parent picks the join type:
     OR (-,-) -> inner join, flag         (:494)
 
 Phrase leaves chain inner joins with the consecutive-term position-window
-predicate ∃(p,q): 0 ≤ q−p ≤ 10 expressed with higher-order array functions
-(JVM-side; exactly the two-pointer ``phrase_constraint`` semantics,
-``sea/posting_list.pyx:23-44``). The top-level is_not flag is discarded
+predicate expressed with higher-order array functions (JVM-side): the
+reference's two-cursor forward scan over the AS-STORED position lists
+(``dialect.ref_scan_window`` == ``sea/posting_list.pyx:23-44``), NOT an
+any-pair ∃(p,q) test — the scan has blind spots on the non-monotonic
+lists a term occurring in several fields produces, and parity includes
+them (round-5 soak find). The top-level is_not flag is discarded
 exactly as the reference does (``sea/engine.pyx:531-553``)."""
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cs_search_engine_architecture_spark.functions.dialect import (
+    ref_scan_window,
+)
 from cs_search_engine_architecture_spark.operators.decode import term_postings
 from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
 
@@ -53,12 +59,8 @@ class QueryCompiler:
                 .withColumnRenamed("score", "_s2")
                 .withColumnRenamed("positions", "_p2")
             )
-            window_ok = F.exists(
-                "_p2",
-                lambda q: F.exists(
-                    "positions",
-                    lambda p: (q - p >= 0) & (q - p <= PHRASE_K),
-                ),
+            window_ok = F.expr(
+                ref_scan_window("positions", "_p2", PHRASE_K)
             )
             cur = (
                 cur.join(nxt, "doc_id")
@@ -101,12 +103,8 @@ class QueryCompiler:
                     .withColumnRenamed("score", "_s2")
                     .withColumnRenamed("positions", "_p2")
                 )
-                window_ok = F.exists(
-                    "_p2",
-                    lambda q: F.exists(
-                        "positions",
-                        lambda p: (q - p >= 0) & (q - p <= slop),
-                    ),
+                window_ok = F.expr(
+                    ref_scan_window("positions", "_p2", slop)
                 )
                 cur = (
                     cur.join(nxt, "doc_id")

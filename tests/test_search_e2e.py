@@ -303,3 +303,58 @@ def test_top_level_not_rides_fast_paths(eng_oracle):
     s1 = engine.last_strategy
     b = engine.search_collect("spark or shuffle", top_k=5)
     assert (a, s1) == (b, engine.last_strategy)
+
+
+def test_phrase_scan_blind_spots_multi_field(spark, tmp_path):
+    """The reference phrase constraint is a two-cursor forward SCAN
+    over the as-stored position lists (sea/posting_list.pyx:23-44), not
+    an any-pair ∃ test. Positions are field-concatenated and
+    field-relative (sea/corpus.pyx:117-197), so a term in BOTH fields
+    has a non-monotonic list and the scan has blind spots — parity
+    includes them (round-5 soak find: the engine's old nested-exists
+    predicate over-matched). Pins both directions on a multi-field
+    index, engine vs the pure-Python oracle:
+
+    * doc 59: "query" stores [7, 0] (title@7, body@0), "sorted" [0] —
+      the scan starts at x=7, sees d=-7, advances past y and never
+      examines the (0, 0) pair: '"query sorted"' must NOT match;
+    * cross-field matches the scan DOES reach (sorted lists) and the
+      same-occurrence quirk for repeated terms must keep matching.
+    """
+    docs = [
+        (59, ["sorted query salt", "query merge merge hash join the"]),
+        (1, ["hash join", "the hash join beats merge join"]),
+        (2, ["title only sorted", "query starts the body here"]),
+    ]
+    out = str(tmp_path / "blindspot_idx")
+    corpus = spark.createDataFrame(
+        [(d, f[0], f[1]) for d, f in docs],
+        "doc_id long, title string, body string",
+    )
+    indexer.build_index(
+        spark, corpus, out, fields=["title", "body"], block_size=8,
+        num_buckets=4,
+    )
+    engine, oracle = SearchEngine(spark, out), OracleIndex(docs)
+
+    cases = {
+        '"query sorted"': [],         # blind spot: scan skips (0, 0)
+        '"query sorted sorted"': [],  # same, behind the repeat quirk
+        '"sorted query"': [59],       # in-field adjacency
+        '"sorted sorted"': [2, 59],   # same-occurrence quirk (d = 0)
+        '"the query"': [2, 59],       # cross-field match the scan reaches
+        '"query starts"': [2],        # plain body adjacency
+    }
+    for q, want in cases.items():
+        got = sorted(r["doc_id"] for r in engine.search_df(q).collect())
+        assert got == want, f"{q}: engine {got} != {want}"
+        assert want == sorted(d for d, _ in oracle.search_all(q)), q
+    # the batched phrase arm (slot_chain_window_ok) shares the scan
+    ms = engine.msearch(
+        {f"q{i}": q for i, q in enumerate(cases)}, top_k=10
+    ).collect()
+    by_q = {}
+    for r in ms:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    for i, (q, want) in enumerate(cases.items()):
+        assert sorted(by_q.get(f"q{i}", [])) == want, f"msearch {q}"
