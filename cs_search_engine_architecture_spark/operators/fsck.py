@@ -39,11 +39,16 @@ Maintenance state:
   * crash residue: uncommitted work/merge_tmp_segment, a pending
     merge_commit marker, or .compact_tmp/.compact_trash siblings are
     reported as WARN (recovery handles them; fsck names them).
-  * cross-tier doc residency: a postings-bearing doc_id in base AND a
-    delta tier must be in updated_ids (else: double-serve, or a lost
-    re-add if tombstoned — plain add_docs of an existing id is the
-    misuse class); no doc_id may be staged in TWO delta segments
-    (re-update retires the stale version first).
+  * cross-tier doc residency: a postings-bearing doc_id LIVE (not
+    tombstoned) in base AND a delta tier must be in updated_ids (else
+    it double-serves — FAIL). A TOMBSTONED base∩delta id outside
+    updated_ids is a WARN, not corruption: it is the normal residue of
+    update→delete (delete retires the id from updated_ids but the dead
+    delta rows stay staged until compaction), indistinguishable
+    on-disk from a fail-closed update crash or a lost re-add staged
+    with check_ids off — all three serve the id as deleted, and
+    compaction clears the rows. No doc_id may be staged in TWO delta
+    segments (re-update retires the stale version first).
 
 Deep (``--deep`` — decodes every block's bytes, the expensive pass):
   * varint/delta doc_ids decode to exactly `count` strictly-increasing
@@ -403,13 +408,28 @@ def fsck_index(
                 )
                 if upd is not None:
                     both = both.join(upd, "doc_id", "left_anti")
+                # tombstoned residue is LEGAL (update→delete, or a
+                # fail-closed update crash): every version is masked
+                # and compaction clears the rows — warn, don't fail.
+                # Only a LIVE base∩delta id double-serves.
+                n_dead = 0
+                if tomb is not None:
+                    n_dead = both.join(tomb, "doc_id", "left_semi").count()
+                    both = both.join(tomb, "doc_id", "left_anti")
                 n_both = both.count()
                 gate(
                     "cross_tier_residency", "base", n_both == 0,
-                    f"{n_both} doc ids resident in base AND a delta "
-                    "tier outside updated_ids (double-serve, or a "
-                    "lost re-add if tombstoned)",
+                    f"{n_both} LIVE doc ids resident in base AND a "
+                    "delta tier outside updated_ids (double-serve)",
                 )
+                if n_dead:
+                    add(
+                        "cross_tier_dead_residue", "base", "warn",
+                        f"{n_dead} tombstoned ids with residual delta "
+                        "rows (update→delete residue, a fail-closed "
+                        "update crash, or a re-add staged with "
+                        "check_ids off) — compaction clears them",
+                    )
             except Exception as exc:
                 add("cross_tier_residency", "base", "fail",
                     f"unreadable base doc_lens: {type(exc).__name__}")

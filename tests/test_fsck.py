@@ -267,3 +267,27 @@ def test_fsck_reports_torn_tiers_instead_of_crashing(spark, tmp_path):
     report2 = fsck.fsck_index(spark, out2, deep=True)
     assert not report2["ok"]
     assert _status(report2, "tier_readable") == "fail"
+
+
+def test_fsck_update_then_delete_residue_warns_not_fails(spark, tmp_path):
+    """update_docs(X) then delete_docs(X) retires X from updated_ids
+    but legitimately leaves its dead delta rows staged (tombstone masks
+    every version; compaction clears the rows). fsck must report the
+    residue as a WARN, never a failed check — found by the round-5
+    maintenance soak (seed 999 flagged a correctly-serving index). A
+    LIVE base∩delta id (no tombstone) stays a hard FAIL."""
+    out = _build(spark, tmp_path)
+    indexer.update_docs(spark, out, _df(spark, [(3, "fresh planner text")]))
+    indexer.delete_docs(spark, out, [3])
+    report = fsck.fsck_index(spark, out)
+    assert report["ok"], [c for c in report["checks"]
+                          if c["status"] == "fail"]
+    assert _status(report, "cross_tier_residency") == "ok"
+    assert _status(report, "cross_tier_dead_residue") == "warn"
+
+    # compaction clears the residue and the warn disappears
+    indexer.compact_in_place(spark, out)
+    report2 = fsck.fsck_index(spark, out)
+    assert report2["ok"]
+    assert not [c for c in report2["checks"]
+                if c["check"] == "cross_tier_dead_residue"]

@@ -22,10 +22,22 @@ through four legs per query:
 4. ``engine.percolate``          (presence algebra; skipped for
                                   phrase-inside-tree queries, which the
                                   operator correctly refuses)
+5. ``engine.search``             (the PRODUCTION router: block-max
+                                  single-term, sharded WAND, batched
+                                  AND/OR, compiled fallback — whatever
+                                  strategy it picks must return the
+                                  compiled plan's exact top-k; the
+                                  strategy histogram is printed so a
+                                  routing change that silently stops
+                                  exercising a kernel is visible)
+6. ``engine.filtered_search``    (filter context: under a random
+                                  admitting predicate the page must
+                                  equal the compiled match set filtered
+                                  then cut — scores untouched)
 
-Match sets must be identical across all legs; msearch scores must be
-within 1e-9 of the compiled plan's (exact equality is only pinned for
-<=2-term batches — see CLAUDE.md).
+Match sets must be identical across all legs; msearch/routed scores
+must be within 1e-9 of the compiled plan's (exact equality is only
+pinned for <=2-term batches — see CLAUDE.md).
 
 Usage:
     python tools/soak_differential.py [--rounds 20] [--batch 12]
@@ -133,6 +145,7 @@ def main() -> int:
 
     t0 = time.time()
     checked = 0
+    strategies: dict[str, int] = {}
     for rnd in range(args.rounds):
         batch: dict[str, str] = {}
         phrase_in_tree: set[str] = set()
@@ -181,6 +194,44 @@ def main() -> int:
                 print(f"MISMATCH percolate {qid} {qstr!r}: "
                       f"{sorted(by_perc.get(qid, set()) ^ eng_set)[:5]}")
                 return 1
+
+            # leg 5: the production router — its top-k must equal the
+            # compiled plan's (score desc, doc_id asc) cut exactly
+            want = sorted(
+                eng_rows.items(), key=lambda t: (-t[1], t[0])
+            )[:10]
+            routed = [
+                (r["doc_id"], r["score"])
+                for r in engine.search(qstr, 10).collect()
+            ]
+            strat = engine.last_strategy
+            strategies[strat] = strategies.get(strat, 0) + 1
+            if [d for d, _ in routed] != [d for d, _ in want] or any(
+                abs(a - b) >= 1e-9
+                for (_, a), (_, b) in zip(routed, want)
+            ):
+                print(f"MISMATCH routed[{strat}] {qid} {qstr!r}: "
+                      f"{routed} != {want}")
+                return 1
+
+            # leg 6: filter context — an admitting predicate must give
+            # the filtered compiled set, scores untouched
+            if rng.random() < 0.3:
+                mod = rng.randint(2, 4)
+                fwant = sorted(
+                    ((d, s) for d, s in eng_rows.items() if d % mod == 0),
+                    key=lambda t: (-t[1], t[0]),
+                )[:10]
+                fgot = [
+                    (r["doc_id"], r["score"])
+                    for r in engine.filtered_search(
+                        qstr, corpus, f"doc_id % {mod} = 0", top_k=10
+                    ).collect()
+                ]
+                if fgot != fwant:
+                    print(f"MISMATCH filtered {qid} {qstr!r} "
+                          f"mod={mod}: {fgot} != {fwant}")
+                    return 1
             checked += 1
         print(f"round {rnd + 1}/{args.rounds}: {checked} queries green",
               file=sys.stderr)
@@ -191,10 +242,14 @@ def main() -> int:
         "docs": args.docs,
         "rounds": args.rounds,
         "phrase_in_tree_queries": "search/msearch/oracle legs",
+        "router_strategies": strategies,
         "wall_s": round(time.time() - t0, 1),
         "seed": args.seed,
     }))
     spark.stop()
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     return 0
 
 
