@@ -38,7 +38,10 @@ Maintenance state:
     (the resurrection arm otherwise serves nothing — a lost update).
   * crash residue: uncommitted work/merge_tmp_segment, a pending
     merge_commit marker, or .compact_tmp/.compact_trash siblings are
-    reported as WARN (recovery handles them; fsck names them).
+    reported as WARN (recovery handles them; fsck names them); a delta
+    dir without its meta.json commit marker (torn mid-stage add/ingest,
+    invisible to serving, healed by replaying the batch) is a named
+    ``segment_uncommitted`` WARN.
   * cross-tier doc residency: a postings-bearing doc_id LIVE (not
     tombstoned) in base AND a delta tier must be in updated_ids (else
     it double-serves — FAIL). A TOMBSTONED base∩delta id outside
@@ -160,6 +163,21 @@ def fsck_index(
         add("manifest_json", "base", "warn", "missing")
 
     deltas = IX._delta_dirs(index_path)
+    # torn mid-stage segments (no meta.json commit marker): invisible
+    # to serving and slot counting — replaying the interrupted
+    # add_docs/ingest batch overwrites them in place. Name them here;
+    # their contents are not scannable state.
+    torn = [
+        d for d in IX._delta_dirs(index_path, include_uncommitted=True)
+        if d not in deltas
+    ]
+    for d in torn:
+        add(
+            "segment_uncommitted", os.path.basename(d), "warn",
+            "no meta.json commit marker (torn mid-stage crash; "
+            "invisible to serving — replay the add/ingest batch to "
+            "heal, or remove the dir)",
+        )
     tiers = [("base", index_path)] + [
         (os.path.basename(d), d) for d in deltas
     ]

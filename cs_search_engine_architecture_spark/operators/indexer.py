@@ -1443,15 +1443,32 @@ def _next_delta_segment(index_path: str) -> int:
     return nxt
 
 
-def _delta_dirs(index_path: str) -> list[str]:
-    """Ordered delta-segment dirs under the index (empty when none).
-    An in-flight rebuild's staging dir lives under ``work/`` and is
-    structurally invisible here — no crash state can serve the merged
-    copy alongside the dirs it was built from (which would double-score
-    every delta doc)."""
+def _delta_dirs(
+    index_path: str, include_uncommitted: bool = False
+) -> list[str]:
+    """Ordered COMMITTED delta-segment dirs under the index (empty when
+    none). ``meta.json`` is each segment's commit marker — ``add_docs``
+    writes it LAST, so a dir without one is a torn mid-stage crash:
+    invisible here, it can't break serving or ``load_delta_metas``, and
+    ``_next_delta_segment`` (which also only counts committed dirs)
+    hands the SAME slot to the at-least-once replay, whose per-subdir
+    ``mode('overwrite')`` writes heal the residue — the same
+    self-healing contract live ingest relies on. An in-flight rebuild's
+    staging dir lives under ``work/`` and is structurally invisible
+    too — no crash state can serve the merged copy alongside the dirs
+    it was built from (which would double-score every delta doc).
+
+    ``include_uncommitted=True`` lists torn dirs as well — for fsck
+    (which names them) and the destructive merge-commit removal loops
+    (which must not leave them behind)."""
     import glob as _glob
 
-    return sorted(_glob.glob(os.path.join(index_path, "delta_[0-9]*")))
+    dirs = sorted(_glob.glob(os.path.join(index_path, "delta_[0-9]*")))
+    if include_uncommitted:
+        return dirs
+    return [
+        d for d in dirs if os.path.exists(os.path.join(d, "meta.json"))
+    ]
 
 
 def _recover_merge(index_path: str) -> None:
@@ -1476,10 +1493,10 @@ def _recover_merge(index_path: str) -> None:
         with open(marker) as fh:
             mode = fh.read().strip()
         if mode == "empty":
-            for d in _delta_dirs(index_path):
+            for d in _delta_dirs(index_path, include_uncommitted=True):
                 shutil.rmtree(d)
         elif os.path.exists(os.path.join(tmp, "meta.json")):
-            for d in _delta_dirs(index_path):
+            for d in _delta_dirs(index_path, include_uncommitted=True):
                 shutil.rmtree(d)
             os.rename(tmp, os.path.join(index_path, "delta_00000"))
         os.remove(marker)

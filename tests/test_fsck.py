@@ -291,3 +291,45 @@ def test_fsck_update_then_delete_residue_warns_not_fails(spark, tmp_path):
     assert report2["ok"]
     assert not [c for c in report2["checks"]
                 if c["check"] == "cross_tier_dead_residue"]
+
+
+def test_torn_delta_segment_invisible_and_self_healing(spark, tmp_path):
+    """A delta dir WITHOUT meta.json (add_docs writes it LAST — it is
+    the segment commit marker) is a torn mid-stage crash: serving and
+    load paths must ignore it, fsck names it as a warn, and the next
+    add reuses the slot (mode-overwrite writes heal the residue) — the
+    at-least-once replay contract, now for MANUAL adds too."""
+    out = _build(spark, tmp_path)
+    indexer.add_docs(spark, out, _df(spark, [(100, "first qqadd here")]))
+    committed = indexer._delta_dirs(out)
+    assert [os.path.basename(d) for d in committed] == ["delta_00000"]
+
+    # simulate the torn crash: clone the committed segment into the
+    # next slot and strip its commit marker
+    torn = os.path.join(out, "delta_00001")
+    shutil.copytree(committed[0], torn)
+    os.remove(os.path.join(torn, "meta.json"))
+
+    # invisible to serving, slot counting, and the metadata loads
+    assert indexer._delta_dirs(out) == committed
+    assert len(indexer.load_delta_metas(out)) == 1
+    from cs_search_engine_architecture_spark.engine import SearchEngine
+    eng = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng.search_df("qqadd").collect()] == [100]
+    assert len(eng.current_corpus().collect()) == len(DOCS) + 1
+
+    # fsck: named warn, no failed check
+    report = fsck.fsck_index(spark, out)
+    assert report["ok"], [c for c in report["checks"]
+                          if c["status"] == "fail"]
+    assert _status(report, "segment_uncommitted", "delta_00001") == "warn"
+
+    # the next manual add reuses slot 1 and commits it
+    indexer.add_docs(spark, out, _df(spark, [(200, "second qqheal add")]))
+    assert os.path.exists(os.path.join(torn, "meta.json"))
+    eng2 = SearchEngine(spark, out, cache=False)
+    assert [r["doc_id"] for r in eng2.search_df("qqheal").collect()] == [200]
+    report2 = fsck.fsck_index(spark, out)
+    assert report2["ok"]
+    assert not [c for c in report2["checks"]
+                if c["check"] == "segment_uncommitted"]

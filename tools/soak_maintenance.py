@@ -8,6 +8,10 @@ runs ONE 6-step sequence. This tool soaks MANY longer sequences, each
 mixing every maintenance primitive:
 
 * ``add_docs`` (new delta segment)
+* live-ingest micro-batches (``add_docs`` at the streaming
+  ``LIVE_SEGMENT_BASE + batch_id`` namespace, HALF of them immediately
+  REPLAYED into the same segment — Structured Streaming's
+  at-least-once retry must overwrite, not double-serve)
 * ``delete_docs`` (base- or delta-resident victims, sometimes an id
   with a pending update — the arm-retirement edge)
 * ``update_docs`` (1-3 live ids; re-updates of already-updated ids;
@@ -92,6 +96,7 @@ def run_sequence(spark, seq: int, steps: int, rng: random.Random,
     # ids deleted while base-resident: upsert-eligible until a fold
     deleted_base: set[int] = set(); base_ids = {i for i, _ in base_rows}
     next_id = 1000
+    live_batch = 0
     ops: list[str] = []
 
     for step in range(steps):
@@ -140,6 +145,21 @@ def run_sequence(spark, seq: int, steps: int, rng: random.Random,
             indexer.compact_in_place(spark, out)
             deleted_base = set(); base_ids = set(current)
             ops.append("compact")
+        elif r < 0.84:
+            # live-ingest micro-batch at the streaming namespace;
+            # half are replayed at-least-once into the SAME segment
+            rows = [(next_id + j, rand_text())
+                    for j in range(rng.randint(1, 2))]
+            seg = indexer.LIVE_SEGMENT_BASE + live_batch
+            indexer.add_docs(spark, out, _df(spark, rows),
+                             check_ids=False, segment=seg)
+            replay = rng.random() < 0.5
+            if replay:
+                indexer.add_docs(spark, out, _df(spark, rows),
+                                 check_ids=False, segment=seg)
+            current.update(dict(rows))
+            next_id += len(rows); live_batch += 1
+            ops.append("ingest+replay" if replay else "ingest")
         else:
             cands = sorted(current)
             batch = rng.sample(cands, min(len(cands), rng.randint(1, 3)))
