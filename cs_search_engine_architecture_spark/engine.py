@@ -9,6 +9,7 @@ under the documented tie-break contract)."""
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Sequence
 
@@ -41,7 +42,10 @@ class SearchEngine:
             # analog of the reference's postings cache (sea/engine.pyx:314-324)
             self.blocks = self.blocks.persist()
         self.num_buckets = self.meta["num_buckets"]
-        self.compiler = QueryCompiler(spark, self.blocks, self.num_buckets)
+        self.compiler = QueryCompiler(
+            spark, self.blocks, self.num_buckets,
+            single_field=self.meta["num_fields"] == 1,
+        )
         # deleted-docs mask (None on tombstone-free indexes — the common
         # case pays zero cost); see indexer.delete_docs/compact_index
         self.tombstones = indexer.load_tombstones(spark, index_path)
@@ -154,7 +158,8 @@ class SearchEngine:
     def _delta_compiler(self) -> QueryCompiler:
         if not hasattr(self, "_upd_compiler"):
             self._upd_compiler = QueryCompiler(
-                self.spark, self._delta_blocks_df(), self.num_buckets
+                self.spark, self._delta_blocks_df(), self.num_buckets,
+                single_field=self.meta["num_fields"] == 1,
             )
         return self._upd_compiler
 
@@ -621,7 +626,11 @@ class SearchEngine:
         if batchable:
             parts.append(_serve(ms.batched_topk, batchable))
         if phrases:
-            parts.append(_serve(ms.phrase_batched_topk, phrases))
+            phrase_fn = functools.partial(
+                ms.phrase_batched_topk,
+                monotonic=self.meta["num_fields"] == 1,
+            )
+            parts.append(_serve(phrase_fn, phrases))
         if mixed:
             parts.append(_serve(ms.mixed_batched_topk, mixed))
         parts.extend(fallback)

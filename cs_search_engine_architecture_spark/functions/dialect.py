@@ -458,3 +458,35 @@ def ref_scan_window(xs: str, ys: str, k: int) -> str:
         "named_struct('i', 1, 'j', 1, 'f', false), "
         f"(_rwa, _rws) -> {step}, _rwa -> _rwa.f) END"
     )
+
+
+def any_pair_window(xs: str, ys: str, k: int) -> str:
+    """∃(p ∈ xs, q ∈ ys): 0 ≤ q − p ≤ k as a short-circuiting nested
+    ``exists`` — the cheaper equivalent of ``ref_scan_window`` on
+    MONOTONIC position lists. On ascending lists the reference's
+    two-cursor scan is exhaustive (the classic two-pointer argument:
+    when it advances a cursor, every pair it skips is provably outside
+    the window), so scan ≡ any-pair there — the same equivalence that
+    keeps the single-field DuckDB gate oracles' any-pair joins valid
+    against the scan. Only ``phrase_window(..., monotonic=True)`` may
+    select this form; non-monotonic (multi-field) lists MUST use the
+    scan, whose blind spots are parity (round-5 soak find).
+
+    Lambda variables are prefixed ``_ap`` so the fragment nests inside
+    other higher-order functions without shadowing."""
+    return (
+        f"exists({xs}, _apx -> exists({ys}, _apy -> "
+        f"_apy - _apx >= 0 AND _apy - _apx <= {int(k)}))"
+    )
+
+
+def phrase_window(xs: str, ys: str, k: int, monotonic: bool) -> str:
+    """The phrase char-window predicate, picked at PLAN TIME:
+    ``monotonic=True`` (single-field index — every as-stored position
+    list is ascending by construction) selects the short-circuiting
+    any-pair form; otherwise the reference's two-cursor scan, blind
+    spots included. Zero per-row cost: the caller knows field count
+    from index metadata, so no runtime sortedness test is paid."""
+    if monotonic:
+        return any_pair_window(xs, ys, k)
+    return ref_scan_window(xs, ys, k)

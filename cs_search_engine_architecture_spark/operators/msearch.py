@@ -61,7 +61,7 @@ from cs_search_engine_architecture_spark.plans.query_parser import (
 _DECODE_SCHEMA = "term string, doc_id long, score double"
 
 
-def slot_chain_window_ok(k: int) -> "F.Column":
+def slot_chain_window_ok(k: int, monotonic: bool = False) -> "F.Column":
     """Predicate over a slot-sorted struct array ``sl`` (elements
     carrying ``.positions``): every CONSECUTIVE slot pair satisfies the
     reference char-window scan (``dialect.ref_scan_window`` — the
@@ -70,15 +70,21 @@ def slot_chain_window_ok(k: int) -> "F.Column":
     compiled phrase chain's semantics (each join step checks the next
     term's FULL position list against the previous term's FULL list).
     Shared by ``phrase_batched_topk`` and ``percolate``'s batched
-    phrase arm so the window rule lives in ONE place."""
+    phrase arm so the window rule lives in ONE place.
+
+    ``monotonic=True`` (single-field position lists — ascending by
+    construction) compiles the cheaper equivalent any-pair form
+    (``dialect.phrase_window``); the caller decides from field count,
+    mirroring the compiled chain's plan-time switch."""
     from cs_search_engine_architecture_spark.functions.dialect import (
-        ref_scan_window,
+        phrase_window,
     )
 
-    pair_ok = ref_scan_window(
+    pair_ok = phrase_window(
         "element_at(sl, CAST(i AS INT)).positions",
         "element_at(sl, CAST(i + 1 AS INT)).positions",
         k,
+        monotonic,
     )
     return F.expr(
         "CASE WHEN size(sl) < 2 THEN true ELSE "
@@ -231,6 +237,7 @@ def phrase_batched_topk(
     top_k: int,
     exclude: DataFrame | None = None,
     allowed: DataFrame | None = None,
+    monotonic: bool = False,
 ) -> DataFrame:
     """Answer every pure-phrase ``(query_id, values)`` plan from one
     shared positional scan — phrases no longer force per-query compiled
@@ -276,7 +283,7 @@ def phrase_batched_topk(
         .join(F.broadcast(nmap), "query_id")
         .where(F.size("sl") == F.col("k"))
     )
-    chain_ok = slot_chain_window_ok(PHRASE_K)
+    chain_ok = slot_chain_window_ok(PHRASE_K, monotonic=monotonic)
     score = F.expr(
         "aggregate(transform(sl, x -> x.score), CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)"

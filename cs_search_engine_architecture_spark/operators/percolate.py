@@ -158,7 +158,8 @@ def compile_percolator(
 
 
 def phrase_match(
-    toks: DataFrame, values: list[str], doc_id_col: str = "doc_id"
+    toks: DataFrame, values: list[str], doc_id_col: str = "doc_id",
+    monotonic: bool = False,
 ) -> DataFrame:
     """Docs where the phrase terms occur in order within the reference
     char-window SCAN — the SAME chained-pair predicate as the compiled
@@ -171,9 +172,13 @@ def phrase_match(
     Differential target for ``percolate``'s batched phrase arm (the
     scalar per-phrase join chain vs the shared slot-tagged
     aggregation) — kept uncalled in production, pinned by
-    ``test_percolate_batched_phrases_match_scalar_chain``."""
+    ``test_percolate_batched_phrases_match_scalar_chain``.
+
+    ``monotonic`` mirrors the production arm's plan-time switch: True
+    for single-field batches (ascending position lists — the cheaper
+    any-pair form is equivalent there), False otherwise."""
     from cs_search_engine_architecture_spark.functions.dialect import (
-        ref_scan_window,
+        phrase_window,
     )
 
     cur = toks.where(F.col("term") == values[0]).select(
@@ -183,7 +188,9 @@ def phrase_match(
         nxt = toks.where(F.col("term") == term).select(
             doc_id_col, F.col("positions").alias("_p2")
         )
-        window_ok = F.expr(ref_scan_window("positions", "_p2", PHRASE_K))
+        window_ok = F.expr(
+            phrase_window("positions", "_p2", PHRASE_K, monotonic)
+        )
         cur = (
             cur.join(nxt, doc_id_col)
             .where(window_ok)
@@ -307,9 +314,9 @@ def percolate(
             slot_chain_window_ok,
         )
 
-        m = agg.where(slot_chain_window_ok(PHRASE_K)).select(
-            "query_id", "doc_id"
-        )
+        m = agg.where(
+            slot_chain_window_ok(PHRASE_K, monotonic=len(fields) == 1)
+        ).select("query_id", "doc_id")
         out = m if out is None else out.unionByName(m)
 
     # mixed-precedence term-only trees: ALL queries evaluated over ONE

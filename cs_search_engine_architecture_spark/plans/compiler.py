@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions.dialect import (
-    ref_scan_window,
+    phrase_window,
 )
 from cs_search_engine_architecture_spark.operators.decode import term_postings
 from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
@@ -40,10 +40,21 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 
 class QueryCompiler:
-    def __init__(self, spark: SparkSession, blocks: DataFrame, num_buckets: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        blocks: DataFrame,
+        num_buckets: int,
+        single_field: bool = False,
+    ):
         self.spark = spark
         self.blocks = blocks
         self.num_buckets = num_buckets
+        # Single-field index: every as-stored position list is ascending
+        # by construction, where the reference scan is exhaustive — the
+        # phrase window compiles to the cheaper any-pair form
+        # (dialect.phrase_window; same results, plan-time choice).
+        self.single_field = single_field
 
     def empty(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -60,7 +71,9 @@ class QueryCompiler:
                 .withColumnRenamed("positions", "_p2")
             )
             window_ok = F.expr(
-                ref_scan_window("positions", "_p2", PHRASE_K)
+                phrase_window(
+                    "positions", "_p2", PHRASE_K, self.single_field
+                )
             )
             cur = (
                 cur.join(nxt, "doc_id")
@@ -104,7 +117,9 @@ class QueryCompiler:
                     .withColumnRenamed("positions", "_p2")
                 )
                 window_ok = F.expr(
-                    ref_scan_window("positions", "_p2", slop)
+                    phrase_window(
+                        "positions", "_p2", slop, self.single_field
+                    )
                 )
                 cur = (
                     cur.join(nxt, "doc_id")

@@ -94,6 +94,15 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--seed", type=int, default=20260819)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--single-field", action="store_true",
+        help="build a ONE-field corpus: position lists are monotonic, "
+        "so every phrase site compiles the any-pair window "
+        "(dialect.phrase_window plan-time switch) — this mode soaks "
+        "that form against the oracle's scan (equivalent on monotonic "
+        "lists) across all legs; default two-field mode soaks the scan "
+        "and its blind spots",
+    )
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
@@ -132,15 +141,26 @@ def main() -> int:
     )
     docs = make_docs(args.docs, rng)
     out = tempfile.mkdtemp(prefix="soak_idx_")
-    corpus = spark.createDataFrame(
-        [(d, f[0], f[1]) for d, f in docs],
-        "doc_id long, title string, body string",
-    )
-    indexer.build_index(
-        spark, corpus, out, fields=["title", "body"], block_size=8,
-        num_buckets=4,
-    )
+    if args.single_field:
+        docs = [(d, [f"{f[0]} {f[1]}".strip()]) for d, f in docs]
+        corpus = spark.createDataFrame(
+            [(d, f[0]) for d, f in docs], "doc_id long, text string"
+        )
+        indexer.build_index(
+            spark, corpus, out, fields=["text"], block_size=8,
+            num_buckets=4,
+        )
+    else:
+        corpus = spark.createDataFrame(
+            [(d, f[0], f[1]) for d, f in docs],
+            "doc_id long, title string, body string",
+        )
+        indexer.build_index(
+            spark, corpus, out, fields=["title", "body"], block_size=8,
+            num_buckets=4,
+        )
     engine = SearchEngine(spark, out)
+    assert engine.compiler.single_field is bool(args.single_field)
     oracle = OracleIndex(docs)
 
     t0 = time.time()
