@@ -144,6 +144,29 @@ def test_ordered_proximity_switch_equivalence(single_field_setup):
         assert got == want, (values, slop)
 
 
+def test_percolate_multi_field_keeps_scan_blind_spots(spark):
+    """Percolate over a TWO-field batch takes the scan form (len(fields)
+    != 1): the doc-59 blind spot from
+    test_phrase_scan_blind_spots_multi_field must hold in the percolate
+    arm too — '"query sorted"' must NOT fire on (title "sorted query
+    salt", body "query ..."), while '"sorted query"' must."""
+    docs = spark.createDataFrame(
+        [
+            (59, "sorted query salt", "query merge merge hash join the"),
+            (1, "hash join", "the hash join beats merge join"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qs = {"blind": '"query sorted"', "adj": '"sorted query"',
+          "cross": '"the query"'}
+    got: dict[str, list[int]] = {}
+    for r in percolate(spark, qs, docs, fields=("title", "body")).collect():
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert "blind" not in got          # the scan's parity blind spot
+    assert sorted(got.get("adj", [])) == [59]
+    assert sorted(got.get("cross", [])) == [59]
+
+
 def test_percolate_phrase_arm_switch_equivalence(spark, single_field_setup):
     _, _, _, corpus = single_field_setup
     qs = {f"p{i}": q for i, q in enumerate(_phrase_queries()[:10])}
