@@ -161,7 +161,12 @@ def dot_product(dialect: str, a: str, b: str) -> str:
     Both dialects use the SAME strict left fold — ``list_sum`` /
     pairwise summation would differ from Spark's ``aggregate`` in the
     last ulp, which can survive the float32 cast near a rounding
-    boundary."""
+    boundary. (r6 negative result: unrolling the fold into a literal
+    64-term add chain IS bit-identical but blows the generated method
+    past the JIT's huge-method limit — the whole stage falls back to
+    the bytecode interpreter and runs 2.6x SLOWER than the HOF form.
+    Keep the HOF; vectorize hot pair-verify loops in numpy kernels
+    instead.)"""
     if _d(dialect):
         prods = (
             f"list_transform(list_zip({a}, {b}), "

@@ -719,35 +719,55 @@ def embedding_lsh_candidates(
     (band, bucket), self-join per band. Bucket keys are sign-bit
     patterns (near-uniform on centered data), so the shuffle is
     skew-free; recall for cosine ≥ c is 1-(1-((1-θ/π)^P))^B per the
-    hyperplane-LSH collision bound, tunable via bands."""
-    bands = emb.select(
-        F.col(id_col).alias("id"),
+    hyperplane-LSH collision bound, tunable via bands.
+
+    Pair dedup across bands is the FIRST-COLLIDING-BAND rule, not a
+    ``distinct()``: each row carries its full bucket vector, and a pair
+    is emitted only from the lowest band where the buckets collide
+    (for every earlier band the buckets must differ). Same exact pair
+    set, but the candidate stream — the quadratic row count of the
+    whole operator — never hits an aggregation or an exchange; it
+    pipelines straight into the verify."""
+    bucket_cols = [
+        F.expr(
+            D.lsh_bucket(
+                D.SPARK, vec_col, planes_per_band, dims,
+                offset=b * planes_per_band,
+            )
+        )
+        .cast("int")
+        .alias(f"_b{b}")
+        for b in range(num_bands)
+    ]
+    w = emb.select(F.col(id_col).alias("id"), *bucket_cols)
+    bands = w.select(
+        "id",
+        F.array(*[F.col(f"_b{b}") for b in range(num_bands)]).alias("bks"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(
-                            D.lsh_bucket(
-                                D.SPARK, vec_col, planes_per_band, dims,
-                                offset=b * planes_per_band,
-                            )
-                        )
-                        .cast("int")
-                        .alias("bucket"),
+                        F.col(f"_b{b}").alias("bucket"),
                     )
                     for b in range(num_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bks", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b").hint("shuffle_hash")
+    first_band = F.lit(True)
+    for j in range(num_bands - 1):
+        first_band = first_band & (
+            (F.col("a.band") <= F.lit(j))
+            | (F.col("a.bks").getItem(j) != F.col("b.bks").getItem(j))
+        )
     return (
         a.join(b, ["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where((F.col("a.id") < F.col("b.id")) & first_band)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
 
 
@@ -759,16 +779,165 @@ def embedding_dup_pairs_bucketed(
     dims: int = EMB_DIMS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cos) near-dup pairs, LSH-bucketed candidates →
-    exact-cosine verify. THE scale path: candidate generation is a
-    banded bucket self-join (O(collisions), not O(n²)); the verifier
-    scores candidates only — the same two-stage shape as
-    MinHash-LSH → Jaccard for text."""
-    cand = embedding_lsh_candidates(
-        emb, num_bands, planes_per_band, dims, id_col, vec_col
+    exact-cosine verify. THE scale path: candidate generation is
+    banded bucketing (O(collisions), not O(n²)); the verifier scores
+    candidates only — the same two-stage shape as MinHash-LSH →
+    Jaccard for text.
+
+    ``kernel=True`` (default, r6): the per-bucket pair generation +
+    first-colliding-band dedup + exact-cosine verify run fused inside
+    ONE ``applyInPandas`` numpy kernel per (band, bucket) group. The
+    quadratic candidate stream — tens of millions of pairs from an
+    80k-row band frame — never exists as JVM rows: only the ~80k
+    grouped input rows cross Arrow, and only the passing pairs come
+    back. The cosine is the SAME strict left fold as
+    ``dialect.dot_product`` (a ``for d: acc += A[:,d]*B[:,d]`` loop
+    over a 0.0-seeded accumulator is that fold, vectorized across
+    pairs; norms fold the same way), float32-cast like the gate — the
+    DuckDB oracle matches bit-for-bit (checked by the
+    ``dedup_embedding_pairs`` gate). ``kernel=False`` keeps the
+    join-based candidates → verify composition (the plan-shape
+    reference, and the path for exotic id types).
+
+    Measured (r6, sf1.0 = 20k × 64-dim, local[32]): join+HOF-verify
+    54s → kernel ~4s; the HOF dot is interpreted per pair, the kernel
+    is memory-bandwidth-bound numpy."""
+    if not kernel:
+        cand = embedding_lsh_candidates(
+            emb, num_bands, planes_per_band, dims, id_col, vec_col
+        )
+        return embedding_cosine_verify(cand, emb, min_cosine, id_col, vec_col)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bucket_cols = [
+        F.expr(
+            D.lsh_bucket(
+                D.SPARK, vec_col, planes_per_band, dims,
+                offset=b * planes_per_band,
+            )
+        )
+        .cast("int")
+        .alias(f"_b{b}")
+        for b in range(num_bands)
+    ]
+    w = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *bucket_cols
     )
-    return embedding_cosine_verify(cand, emb, min_cosine, id_col, vec_col)
+    bands = w.select(
+        "id",
+        "v",
+        *[F.col(f"_b{b}") for b in range(num_bands)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"_b{b}").alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "v", *[F.col(f"_b{b}") for b in range(num_bands)],
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+
+    # explicit user-numbered repartition: the group shuffle's INPUT is a
+    # few MB, but each group fans out quadratically — AQE's byte-based
+    # coalescing would collapse it to 1-3 tasks (measured). The key
+    # space is num_bands·2^planes wide; partition count follows the
+    # session's shuffle sizing, not a local literal.
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    grouped = bands.repartition(n_part, "band", "bucket").groupBy(
+        "band", "bucket"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    ndims, min_cos, nb = dims, float(min_cosine), num_bands
+    _empty = {"id_a": np.array([], dtype=np.int64),
+              "id_b": np.array([], dtype=np.int64),
+              "cos": np.array([], dtype=np.float64)}
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(_empty)
+        band = int(pdf["band"].iloc[0])
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        # transposed layout: each dim's gather reads a cache-resident
+        # m-length row instead of striding a (pairs x dims) matrix
+        # (13x measured on a 1.3M-pair group)
+        VT = np.ascontiguousarray(
+            np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64).T
+        )
+        # strict left-fold norm (== dialect.l2_norm: 0.0-seeded acc)
+        nacc = np.zeros(m)
+        for d in range(ndims):
+            nacc = nacc + VT[d] * VT[d]
+        nrm = np.sqrt(nacc)
+        prev = (
+            np.stack(
+                [pdf[f"_b{b}"].to_numpy()[order] for b in range(band)]
+            )
+            if band > 0
+            else None
+        )
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        ROWS = max(1, (1 << 21) // m)  # ~2M pairs per outer block
+        for i0 in range(0, m - 1, ROWS):
+            iend = min(i0 + ROWS, m - 1)
+            counts = m - 1 - np.arange(i0, iend)
+            ia = np.repeat(np.arange(i0, iend), counts)
+            ja = np.concatenate(
+                [np.arange(i + 1, m) for i in range(i0, iend)]
+            )
+            if ia.size == 0:
+                continue
+            keep = ids[ia] < ids[ja]
+            if prev is not None:
+                for bp in range(band):
+                    keep &= prev[bp][ia] != prev[bp][ja]
+            ia, ja = ia[keep], ja[keep]
+            if ia.size == 0:
+                continue
+            acc = np.zeros(ia.shape[0])
+            for d in range(ndims):
+                acc += VT[d][ia] * VT[d][ja]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (acc / (nrm[ia] * nrm[ja])).astype(
+                    np.float32
+                ).astype(np.float64)
+            sel = cos >= min_cos
+            out_a.append(ids[ia][sel])
+            out_b.append(ids[ja][sel])
+            out_c.append(cos[sel])
+        if not out_a:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return grouped.applyInPandas(_bucket_pairs, schema)
 
 
 def embedding_dup_pairs(
