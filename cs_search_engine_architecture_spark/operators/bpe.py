@@ -43,12 +43,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the simple-analyzer token stream."""
     return (
-        df.select(
+        widen_input(df)
+        .select(
             F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("word")
         )
         .groupBy("word")
@@ -86,6 +90,9 @@ _PAIRS_EXPR = (
 )
 
 
+BPE_DRIVER_VOCAB_CAP = 2_000_000  # distinct words; ~100 MB driver-side
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int,
@@ -94,9 +101,62 @@ def train_bpe(
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from the corpus; returns
     the ordered merge list. Stops early when no pair reaches
-    ``min_pair_count`` occurrences."""
+    ``min_pair_count`` occurrences.
+
+    r6: Spark does the one corpus-sized pass (``word_counts``); the
+    merge loop then runs DRIVER-SIDE over the collected (word, freq)
+    vocabulary whenever it fits ``BPE_DRIVER_VOCAB_CAP`` (the standard
+    BPE-trainer shape — GPT-2's reference trainer is exactly this; the
+    vocabulary is metadata-scale next to the corpus). Each distributed
+    round previously cost a full job (shuffle + orderBy + collect +
+    mapInPandas + checkpoint) of pure scheduling latency on a
+    vocab-sized frame. Merge choice is integer frequency with the
+    (count desc, a asc, b asc) tie-break; Python string comparison is
+    code-point order == Spark's UTF8 binary order, so the merge list
+    is bit-identical to the distributed loop's
+    (``test_bpe_train_matches_serial_reference`` +
+    ``bench.py``'s serial==batched assert pin it). Corpora past the
+    cap fall back to the distributed loop unchanged."""
+    wc = word_counts(df, text_col)
+    head = wc.limit(BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(head) <= BPE_DRIVER_VOCAB_CAP:
+        vocab = [(int(r["freq"]), list(r["word"])) for r in head]
+        merges: list[tuple[str, str]] = []
+        for _ in range(num_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for freq, ps in vocab:
+                for i in range(len(ps) - 1):
+                    pair = (ps[i], ps[i + 1])
+                    counts[pair] = counts.get(pair, 0) + freq
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if c < min_pair_count:
+                break
+            merges.append((a, b))
+            merged = a + b
+            for row in vocab:
+                ps = row[1]
+                if len(ps) < 2:
+                    continue
+                i, res = 0, []
+                while i < len(ps):
+                    if (
+                        i + 1 < len(ps)
+                        and ps[i] == a
+                        and ps[i + 1] == b
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(ps[i])
+                        i += 1
+                row[1][:] = res
+        return merges
     state = (
-        word_counts(df, text_col)
+        wc
         .select(
             "freq",
             F.split(F.col("word"), "").alias("pieces"),

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import dialect as D
+from .partitioning import widen_input
 
 _BUDGET_SCHEMA = (
     "doc_id long, n long, score double, local_incl long, pid int"
@@ -192,7 +193,14 @@ def select_token_budget(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n"),
         F.col(score_col).cast("double").alias("score"),
-    )
+    ).localCheckpoint()
+    # PINNED (r6): the histogram pass and the range shuffle otherwise
+    # both re-execute the CALLER's scoring lineage (typically a
+    # tokenize+join pipeline costing far more than this whole
+    # operator). The pinned projection is three scalar columns —
+    # O(num_docs) rows, ~24 bytes each — not O(corpus bytes), so the
+    # guide-§5 "reused AND expensive to recompute" bar is met at any
+    # scale.
     prune = _histogram_prune_predicate(base, int(budget))
     if prune is not None:
         base = base.where(prune)
@@ -297,7 +305,7 @@ def select_token_budget_stratified(
         F.col(tokens_col).cast("long").alias("n"),
         F.col(score_col).cast("double").alias("score"),
         F.col(stratum_col).cast("string").alias("stratum"),
-    )
+    ).localCheckpoint()  # pinned: see select_token_budget (r6)
     # the stratum column is cast to STRING above, so every lookup keyed
     # by a collected stratum value must use string keys — a budgets
     # dict keyed by ints (a numeric domain-id column) would otherwise
@@ -425,7 +433,9 @@ def diversity_cap(
             F.col("bucket").cast("int").alias("bucket"),
         )
     else:
-        e = emb.select(
+        # widen: the 2^planes interpreted hyperplane dots per row run
+        # on the scan, which a single-row-group file caps at 1-2 tasks
+        e = widen_input(emb).select(
             F.col(emb_id_col).alias("doc_id"),
             F.expr(D.lsh_bucket(D.SPARK, vec_col, num_planes, dims))
             .cast("int")

@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 NUM_MINHASHES = 8
 BAND_SIZE = 1  # 8 bands of 1 signature -> recall-heavy candidates
@@ -52,7 +55,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) MinHash over word-3-gram shingles.
     Row-local: the signature computation introduces no shuffle."""
-    toks = df.withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
+    toks = widen_input(df).withColumn(
+        "toks", F.expr(D.tokens(D.SPARK, text_col))
+    )
     sh = toks.withColumn("shingles", F.expr(D.shingles(D.SPARK)))
     return sh.select(
         "doc_id",
@@ -114,18 +119,63 @@ def lsh_candidate_pairs(
     so it picks a broadcast self-join — which collects the ENTIRE bands
     frame to the driver and computes the signature subplan twice
     (measured 6.8s vs 2.3s at sf0.1; at 100 TB a full-corpus broadcast
-    is fatal, while hash-shuffling on the uniform bucket key scales)."""
-    bands = band_buckets(sigs, num_hashes, band_size)
+    is fatal, while hash-shuffling on the uniform bucket key scales).
+
+    Cross-band dedup is the FIRST-COLLIDING-BAND rule (r6, the
+    ``embedding_lsh_candidates`` pattern): each row carries its full
+    bucket vector and a pair is kept only in the lowest band whose
+    buckets collide — same exact pair set as ``distinct()`` (the
+    comparison is on the md5 bucket STRINGS themselves, i.e. exactly
+    the join key's equality), but a near-dup-heavy corpus's candidate
+    stream (every true-dup pair used to appear once per band — 8x)
+    never hits an aggregation or an exchange."""
+    num_bands = num_hashes // band_size
+    bucket_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"sig_{b * band_size + j}")
+                    for j in range(band_size)
+                ],
+            )
+        ).alias(f"_bk{b}")
+        for b in range(num_bands)
+    ]
+    w = sigs.select("doc_id", *bucket_exprs)
+    bands = w.select(
+        "doc_id",
+        F.array(*[F.col(f"_bk{b}") for b in range(num_bands)]).alias("bks"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"_bk{b}").alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "bks",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
     a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b").hint("shuffle_hash")
+    first_band = F.lit(True)
+    for j in range(num_bands - 1):
+        first_band = first_band & (
+            (F.col("a.band") <= F.lit(j))
+            | (F.col("a.bks").getItem(j) != F.col("b.bks").getItem(j))
+        )
     return (
         a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
 
 
@@ -401,7 +451,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     (bit b of a token = parity of hex char b of md5(token); weight =
     term frequency via occurrence explode). One groupBy(doc_id) with
     map-side partial sums; 32 sum-aggregates, all codegen'd."""
-    occ = df.select(
+    occ = widen_input(df).select(
         "doc_id",
         F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("term"),
     )
@@ -558,7 +608,8 @@ def _emb_with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _distinct_shingles(df: DataFrame, text_col: str) -> DataFrame:
     return (
-        df.withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
+        widen_input(df)
+        .withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
         .select(
             "doc_id",
             F.array_distinct(F.expr(D.shingles(D.SPARK))).alias("sh"),
@@ -826,7 +877,7 @@ def embedding_dup_pairs_bucketed(
         .alias(f"_b{b}")
         for b in range(num_bands)
     ]
-    w = emb.select(
+    w = widen_input(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *bucket_cols
     )
     bands = w.select(
@@ -1108,7 +1159,7 @@ def decontaminate(
         .distinct()
     )
     doc_grams = (
-        docs.select(
+        widen_input(docs).select(
             "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("__toks")
         )
         .select("doc_id", F.explode(F.expr(grams)).alias("g"))

@@ -48,6 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions.tokenizer import tokenize
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 from cs_search_engine_architecture_spark.operators.compression import (
     delta_encode,
     encode_scores,
@@ -150,6 +153,11 @@ def tokenize_postings(
                     out_ff.append(ff)
                     out_fl.append(field_lens)
                     out_pos.append(positions)
+            if not out_doc:
+                # a batch of only empty/None docs: pandas would type the
+                # empty ragged columns float64, which Arrow cannot cast
+                # to list<int> — yield nothing instead
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -161,6 +169,71 @@ def tokenize_postings(
             )
 
     return corpus.select(doc_id_col, *fields).mapInPandas(batches, POSTINGS_SCHEMA)
+
+
+def tokenize_presence(
+    corpus: DataFrame,
+    fields: Sequence[str],
+    doc_id_col: str = "doc_id",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """Corpus -> one row per DISTINCT (doc, term) — the presence-only
+    projection of ``tokenize_postings`` for consumers that never read
+    frequencies or positions (percolate's term and mixed-tree arms).
+
+    Why it exists (r6): ``tokenize_postings`` is an opaque
+    ``mapInPandas``, so Catalyst cannot prune its ragged
+    ``positions``/``field_freqs`` columns for presence-only consumers —
+    every such pass built per-posting Python lists and shipped them
+    across Arrow (the ~3x ragged-column lesson). This variant runs the
+    batch-VECTORIZED scan (`_vectorized_field_scan`, the packed build
+    path's kernel) and crosses the boundary as two scalar columns.
+    Term sets are identical to ``tokenize_postings``'s by the same
+    argument that pins packed==scalar (both derive from the one scan;
+    ``test_tokenize_presence_matches_postings``)."""
+    nf = len(fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+            }
+        )
+        for pdf in it:
+            doc_ids = pdf[doc_id_col].to_numpy()
+            outs = []
+            for f in fields:
+                doc_idx, codes, uniq, _pos = _vectorized_field_scan(
+                    pdf[f].to_numpy(), analyzer
+                )
+                if doc_idx.size == 0:
+                    continue
+                key = (doc_idx << np.int64(32)) | codes
+                uk = np.unique(key)
+                d = (uk >> np.int64(32)).astype(np.int64)
+                c = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pd.Series(
+                                doc_ids[d], dtype="int64"
+                            ),
+                            "term": np.asarray(uniq, dtype=object)[c],
+                        }
+                    )
+                )
+            if not outs:
+                yield empty
+                continue
+            res = pd.concat(outs, ignore_index=True)
+            if nf > 1:
+                res = res.drop_duplicates(ignore_index=True)
+            yield res
+
+    return corpus.select(doc_id_col, *fields).mapInPandas(
+        batches, "doc_id long, term string"
+    )
 
 
 def packed_postings_schema(num_fields: int) -> str:
@@ -765,6 +838,10 @@ def build_index(
     discipline: bounded RAM, spill runs, merge from disk)."""
     t0 = time.time()
     _PHASES.clear()
+    # narrow single-file corpora (one parquet row group) cap the whole
+    # tokenize stage at 1-2 tasks; output-invariant (the block encoder
+    # sorts each (term_id, doc_group) group by doc_id)
+    corpus = widen_input(corpus)
     work = os.path.join(out_path, "work", "postings", "slice=0")
     tokenize_postings_packed(
         corpus, fields, doc_id_col, analyzer
@@ -1104,7 +1181,7 @@ def build_index_resumable(
             return None
         ts = time.time()
         predicate = f"pmod({doc_id_col}, {num_slices}) = {i}"
-        part = corpus.where(F.expr(predicate))
+        part = widen_input(corpus.where(F.expr(predicate)))
         slice_postings = tokenize_postings_packed(
             part, fields, doc_id_col, analyzer
         )

@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 
 def _doc_grams(docs: DataFrame, text_col: str) -> DataFrame:
@@ -40,7 +43,8 @@ def _doc_grams(docs: DataFrame, text_col: str) -> DataFrame:
     counts (the <2-token whole-doc fallback follows the shared shingle
     fragment)."""
     return (
-        docs.select(
+        widen_input(docs)
+        .select(
             "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("__toks")
         )
         .select(

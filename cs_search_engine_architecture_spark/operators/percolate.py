@@ -45,9 +45,13 @@ from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.operators.indexer import (
     tokenize_postings,
+    tokenize_presence,
 )
 from cs_search_engine_architecture_spark.operators.msearch import (
     classify_query,
+)
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
 )
 from cs_search_engine_architecture_spark.oracle.reference import PHRASE_K
 from cs_search_engine_architecture_spark.plans.query_parser import (
@@ -223,18 +227,30 @@ def percolate(
     term_plans, phrase_plans, mixed_plans = compile_percolator(
         queries, analyzer
     )
-    toks = tokenize_postings(docs, list(fields), doc_id_col, analyzer)
-    # tokenize_postings reads `doc_id_col` from the source but always
-    # emits the id as a literal `doc_id` column — everything below keys
-    # on that name, whatever the caller's id column was called.
-    # NB: the arms are independent aggregations over `toks` with no
-    # common exchange, so each re-runs the row-local tokenize (the
+    docs = widen_input(docs)
+    # Both tokenizers emit the id as a literal `doc_id` column whatever
+    # the caller's id column was called — everything below keys on that
+    # name. Presence-only arms (term, mixed) read the vectorized
+    # ``tokenize_presence`` frame — (doc_id, term) scalars only; the
+    # phrase arm alone pays for the full positional tokenize (r6: the
+    # ragged positions/freqs used to cross Arrow once per arm).
+    # NB: the arms are still independent aggregations with no common
+    # exchange, so term+mixed re-run the presence tokenize (the
     # no-ReusedExchange lineage behavior CLAUDE.md documents for
-    # remove_duplicate_spans). Measured: caching toks is worth only
-    # 1.02x at 120k docs x 3 arms (interleaved in-JVM A/B — the arm
-    # shuffles dominate and the pass is row-local), while persisting
-    # an unbounded ingest batch's token frame risks spill at scale —
-    # so no cache, deliberately.
+    # remove_duplicate_spans). Measured: caching was worth only 1.02x
+    # at 120k docs x 3 arms, while persisting an unbounded ingest
+    # batch's token frame risks spill at scale — so no cache,
+    # deliberately.
+    pres_toks = (
+        tokenize_presence(docs, list(fields), doc_id_col, analyzer)
+        if (term_plans or mixed_plans)
+        else None
+    )
+    toks = (
+        tokenize_postings(docs, list(fields), doc_id_col, analyzer)
+        if phrase_plans
+        else None
+    )
     out: DataFrame | None = None
 
     if term_plans:
@@ -254,7 +270,7 @@ def percolate(
         qterms = spark.createDataFrame(
             rows, "query_id string, term string, required int, is_neg int"
         )
-        pres = toks.select("doc_id", "term")  # unique per (doc, term)
+        pres = pres_toks  # unique per (doc, term)
         agg = (
             pres.join(F.broadcast(qterms), "term")
             .groupBy("query_id", "doc_id")
@@ -336,8 +352,7 @@ def percolate(
     if mixed_plans:
         all_terms = sorted({t for _, _, ts in mixed_plans for t in ts})
         agg = (
-            toks.where(F.col("term").isin(all_terms))
-            .select("doc_id", "term")
+            pres_toks.where(F.col("term").isin(all_terms))
             .groupBy("doc_id")
             .agg(F.collect_set("term").alias("mt"))
         )

@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 NUM_PLANES = 8
 DIMS = 64
@@ -44,7 +47,7 @@ def cosine_scores(
 ) -> DataFrame:
     """(id, cos) for every row: double-precision fold, float32-cast."""
     qn = sum(float(x) * float(x) for x in qvec) ** 0.5
-    df = emb.select(
+    df = widen_input(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _qvec_lit(qvec).alias("q"),
@@ -666,7 +669,7 @@ def quantize_embeddings(
     # dialect.quantize_vec, which the oracle keeps using
     keep = [c for c in keep]
     return (
-        emb.select(
+        widen_input(emb).select(
             *keep,
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("_v"),

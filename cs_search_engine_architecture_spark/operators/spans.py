@@ -62,6 +62,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 SPAN_W = 8  # default gram width (tokens); Lee et al. use 50 at web scale
 
@@ -72,7 +75,7 @@ def gram_occurrences(
     """(doc_id, pos, gram_hash): one row per W-gram start position
     (1-based token index). Docs with fewer than ``w`` tokens emit
     nothing. Row-local until the explode; rows out ≈ token count."""
-    toks = df.select(
+    toks = widen_input(df).select(
         "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
     )
     return toks.select(
@@ -194,7 +197,7 @@ def _rebuild_excluding(
     Shape: cut islands explode to their token positions (rows bounded
     by the number of REMOVED tokens, not corpus size) and anti-join
     the (doc_id, pos) token stream — equi-joins only."""
-    toks = df.select(
+    toks = widen_input(df).select(
         "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
     )
     return _rebuild_from_tokens(toks, cut_spans)
@@ -203,36 +206,42 @@ def _rebuild_excluding(
 def _rebuild_from_tokens(toks: DataFrame, cut_spans: DataFrame) -> DataFrame:
     """``_rebuild_excluding`` over a pre-tokenized ``(doc_id, toks)``
     frame — the staged path reads this from parquet so the corpus is
-    tokenized exactly once."""
-    stream = toks.select(
-        "doc_id",
-        F.posexplode("toks").alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    cut = cut_spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
-    ).distinct()
-    kept = stream.join(cut, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok)))"
-            ", s -> s.tok), ' ')"
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_tokens_kept"),
+    tokenized exactly once.
+
+    r6 shape: the cut islands AGGREGATE to one small range-list row per
+    affected doc, left-join onto the token frame, and the rebuild is a
+    row-local HOF filter over the in-order ``toks`` array (a token
+    survives iff its 1-based position is inside no cut range). The old
+    shape posexploded EVERY corpus token to rows, anti-joined the cut
+    positions, and re-assembled docs via a corpus-wide
+    ``collect_list`` group — three shuffles of O(corpus tokens)
+    replaced by one shuffle of O(cut islands). Islands are disjoint and
+    the array is already in position order, so the space-joined text is
+    byte-identical (the ``dup_spans`` gate hashes md5(text))."""
+    ranges = cut_spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("cuts")
     )
-    totals = toks.select(
-        "doc_id", F.size("toks").alias("n_tokens")
+    kept_arr = (
+        "filter(transform(toks, (t, i) -> struct(i + 1 AS pos, t AS tok)), "
+        "s -> cuts IS NULL OR "
+        "NOT exists(cuts, c -> s.pos >= c.s AND s.pos <= c.e))"
     )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("text", F.lit("")).alias("text"),
-        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-        (
-            F.col("n_tokens")
-            - F.coalesce("n_tokens_kept", F.lit(0))
-        ).alias("n_tokens_removed"),
+    return (
+        toks.join(ranges, "doc_id", "left")
+        .select("doc_id", F.size("toks").alias("n_tokens"),
+                F.expr(kept_arr).alias("kept"))
+        .select(
+            "doc_id",
+            F.expr("array_join(transform(kept, s -> s.tok), ' ')").alias(
+                "text"
+            ),
+            F.size("kept").alias("n_tokens_kept"),
+            (F.col("n_tokens") - F.size("kept")).alias("n_tokens_removed"),
+        )
     )
 
 
@@ -285,7 +294,7 @@ def _stage_occurrences(
     spark = df.sparkSession
     toks_path = os.path.join(stage_dir, "toks")
     occ_path = os.path.join(stage_dir, "occ")
-    df.select(
+    widen_input(df).select(
         "doc_id", F.expr(D.tokens(D.SPARK, text_col)).alias("toks")
     ).write.mode("overwrite").parquet(toks_path)
     toks = spark.read.parquet(toks_path)

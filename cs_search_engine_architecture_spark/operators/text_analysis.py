@@ -21,6 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cs_search_engine_architecture_spark.functions import dialect as D
+from cs_search_engine_architecture_spark.operators.partitioning import (
+    widen_input,
+)
 
 # language-marker stopword sets for the n-gram/stopword-hit heuristic
 # (tiny, deterministic; argmax with fixed tie-break order)
@@ -169,7 +172,9 @@ def repetition_sql(dialect: str, text: str = "text", toks: str = "toks") -> dict
 # ------------------------------------------------------------ operators
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("toks", F.expr(D.tokens(D.SPARK, text_col)))
+    return widen_input(df).withColumn(
+        "toks", F.expr(D.tokens(D.SPARK, text_col))
+    )
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -599,7 +604,7 @@ def hash_embeddings(
     bucket sums both shapes, bit-identical output). Empty docs get the
     zero vector."""
     h = D.token_hash(D.SPARK, "t")
-    occ = df.select(
+    occ = widen_input(df).select(
         "doc_id", F.explode(F.expr(D.tokens(D.SPARK, text_col))).alias("t")
     ).select(
         "doc_id",

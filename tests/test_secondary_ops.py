@@ -637,6 +637,46 @@ def test_combined_search_rrf_matches_manual_ranks(spark, engine, embeddings):
 
 # ---------------------------------------------------------- percolate
 
+def test_tokenize_presence_matches_postings(spark):
+    """The vectorized presence-only tokenizer (r6: percolate's
+    term/mixed arms) yields exactly the DISTINCT (doc_id, term) pairs
+    of the full positional tokenizer — both analyzers, incl. a
+    two-field corpus (cross-field dedup) and empty/None fields."""
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        tokenize_postings,
+        tokenize_presence,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    two_field = spark.createDataFrame(
+        [
+            (0, "spark data spark", "data merge"),
+            (1, "", "only here"),
+            (2, None, None),
+            (3, "Mixed3x alpha " + "y" * 60, "num 12345 ok"),
+        ],
+        "doc_id long, a string, b string",
+    )
+    cases = [
+        (docs, ["text"], "simple"),
+        (docs, ["text"], "reference"),
+        (two_field, ["a", "b"], "simple"),
+        (two_field, ["a", "b"], "reference"),
+    ]
+    for df, fields, analyzer in cases:
+        want = {
+            (r["doc_id"], r["term"])
+            for r in tokenize_postings(df, fields, "doc_id", analyzer)
+            .select("doc_id", "term")
+            .distinct()
+            .collect()
+        }
+        rows = tokenize_presence(df, fields, "doc_id", analyzer).collect()
+        got = {(r["doc_id"], r["term"]) for r in rows}
+        assert got == want, (fields, analyzer)
+        assert len(rows) == len(got), "presence rows must be distinct"
+
+
 def test_percolate_plan_shapes(spark):
     """Every percolatable plan shape on a hand-built batch: single
     term, OR, AND, AND-NOT, and the ORDERED phrase window (doc 4 has
