@@ -253,9 +253,17 @@ def percolate(
     )
     out: DataFrame | None = None
 
-    if term_plans:
+    # r6 negative result: serving the term class from the mixed arm's
+    # collect_set + per-query array_intersect expressions measured
+    # SLOWER (7.2s vs 4.0s at 200 hot-term queries x 50k docs, sf1.0) —
+    # with many queries per distinct term, the join arm's map-side
+    # partial aggregation beats per-doc array expression evaluation.
+    # The join arm stays for ALL term-class registries.
+    join_term_plans = term_plans
+
+    if join_term_plans:
         rows = []
-        for plan in term_plans:
+        for plan in join_term_plans:
             qid, mode, terms = plan[0], plan[1], plan[2]
             negs = plan[3] if len(plan) > 3 else []
             msm = int(plan[4]) if len(plan) > 4 else 0

@@ -12,7 +12,6 @@ switch)."""
 
 import random
 
-import numpy as np
 import pytest
 
 from cs_search_engine_architecture_spark.engine import SearchEngine
@@ -100,16 +99,22 @@ def test_long_phrase_chain_matches_oracle(built):
 
 
 def test_long_phrase_msearch_matches_compiled(built):
+    """Batched-phrase scores are bit-identical DOUBLES to the compiled
+    chain's slot-ordered left fold (repo invariant) — compare the raw
+    doubles strictly, no float32 cast (a last-ulp regression in the
+    batched fold must fail here; test_msearch_mixed_matches_compiled
+    style)."""
     engine, _, _, qs = built
     batch = {f"q{i}": q for i, q in enumerate(qs)}
     by: dict[str, dict] = {}
     for r in engine.msearch(batch, top_k=200).collect():
         by.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
     for i, q in enumerate(qs):
-        want = dict(engine.search_collect(q, top_k=200))
-        got = {
-            d: float(np.float32(s)) for d, s in by.get(f"q{i}", {}).items()
+        want = {
+            r["doc_id"]: r["score"]
+            for r in engine.search(q, top_k=200).collect()
         }
+        got = by.get(f"q{i}", {})
         assert got == want, q
 
 
