@@ -122,9 +122,19 @@ def tokenize_postings(
     fields: Sequence[str],
     doc_id_col: str = "doc_id",
     analyzer: str = "reference",
+    keep_terms: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """Corpus -> one row per (doc, term). Partition-local; no shuffle."""
+    """Corpus -> one row per (doc, term). Partition-local; no shuffle.
+
+    ``keep_terms`` (r6): emit only rows for those terms, filtered
+    INSIDE the Python worker — callers that join the output against a
+    small term list (percolate's phrase arm) would otherwise ship
+    every posting's ragged positions across Arrow just to drop them
+    at the join. Field lengths still reflect the FULL tokenize, so
+    surviving rows are byte-identical to the unfiltered frame's
+    (pinned by ``test_tokenize_keep_terms_matches_filter``)."""
     nf = len(fields)
+    keep = set(keep_terms) if keep_terms is not None else None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -148,6 +158,8 @@ def tokenize_postings(
                         e[1].append(pos)
                 did = int(doc_ids[i])
                 for tok, (ff, positions) in per_doc.items():
+                    if keep is not None and tok not in keep:
+                        continue
                     out_doc.append(did)
                     out_term.append(tok)
                     out_ff.append(ff)
@@ -843,6 +855,24 @@ def build_index(
     # sorts each (term_id, doc_group) group by doc_id)
     corpus = widen_input(corpus)
     work = os.path.join(out_path, "work", "postings", "slice=0")
+    # overlap the independent corpus count+id-check with the tokenize
+    # stage (guide §2.6): its one scan job back-fills executors idled
+    # by the tokenize write's straggler tail; joined before finalize
+    # needs the count. Exceptions propagate after the join.
+    import threading
+
+    cnt_res: list = []
+
+    def _count_job() -> None:
+        try:
+            cnt_res.append(
+                _count_checking_ids(corpus, doc_id_col, group_span)
+            )
+        except BaseException as exc:  # re-raised on the main thread
+            cnt_res.append(exc)
+
+    cnt_thread = threading.Thread(target=_count_job, daemon=True)
+    cnt_thread.start()
     tokenize_postings_packed(
         corpus, fields, doc_id_col, analyzer
     ).write.mode("overwrite").option("compression", "lz4").parquet(work)
@@ -855,7 +885,10 @@ def build_index(
         work
     )
     _PHASES["tokenize_stage"] = time.time() - t0
-    num_documents = _count_checking_ids(corpus, doc_id_col, group_span)
+    cnt_thread.join()
+    if cnt_res and isinstance(cnt_res[0], BaseException):
+        raise cnt_res[0]
+    num_documents = int(cnt_res[0])
     return _finalize_index(
         spark, postings, num_documents, out_path, fields,
         doc_id_col=doc_id_col, analyzer=analyzer, block_size=block_size,
@@ -1005,30 +1038,52 @@ def _finalize_index(
     blocks = blocks_id.join(
         term_stats.select("term_id", "term", "term_bucket"), "term_id"
     ).drop("term_id")
-    _t = time.time()
-    (
-        blocks.repartition(num_buckets, "term_bucket")
-        .sortWithinPartitions("term", "first_doc")
-        .select(*[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")], "term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(out_path, "blocks"))
-    )
-    _PHASES["score_encode_write"] = time.time() - _t
 
     # per-doc field lengths (one row per doc): the LTR feature path needs
     # lengths for docs that match NO query term (the reference re-tokenizes
     # the doc on the fly for semantic-only hits — ``sea/engine.pyx:225-277``;
     # here the lengths are read back from this tiny side table instead).
     # Every posting of a doc carries identical field_lens, so F.first is
-    # exact; the aggregate is one narrow shuffle on doc_id.
+    # exact; the aggregate is one narrow shuffle on doc_id. It reads only
+    # the STAGED postings, independent of the encode — submitted from a
+    # thread so its jobs back-fill executors during the encode/write's
+    # straggler tail (guide §2.6); joined before meta is written.
+    import threading
+
+    dl_res: list = []
+
+    def _doc_lens_job() -> None:
+        try:
+            _dt = time.time()
+            postings.groupBy("doc_id").agg(
+                *[F.first(f"fl_{f}").alias(f"fl_{f}") for f in range(nf)]
+            ).repartition(max(1, num_buckets // 8)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_path, "doc_lens"))
+            dl_res.append(time.time() - _dt)
+        except BaseException as exc:  # re-raised on the main thread
+            dl_res.append(exc)
+
+    dl_thread = threading.Thread(target=_doc_lens_job, daemon=True)
     _t = time.time()
-    postings.groupBy("doc_id").agg(
-        *[F.first(f"fl_{f}").alias(f"fl_{f}") for f in range(nf)]
-    ).repartition(max(1, num_buckets // 8)).write.mode("overwrite").parquet(
-        os.path.join(out_path, "doc_lens")
-    )
-    _PHASES["doc_lens_write"] = time.time() - _t
+    dl_thread.start()
+    try:
+        (
+            blocks.repartition(num_buckets, "term_bucket")
+            .sortWithinPartitions("term", "first_doc")
+            .select(*[c.split()[0] for c in BLOCKS_SCHEMA.split(", ")], "term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(out_path, "blocks"))
+        )
+        _PHASES["score_encode_write"] = time.time() - _t
+    finally:
+        dl_thread.join()
+    if dl_res and isinstance(dl_res[0], BaseException):
+        raise dl_res[0]
+    # own wall of the overlapped job (hidden inside the encode wall
+    # unless it outlasted it)
+    _PHASES["doc_lens_write"] = float(dl_res[0]) if dl_res else 0.0
 
     wall = time.time() - t0
     meta = {

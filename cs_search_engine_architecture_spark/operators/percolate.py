@@ -246,8 +246,14 @@ def percolate(
         if (term_plans or mixed_plans)
         else None
     )
+    # the phrase arm reads only its own terms' positions — filter
+    # inside the tokenizer so other terms' ragged rows never cross
+    # Arrow (r6; the downstream broadcast join on `term` is unchanged)
     toks = (
-        tokenize_postings(docs, list(fields), doc_id_col, analyzer)
+        tokenize_postings(
+            docs, list(fields), doc_id_col, analyzer,
+            keep_terms={t for _, values in phrase_plans for t in values},
+        )
         if phrase_plans
         else None
     )

@@ -677,6 +677,39 @@ def test_tokenize_presence_matches_postings(spark):
         assert len(rows) == len(got), "presence rows must be distinct"
 
 
+def test_tokenize_keep_terms_matches_filter(spark):
+    """tokenize_postings(keep_terms=S) == the unfiltered frame filtered
+    to S — identical rows incl. field_lens (which must reflect the FULL
+    tokenize, not the kept subset)."""
+    from cs_search_engine_architecture_spark.operators.indexer import (
+        tokenize_postings,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    keep = ["spark", "data", "window", "order"]
+    want = sorted(
+        (
+            (r["doc_id"], r["term"], tuple(r["field_freqs"]),
+             tuple(r["field_lens"]), tuple(r["positions"]))
+            for r in tokenize_postings(docs, ["text"], "doc_id", "simple")
+            .where(F.col("term").isin(keep))
+            .collect()
+        )
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["term"], tuple(r["field_freqs"]),
+             tuple(r["field_lens"]), tuple(r["positions"]))
+            for r in tokenize_postings(
+                docs, ["text"], "doc_id", "simple", keep_terms=keep
+            ).collect()
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_percolate_plan_shapes(spark):
     """Every percolatable plan shape on a hand-built batch: single
     term, OR, AND, AND-NOT, and the ORDERED phrase window (doc 4 has
